@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Q, RelationalQueries}
+import graft.queries.{EventsQueries, PipelineQueries, Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{Q, RelationalQueries}
 object SparkEntry {
 
   private def catalog: Seq[Q] =
-    RelationalQueries.all
+    RelationalQueries.all ++ EventsQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline tier.
+  *
+  * All built from codegen'd built-ins (split/transform/aggregate/xxhash64)
+  * — no UDFs, so every expression stays inside WholeStageCodegen and runs
+  * identically at any scale (pure per-row work, no shuffle).
+  */
+object Text {
+
+  /** Whitespace tokenization; empty/blank text gives an empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Contiguous word n-gram shingles (space-joined), deduplicated.
+    * The canonical unit for MinHash / Jaccard near-dup detection.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))
+          )
+        )
+      )
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union.cast("double"))
+  }
+
+  /** 64-bit seeded shingle hash: one of the k MinHash permutations. */
+  private def seededHash(seed: Column, s: Column): Column = xxhash64(seed, s)
+
+  /** Array of k MinHash signatures (min over shingle hashes per seed).
+    * Sequential aggregate over the shingle array — per-row, no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed =>
+        aggregate(
+          shingleCol,
+          lit(Long.MaxValue),
+          (acc, s) => least(acc, seededHash(seed, s))
+        )
+    )
+
+  /** SimHash-64: per token, xxhash64 sets/clears each bit weighted ±1;
+    * the sign of each accumulated bit weight forms the fingerprint.
+    * Returned as BIGINT (may be negative — bit 63 is the sign bit).
+    */
+  def simhash64(tokenCol: Column): Column = {
+    val weights = aggregate(
+      tokenCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            p => when(call_function("shiftright", xxhash64(t), p).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
+          ),
+          (w, d) => w + d
+        )
+    )
+    aggregate(
+      zip_with(weights, sequence(lit(0), lit(63)), (w, p) => when(w > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit)
+    )
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Chained rolling-hash fingerprint over the token stream — a cheap
+    * order-sensitive document identity (same tokens reordered hash apart,
+    * unlike MinHash). Chaining through xxhash64(acc, token) instead of a
+    * polynomial accumulator keeps the fold overflow-free under ANSI mode.
+    */
+  def rollingFingerprint(tokenCol: Column): Column =
+    aggregate(tokenCol, lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Winnowing-style fingerprint: the w smallest shingle hashes, sorted —
+    * a compact sketch for containment checks.
+    */
+  def winnowFingerprint(shingleCol: Column, w: Int): Column =
+    slice(array_sort(transform(shingleCol, s => xxhash64(s))), 1, w)
+
+  // ------------------------------------------------------------------
+  // Quality scoring / language ID (n-gram + stopword heuristics).
+  // ------------------------------------------------------------------
+
+  /** Count of regex matches in text (non-overlapping). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  private val enStop = "\\b(the|a|of|to|in|and|is|it|that|for)\\b"
+  private val frStop = "\\b(le|la|les|de|des|un|une|et|est|que)\\b"
+  private val deStop = "\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b"
+  private val esStop = "\\b(el|la|los|las|de|un|una|y|es|que)\\b"
+
+  /** Per-language stopword-density scores; CJK by unicode-range density. */
+  def langScores(text: Column): Column = {
+    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    struct(
+      (matchCount(text, enStop).cast("double") / nTok).as("en"),
+      (matchCount(text, frStop).cast("double") / nTok).as("fr"),
+      (matchCount(text, deStop).cast("double") / nTok).as("de"),
+      (matchCount(text, esStop).cast("double") / nTok).as("es"),
+      (matchCount(text, "[一-鿿]").cast("double") /
+        greatest(length(text), lit(1)).cast("double")).as("zh")
+    )
+  }
+
+  /** argmax of langScores with deterministic tiebreak (field order);
+    * 'und' when every score is zero.
+    */
+  def langGuess(text: Column): Column = {
+    val s = langScores(text)
+    val best = greatest(s("en"), s("fr"), s("de"), s("es"), s("zh"))
+    when(best === 0, lit("und"))
+      .when(s("en") === best, lit("en"))
+      .when(s("fr") === best, lit("fr"))
+      .when(s("de") === best, lit("de"))
+      .when(s("es") === best, lit("es"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Heuristic document quality in [0,1]: length band, punctuation
+    * density, stopword presence, mean token length band — the classic
+    * pre-training corpus filters (Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChar = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val meanTokLen = when(nTok > 0, (nChar - (nTok - 1)) / nTok).otherwise(lit(0.0))
+    val punctRatio = matchCount(text, "[.,!?;:]").cast("double") / greatest(nChar, lit(1.0))
+    val stopRatio = matchCount(text, enStop).cast("double") / greatest(nTok, lit(1.0))
+    val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+    val tokLenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopBonus = when(stopRatio > 0, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + tokLenOk + punctOk + stopBonus) / 4.0, 6)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The image/audio codecs are NOT in this container, so the decode kernel
+  * is a clearly-marked deterministic fake (`fakeDecode`) — the Spark-side
+  * contract (schema, batching via mapPartitions, partition sizing, typed
+  * output) is real and tested. Swapping `fakeDecode` for a JNI/codec call
+  * is a one-function change.
+  *
+  * Scale notes: media rows are wide — `maxPartitionBytes` should be
+  * lowered for real payloads so a task holds O(100) rows, and feature
+  * extraction is per-partition (amortizes codec init, the same reason
+  * Python pipelines use mapInPandas batches).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(
+    Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField(
+        "meta",
+        StructType(
+          Seq(
+            StructField("width", IntegerType),
+            StructField("height", IntegerType),
+            StructField("duration_ms", IntegerType)
+          )
+        )
+      )
+    )
+  )
+
+  /** Build a media table from the documents fixture: UTF-8 payload bytes,
+    * metadata derived deterministically from the id.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast(IntegerType).as("height"),
+        (pmod(col("doc_id"), lit(60)) * 1000 + 1000).cast(IntegerType).as("duration_ms")
+      ).as("meta")
+    )
+
+  /** STUB decode kernel: a real implementation would call the codec here.
+    * The fake derives a dim-`featDim` float feature from payload bytes —
+    * deterministic, so downstream plumbing is testable.
+    */
+  private def fakeDecode(payload: Array[Byte], featDim: Int): Array[Float] = {
+    val out = new Array[Float](featDim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % featDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition feature extraction over the binary column — the Scala
+    * equivalent of a mapInPandas batch UDF: one decoder per partition,
+    * rows streamed through it.
+    */
+  def extractFeatures(media: DataFrame, featDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, String, Array[Float])] = media
+      .select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // codec/session init would happen once per partition here
+        rows.map { case (id, tpe, payload) => (id, tpe, fakeDecode(payload, featDim)) }
+      }
+    ds.toDF("media_id", "media_type", "features")
+  }
+
+  /** Frame sampling for video rows: split the payload into `n` byte
+    * slices (a real impl would seek keyframes) — exercises the
+    * explode-wide-binary pattern.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val total = length(col("payload"))
+    media
+      .filter(col("media_type") === "video")
+      .select(
+        col("media_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(n - 1)),
+            i => struct(
+              i.as("frame_no"),
+              substring(col("payload"), (i * (total / n) + 1).cast(IntegerType), greatest((total / n).cast(IntegerType), lit(1))).as("frame_bytes")
+            )
+          )
+        ).as("frame")
+      )
+      .select(col("media_id"), col("frame.frame_no").as("frame_no"), col("frame.frame_bytes").as("frame_bytes"))
+  }
+}

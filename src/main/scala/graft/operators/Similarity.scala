@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers (per the pipeline brief):
+  *   - bruteForceKnn: exact baseline. The query side is broadcast (queries
+  *     are few); the corpus streams through once; per-partition top-k via
+  *     window. Cost O(|queries| · |corpus|) — correct at any corpus size
+  *     as long as the query set is small.
+  *   - ivfKnn: scale path. Corpus is clustered into nList coarse cells
+  *     (k-means-lite via deterministic seed vectors); queries probe the
+  *     nProbe nearest cells only, cutting the scanned fraction to
+  *     nProbe/nList. All shuffles are on cell id.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-style ANN: assign corpus vectors to their nearest of nList
+    * deterministic centroids (unit-less hash-derived seed directions);
+    * queries scan only their nProbe nearest cells. Returns the same
+    * schema as bruteForceKnn; recall < 1 by construction.
+    */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val dim = 64 // embeddings fixture dim; centroids derived per component
+    // centroid c[i][j] from xxhash64(i,j) in [-1,1] — same derivation as
+    // Vectors.hyperplaneBucket, so no trained side-file is needed.
+    def cellScores(v: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(0), lit(nList - 1)),
+        i =>
+          struct(
+            aggregate(
+              zip_with(
+                v,
+                sequence(lit(0), size(v) - 1),
+                (x, j) => x * (xxhash64(i, j).cast("double") / lit(Long.MaxValue.toDouble))
+              ),
+              lit(0.0),
+              (acc, p) => acc + p
+            ).as("score"),
+            i.as("cell")
+          )
+      )
+
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+      .withColumn("cell", sort_array(cellScores(col("v_c")), asc = false)(0)("cell"))
+    val q = queries
+      .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+      .withColumn("cell", explode(transform(slice(sort_array(cellScores(col("v_q")), asc = false), 1, nProbe), s => s("cell"))))
+
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Event-stream analytics (batch view of the events table; the streaming
+  * twin of q23 lives in graft.streaming and is asserted equal in tests).
+  *
+  * DuckDB sees the raw nanosecond timestamps while Spark reads them as
+  * micros — every output therefore truncates to ≥ second granularity.
+  */
+object EventsQueries {
+
+  private def m(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // q23 — daily event rollup (tumbling 1-day batch aggregation; the batch
+  // twin of the Structured Streaming window in streaming/EventsStream).
+  // ---------------------------------------------------------------------
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .groupBy(to_date(col("ts")).as("jour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(m(col("value")))).as("total_value")
+      )
+      .orderBy(col("jour"), col("event_type"))
+  }
+  private val q23Sql =
+    """SELECT CAST(ts AS DATE) AS jour, event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24 — gap-based sessionization (30-min inactivity): LAG over the
+  // per-user event sequence, session-start flags, running count. The
+  // window partitions by user_id — shuffles once on user, scales with
+  // users, no global window.
+  // ---------------------------------------------------------------------
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(spark, dir)
+      .withColumn("ts_s", unix_timestamp(date_trunc("second", col("ts"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    e.withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1L).otherwise(0L)
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        (count(lit(1)).cast(DoubleType) / sum(col("new_session"))).as("events_par_session")
+      )
+      .orderBy(col("user_id"))
+  }
+  private val q24Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+      |         LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+      |           OVER (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS prev_s
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id,
+      |         CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM seq
+      |)
+      |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
+      |       CAST(COUNT(*) AS DOUBLE) / SUM(new_session) AS events_par_session
+      |FROM flagged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25 — pivot event types to columns (the BI matrix/pivot surface,
+  // SURVEY §2.10): explicit value list keeps the plan single-pass and
+  // deterministic (no value-discovery job).
+  // ---------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables
+      .events(spark, dir)
+      .groupBy(to_date(col("ts")).as("jour"))
+      .pivot("event_type", eventTypes)
+      .count()
+    eventTypes
+      .foldLeft(pivoted)((df, t) => df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+      .orderBy(col("jour"))
+  }
+  private val q25Sql =
+    """SELECT CAST(ts AS DATE) AS jour,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q23_events_daily", "tumbling daily event rollup (streaming twin)", q23, Some(q23Sql)),
+    Q("q24_sessionization", "gap-based sessions via LAG (W2 on streams)", q24, Some(q24Sql)),
+    Q("q25_event_pivot", "pivot to columns (BI matrix)", q25, Some(q25Sql))
+  )
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity, Upsert}
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+
+/** LLM-data-pipeline operator catalog: dedup, text analysis, similarity
+  * search, multimodal plumbing, upsert, partitioned IO, streaming — the
+  * beyond-the-reference tier of the brief, each runnable through the
+  * driver gate. Queries whose kernels hash with xxhash64 (no DuckDB
+  * equivalent) omit the oracle → rows-only check; everything else is
+  * hash-compared.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------------
+  // d01 — exact dedup via hash-groupBy (deterministic min-id winner).
+  // ---------------------------------------------------------------------
+  private def d01(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exact(Tables.documents(spark, dir), "doc_id", col("text"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  private val d01Sql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d02 — token statistics (whitespace tokenization).
+  // ---------------------------------------------------------------------
+  private def d02(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = Text.tokenCount(col("text"))
+    d.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      col("n_chars"),
+      round(
+        when(nTok > 0, (col("n_chars").cast(DoubleType) - (nTok - 1)) / nTok).otherwise(lit(0.0)),
+        6
+      ).as("longueur_moy_token")
+    ).orderBy(col("doc_id"))
+  }
+  private val d02Sql =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  n_chars,
+      |  ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |        ELSE (CAST(n_chars AS DOUBLE) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))
+      |             / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS longueur_moy_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d03 — quality scoring (Gopher-style rules: length band, punctuation
+  // density, stopword presence, token-length band).
+  // ---------------------------------------------------------------------
+  private def d03(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        round(
+          Text.matchCount(col("text"), "[.,!?;:]").cast(DoubleType) /
+            greatest(length(col("text")), lit(1)).cast(DoubleType),
+          6
+        ).as("ratio_ponctuation")
+      )
+      .orderBy(col("doc_id"))
+  private val d03Sql = {
+    val nTok = """len(regexp_split_to_array(trim(text), '\s+'))"""
+    val stop = """len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is|it|that|for)\b'))"""
+    val punct = """len(regexp_extract_all(text, '[.,!?;:]'))"""
+    s"""SELECT doc_id,
+       |  ROUND((
+       |    (CASE WHEN $nTok >= 10 AND $nTok <= 100000 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok >= 2
+       |            AND (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok <= 12 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN CAST($stop AS DOUBLE) / greatest(CAST($nTok AS DOUBLE), 1.0) > 0 THEN 1.0 ELSE 0.0 END)
+       |  ) / 4.0, 6) AS quality,
+       |  ROUND(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS ratio_ponctuation
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d04 — language-ID heuristic (stopword density per language, CJK by
+  // unicode range), deterministic argmax.
+  // ---------------------------------------------------------------------
+  private def d04(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), Text.langGuess(col("text")).as("langue_detectee"))
+      .groupBy(col("langue_detectee"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("langue_detectee"))
+  private val d04Sql = {
+    val nTok = """greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)"""
+    def sc(p: String) = s"""CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) / $nTok"""
+    val en = sc("\\b(the|a|of|to|in|and|is|it|that|for)\\b")
+    val fr = sc("\\b(le|la|les|de|des|un|une|et|est|que)\\b")
+    val de = sc("\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b")
+    val es = sc("\\b(el|la|los|las|de|un|una|y|es|que)\\b")
+    val zh = s"""CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)"""
+    s"""WITH scored AS (
+       |  SELECT doc_id, $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es, $zh AS s_zh
+       |  FROM documents
+       |), guessed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+       |         WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'en'
+       |         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'fr'
+       |         WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'de'
+       |         WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN 'es'
+       |         ELSE 'zh' END AS langue_detectee
+       |  FROM scored
+       |)
+       |SELECT langue_detectee, COUNT(*) AS n_docs
+       |FROM guessed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d05 — document fingerprints (rolling hash + winnowing sketch).
+  // xxhash64-based → no DuckDB equivalent → rows-only check.
+  // ---------------------------------------------------------------------
+  private def d05(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      Text.rollingFingerprint(Text.tokens(col("text"))).as("empreinte"),
+      Text.winnowFingerprint(Text.shingles(col("text"), 3), 4).as("sketch")
+    ).orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d06 — MinHash+LSH near-duplicate pairs, verified with exact shingle
+  // Jaccard. Oracle computes ALL pairs ≥ threshold exhaustively — LSH
+  // recall on this fixture must be (and is) total; parameters r=2,b=32
+  // give P(candidate | j=0.5) ≈ 0.9999.
+  // ---------------------------------------------------------------------
+  private def d06(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashLsh(Tables.documents(spark, dir), "doc_id", "text", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  private val d06Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+      |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+2])) AS s
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d07 — SimHash-64 fingerprints (near-dup pair join exercised in
+  // DedupSpec; xxhash64-based → rows-only check).
+  // ---------------------------------------------------------------------
+  private def d07(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      Text.simhash64(Text.tokens(col("text"))).as("simhash"),
+      Text.tokenCount(col("text")).as("n_tokens")
+    ).orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // e01 — brute-force cosine top-k (exact ANN baseline). Query side =
+  // vec_id < 10, broadcast; identical arithmetic spelled out in DuckDB.
+  // ---------------------------------------------------------------------
+  private def e01(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity
+      .bruteForceKnn(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val e01Sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT * FROM v WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.e, c.e) / sqrt(list_dot_product(q.e, q.e) * list_dot_product(c.e, c.e)), 6) AS cosine
+      |  FROM q CROSS JOIN v c
+      |  WHERE q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, neighbor_id, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // e02 — IVF-bucketed ANN (the scale path; approximate by construction →
+  // rows-only check; recall vs e01 is asserted in SimilaritySpec).
+  // ---------------------------------------------------------------------
+  private def e02(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfKnn(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH
+  // (xxhash64-derived hyperplanes → rows-only check). The fixture has no
+  // natural cosine-0.99 pairs (max ≈ 0.51), so the corpus is the fixture
+  // plus a jittered copy of itself (±2% per-component noise, cosine
+  // ≈ 0.9999): every planted pair (id, id+1e6) must surface — exactly
+  // |embeddings| result rows, recall asserted in DedupSpec.
+  // ---------------------------------------------------------------------
+  private def e03(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val jittered = em.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, j) =>
+          (x.cast(DoubleType) *
+            (lit(1.0) + (pmod(xxhash64(col("vec_id"), j), lit(100)).cast(DoubleType) / 100.0 - 0.5) * 0.04))
+            .cast(FloatType)
+      ).as("embedding")
+    )
+    Dedup
+      .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99, nBits = 8, nTables = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // m01 — multimodal metadata extraction over binary payloads: byte
+  // length + content digest (sha256 matches DuckDB's over UTF-8 bytes).
+  // ---------------------------------------------------------------------
+  private def m01(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .fromDocuments(Tables.documents(spark, dir))
+      .select(
+        col("media_id"),
+        col("media_type"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("digest"),
+        col("meta.width").as("largeur")
+      )
+      .orderBy(col("media_id"))
+  private val m01Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS digest,
+      |  CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS largeur
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m02 — per-partition feature extraction over binary payloads (the
+  // mapInPandas-equivalent batch path; fake decode kernel → rows-only).
+  // ---------------------------------------------------------------------
+  private def m02(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+    Multimodal
+      .extractFeatures(media, featDim = 16)
+      .select(
+        col("media_id"),
+        col("media_type"),
+        size(col("features")).as("dim"),
+        round(element_at(col("features"), 1).cast(DoubleType), 4).as("feat0")
+      )
+      .orderBy(col("media_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // u01 — MERGE upsert semantics (SURVEY §2.1 S7): an updates batch (every
+  // even orderkey, price bumped) merged new-wins into the current
+  // snapshot; verified via post-merge aggregate.
+  // ---------------------------------------------------------------------
+  private def u01(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val current = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val updates = o
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    Upsert
+      .merge(current, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("ca")
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+  private val u01Sql =
+    """WITH current AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      |updates AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |            FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT * FROM current WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // w01 — partitioned write + pruned read-back (SURVEY §2.1 S3: the
+  // monthly payment partitions). Writes events partitioned by month under
+  // java.io.tmpdir, reads back with a month predicate — partition pruning
+  // asserted in PlanSpec.
+  // ---------------------------------------------------------------------
+  private def w01(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w01_events"
+    Tables
+      .events(spark, dir)
+      .withColumn("mois", date_format(col("ts"), "yyyy-MM"))
+      .write
+      .mode("overwrite")
+      .partitionBy("mois")
+      .parquet(out)
+    spark.read
+      .parquet(out)
+      .filter(col("mois") === "2024-01")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value")
+      )
+      .orderBy(col("event_type"))
+  }
+  private val w01Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m') = '2024-01'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s01 — Structured Streaming daily rollup run to completion against the
+  // static files (memory sink) — must equal the batch aggregation, which
+  // is exactly what the oracle computes.
+  // ---------------------------------------------------------------------
+  private def s01(spark: SparkSession, dir: String): DataFrame =
+    EventsStream
+      .runToCompletion(EventsStream.tumblingDaily(spark, dir), "graft_s01")
+      .orderBy(col("jour"), col("event_type"))
+  private val s01Sql =
+    """SELECT CAST(ts AS DATE) AS jour, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d01_dedup_exact", "exact dedup, min-id winner", d01, Some(d01Sql)),
+    Q("d02_token_stats", "whitespace token statistics", d02, Some(d02Sql)),
+    Q("d03_quality_score", "Gopher-style quality rules", d03, Some(d03Sql)),
+    Q("d04_lang_guess", "stopword/CJK language ID", d04, Some(d04Sql)),
+    Q("d05_fingerprints", "rolling-hash + winnowing sketches", d05, None),
+    Q("d06_minhash_pairs", "MinHash+LSH near-dups vs exact-Jaccard oracle", d06, Some(d06Sql)),
+    Q("d07_simhash", "SimHash-64 fingerprints", d07, None),
+    Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
+    Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
+    Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),
+    Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
+    Q("m02_media_features", "mapPartitions feature extraction", m02, None),
+    Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
+    Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
+    Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql))
+  )
+}
