@@ -1,0 +1,197 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom expressions for per-document fingerprint kernels.
+  *
+  * Each replaces a higher-order-function fold whose interpreted
+  * per-element lambda calls dominate corpus-scale runs. Hash values are
+  * bit-identical to the HOF formulations (Spark's two-argument xxhash64
+  * chain: seed 42, then per-child XXH64 mix), so swapping implementations
+  * never changes results. CodegenFallback costs one virtual call per row;
+  * the eval bodies are JIT'd tight loops.
+  */
+object TextExpr {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Order-sensitive chained hash over a token array:
+    * acc_{i+1} = xxhash64(acc_i, tok_i), acc_0 = 0.
+    */
+  def rollingHash(tokens: Column): Column = col(RollingHash(expr(tokens)))
+
+  /** Winnowing-style sketch: the `w` smallest distinct xxhash64 values of
+    * the n-gram shingles of the token array, ascending.
+    */
+  def winnowSketch(tokens: Column, n: Int, w: Int): Column =
+    col(WinnowSketch(expr(tokens), n, w))
+
+  /** SimHash-64 over a token array: token hash bit p votes ±1 on
+    * accumulator p; sign bits pack into the fingerprint.
+    */
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+
+  /** k-component MinHash signature over the n-gram shingles of a token
+    * array; null when the array has fewer than n tokens.
+    */
+  def minhashSig(tokens: Column, n: Int, k: Int): Column =
+    col(MinHashSig(expr(tokens), n, k))
+}
+
+private object TextExprUtil {
+  /** xxhash64(string-col) — Spark seed 42. */
+  @inline def hashTok(t: UTF8String): Long = XXH64.hashUTF8String(t, 42L)
+  /** xxhash64(long-col, string-col) — Spark chains child hashes. */
+  @inline def hashChain(acc: Long, t: UTF8String): Long =
+    XXH64.hashUTF8String(t, XXH64.hashLong(acc, 42L))
+}
+
+case class RollingHash(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = TextExprUtil.hashChain(acc, a.getUTF8String(i)); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+case class WinnowSketch(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+  require(n > 0 && w > 0, "n and w must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_sketch"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nTok = a.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= nTok - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = a.getUTF8String(i + j)
+        j += 1
+      }
+      hs.add(TextExprUtil.hashTok(UTF8String.concat(parts: _*)))
+      i += 1
+    }
+    val out = new Array[Long](math.min(w, hs.size))
+    val it = hs.iterator()
+    var k = 0
+    while (k < out.length) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketch =
+    copy(child = newChild)
+}
+
+/** MinHash signature in one pass per row: each n-gram shingle is hashed
+  * once (xxhash64 of the space-joined string), then mixed per component
+  * with XXH64.hashLong(shingleHash, seed_i) — k cheap long mixes instead
+  * of k string hashes. A pure map expression: signatures need NO shuffle
+  * at any corpus size (the DataFrame alternative — explode + k min
+  * aggregates — shuffles |shingles| rows and was ~5x slower even with
+  * map-side combine).
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+  require(n > 0 && k > 0, "n and k must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  private val space = UTF8String.fromString(" ")
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nTok = a.numElements()
+    if (nTok < n) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= nTok - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = a.getUTF8String(i + j)
+        j += 1
+      }
+      val h0 = TextExprUtil.hashTok(UTF8String.concat(parts: _*))
+      var c = 0
+      while (c < k) {
+        val h = XXH64.hashLong(h0, seeds(c))
+        if (h < sig(c)) sig(c) = h
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nTok = a.numElements()
+    val weights = new Array[Long](64)
+    var i = 0
+    while (i < nTok) {
+      val h = TextExprUtil.hashTok(a.getUTF8String(i))
+      var p = 0
+      while (p < 64) {
+        if (((h >>> p) & 1L) == 1L) weights(p) += 1L else weights(p) -= 1L
+        p += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var p = 0
+    while (p < 64) { if (weights(p) > 0) fp |= (1L << p); p += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

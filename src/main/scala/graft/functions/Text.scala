@@ -61,44 +61,29 @@ object Text {
   /** SimHash-64: per token, xxhash64 sets/clears each bit weighted ±1;
     * the sign of each accumulated bit weight forms the fingerprint.
     * Returned as BIGINT (may be negative — bit 63 is the sign bit).
+    * Custom expression: the HOF fold interprets 64·|tokens| lambda calls
+    * per row.
     */
-  def simhash64(tokenCol: Column): Column = {
-    val weights = aggregate(
-      tokenCol,
-      array_repeat(lit(0L), 64),
-      (acc, t) =>
-        zip_with(
-          acc,
-          transform(
-            sequence(lit(0), lit(63)),
-            p => when(call_function("shiftright", xxhash64(t), p).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
-          ),
-          (w, d) => w + d
-        )
-    )
-    aggregate(
-      zip_with(weights, sequence(lit(0), lit(63)), (w, p) => when(w > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit)
-    )
-  }
+  def simhash64(tokenCol: Column): Column =
+    org.apache.spark.sql.graft.TextExpr.simhash64(tokenCol)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Chained rolling-hash fingerprint over the token stream — a cheap
     * order-sensitive document identity (same tokens reordered hash apart,
-    * unlike MinHash). Chaining through xxhash64(acc, token) instead of a
-    * polynomial accumulator keeps the fold overflow-free under ANSI mode.
+    * unlike MinHash). acc' = xxhash64(acc, token): overflow-free under
+    * ANSI mode, loop-compiled as a custom expression.
     */
   def rollingFingerprint(tokenCol: Column): Column =
-    aggregate(tokenCol, lit(0L), (acc, t) => xxhash64(acc, t))
+    org.apache.spark.sql.graft.TextExpr.rollingHash(tokenCol)
 
-  /** Winnowing-style fingerprint: the w smallest shingle hashes, sorted —
-    * a compact sketch for containment checks.
+  /** Winnowing-style fingerprint: the w smallest distinct n-gram shingle
+    * hashes of the token array, ascending — a compact sketch for
+    * containment checks.
     */
-  def winnowFingerprint(shingleCol: Column, w: Int): Column =
-    slice(array_sort(transform(shingleCol, s => xxhash64(s))), 1, w)
+  def winnowFingerprint(tokenCol: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.graft.TextExpr.winnowSketch(tokenCol, n, w)
 
   // ------------------------------------------------------------------
   // Quality scoring / language ID (n-gram + stopword heuristics).

@@ -28,11 +28,17 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle(n) → k-signature → b bands of r = k/b rows → exploded band
-    * buckets → self equi-join on (band, bucket hash) → exact-Jaccard
-    * verification ≥ threshold. Probability a pair at Jaccard s collides:
-    * 1-(1-s^r)^b; defaults (k=64, b=16, r=4) catch s ≥ 0.5 with ~87%+
-    * per-band union. Candidates are deduplicated before verification.
+    * shingle(n) → k-signature (custom MinHashSig expression, pure map) →
+    * b bands of r = k/b rows → exploded band buckets → self equi-join on
+    * (band, bucket hash) → signature-estimate prefilter (matching
+    * signature components / k estimates Jaccard; candidates below
+    * threshold − 3σ are dropped without touching text) → exact-Jaccard
+    * verification ≥ threshold on the survivors' shingle sets.
+    *
+    * Probability a pair at Jaccard s becomes a candidate: 1-(1-s^r)^b;
+    * defaults (k=64, b=32, r=2) catch s ≥ 0.5 with ≥ 99.99%. The 3σ
+    * estimate margin (σ = sqrt(s(1-s)/k)) keeps prefilter false-drop
+    * probability below 1e-3 at s = threshold and ~0 above it.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -45,22 +51,22 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sh = docs
-      .select(col(idCol).as("doc_id"), Text.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
 
-    // Signature via explode + k parallel min-hash aggregates: stays in
-    // WholeStageCodegen end-to-end (the per-row higher-order-function
-    // formulation in Text.minhashSignature evaluates k·|shingles|
-    // interpreted lambda steps — ~100x slower on large corpora) and gets
-    // map-side partial combine for free, so the shuffle carries one
-    // k-long row per (doc, partition), not per shingle.
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val withSig = exploded
-      .groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    // Signatures via the MinHashSig custom expression: one pass per row,
+    // shingle hashed once + k cheap long mixes. Pure map — NO shuffle for
+    // signature computation at any corpus size. Cached: consumed by the
+    // bucket self-join AND the two estimate-join sides (n·k·8 bytes; at
+    // corpus sizes beyond memory this spills to disk and still beats
+    // recomputation).
+    val withSig = docs
+      .select(
+        col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.TextExpr
+          .minhashSig(Text.tokens(col(textCol)), shingleN, k)
+          .as("sig")
+      )
+      .filter(col("sig").isNotNull)
+      .cache()
 
     val buckets = withSig.select(
       col("doc_id"),
@@ -73,15 +79,51 @@ object Dedup {
     )
     val l = buckets.select(col("doc_id").as("id_a"), col("bb"))
     val rr = buckets.select(col("doc_id").as("id_b"), col("bb"))
-    val candidates = l
+    val rawCandidates = l
       .join(rr, Seq("bb"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
 
+    // Estimate prefilter: fraction of equal signature components is an
+    // unbiased Jaccard estimator (σ = sqrt(j(1-j)/k)); band candidates
+    // far below the threshold (r=2 lets j ≈ 0.1 noise through) die here
+    // on cached 64-long arrays instead of reaching text verification.
+    val sigma = math.sqrt(threshold * (1 - threshold) / k)
+    val cut = math.max(0.0, threshold - 3 * sigma)
+    val sigFor = (alias: String) =>
+      withSig.select(col("doc_id").as(alias), col("sig").as(s"sig_$alias"))
+    val candidates = rawCandidates
+      .join(sigFor("id_a"), Seq("id_a"))
+      .join(sigFor("id_b"), Seq("id_b"))
+      .withColumn(
+        "est",
+        aggregate(
+          zip_with(col("sig_id_a"), col("sig_id_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / k
+      )
+      .filter(col("est") >= cut)
+      .select("id_a", "id_b")
+      .cache() // feeds two candDocs branches + the verification join
+
+    // Exact-Jaccard verification builds shingle SETS only for surviving
+    // candidate docs (a left-semi prune BEFORE the shingle transform):
+    // that is a few hundred docs regardless of corpus size, so the
+    // interpreted HOF shingle build is off the hot path.
+    val candDocs = candidates
+      .select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id")))
+      .distinct()
+    val shSets = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.shingles(col("text"), shingleN).as("sh"))
+      .cache()
     candidates
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(Text.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -158,11 +200,14 @@ object Dedup {
       nTables: Int = 8
   ): DataFrame = {
     import graft.functions.Vectors
+    import org.apache.spark.sql.graft.VectorExpr
     val base = embeddings.select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
-    val v = base.select(
-      col("vec_id"),
-      explode(Vectors.hyperplaneBuckets(col("v"), nBits, nTables)).as("tb")
-    )
+    // projections materialized as their own column BEFORE packing: the
+    // pack lambda references the array per bit, and an inlined projection
+    // expression would re-project per element under interpreted HOF eval
+    val v = base
+      .select(col("vec_id"), VectorExpr.randomProjections(col("v"), nBits * nTables).as("proj"))
+      .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), nBits, nTables)).as("tb"))
     val a = v.select(col("vec_id").as("id_a"), col("tb"))
     val b = v.select(col("vec_id").as("id_b"), col("tb"))
     // candidate ids dedup BEFORE pulling vectors back in: the distinct

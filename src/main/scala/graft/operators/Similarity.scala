@@ -54,33 +54,27 @@ object Similarity {
       nList: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
-    val dim = 64 // embeddings fixture dim; centroids derived per component
-    // centroid c[i][j] from xxhash64(i,j) in [-1,1] — same derivation as
-    // Vectors.hyperplaneBucket, so no trained side-file is needed.
-    def cellScores(v: org.apache.spark.sql.Column) =
+    import org.apache.spark.sql.graft.VectorExpr
+    // centroid direction c[i][j] from xxhash64(i,j) in [-1,1] — derived,
+    // not trained, so no side-file ships to executors. Projections are a
+    // materialized column (see Vectors.packBuckets note), the ranking
+    // struct array is a cheap 16-element HOF over that attribute.
+    def cellStructs(scores: org.apache.spark.sql.Column) =
       transform(
         sequence(lit(0), lit(nList - 1)),
-        i =>
-          struct(
-            aggregate(
-              zip_with(
-                v,
-                sequence(lit(0), size(v) - 1),
-                (x, j) => x * (xxhash64(i, j).cast("double") / lit(Long.MaxValue.toDouble))
-              ),
-              lit(0.0),
-              (acc, p) => acc + p
-            ).as("score"),
-            i.as("cell")
-          )
+        i => struct(element_at(scores, i + 1).as("score"), i.as("cell"))
       )
 
     val c = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
-      .withColumn("cell", sort_array(cellScores(col("v_c")), asc = false)(0)("cell"))
+      .withColumn("scores", VectorExpr.randomProjections(col("v_c"), nList))
+      .withColumn("cell", sort_array(cellStructs(col("scores")), asc = false)(0)("cell"))
+      .drop("scores")
     val q = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
-      .withColumn("cell", explode(transform(slice(sort_array(cellScores(col("v_q")), asc = false), 1, nProbe), s => s("cell"))))
+      .withColumn("scores", VectorExpr.randomProjections(col("v_q"), nList))
+      .withColumn("cell", explode(transform(slice(sort_array(cellStructs(col("scores")), asc = false), 1, nProbe), s => s("cell"))))
+      .drop("scores")
 
     val scored = c
       .join(broadcast(q), Seq("cell"))

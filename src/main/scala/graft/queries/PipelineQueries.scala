@@ -138,7 +138,7 @@ object PipelineQueries {
     d.select(
       col("doc_id"),
       Text.rollingFingerprint(Text.tokens(col("text"))).as("empreinte"),
-      Text.winnowFingerprint(Text.shingles(col("text"), 3), 4).as("sketch")
+      Text.winnowFingerprint(Text.tokens(col("text")), 3, 4).as("sketch")
     ).orderBy(col("doc_id"))
   }
 
