@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dedup operators: exact, MinHash-LSH (recall vs exhaustive Jaccard),
+  * SimHash blocking, embedding near-dup recall on planted pairs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: min-id winner, copy counts") {
+    val df = Seq(
+      (10L, "aaa"), (3L, "aaa"), (7L, "aaa"),
+      (5L, "bbb"), (1L, "ccc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", col("text")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 1L, 1L -> 1L))
+  }
+
+  test("minhash LSH finds exactly the exhaustive-Jaccard pairs on sf0.001 docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive ground truth (fixture is small enough to cross-join)
+    val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .filter(Text.jaccard($"a.sh", $"b.sh") >= 0.5)
+      .select($"a.doc_id", $"b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain planted near-dups")
+    assert(got == truth, s"LSH pairs must equal exhaustive pairs (missing=${truth -- got}, extra=${got -- truth})")
+  }
+
+  test("simhash near-dup: identical docs at hamming 0; blocking finds them") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(df, "doc_id", "text", maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard join: delegates with exact verification") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five seven"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardJoin(df, "doc_id", "text", n = 2, threshold = 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = got.head.getDouble(2)
+    // shingle sets of size 5, 4 common bigrams -> jaccard 4/6
+    assert(math.abs(j - 4.0 / 6.0) < 1e-6)
+  }
+
+  test("embedding near-dup: 100% recall on planted jittered pairs (e03 shape)") {
+    val out = queries.PipelineQueries.all.find(_.name == "e03_embedding_neardup").get
+      .run(spark, sfDir)
+      .collect()
+    val nEmb = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == nEmb, s"expected $nEmb planted pairs, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000000L, "pairs must match id with its jittered copy")
+      assert(r.getDouble(2) >= 0.99)
+    }
+  }
+
+  test("minhash LSH is deterministic across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    def run() = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run() == run())
+  }
+}

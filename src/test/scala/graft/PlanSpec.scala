@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan assertions (the 100 TB design gates): predicate
+  * pushdown and column pruning must reach the parquet scan, dim joins
+  * must broadcast, partitioned reads must prune, and nothing may plan a
+  * cartesian product except the intentional 1-row bounds join.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString()
+
+  test("q22: filters pushed to the parquet scan, columns pruned") {
+    val p = plan(SparkEntry.queries("q22_filtered_scan")(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderstatus"), "status filter must appear in pushed filters")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("q02: all dimension joins broadcast (no shuffle for dims)") {
+    val p = plan(SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"customer/nation/region must broadcast, saw $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q06: bounds join is a broadcast nested loop (1-row build side), not a cartesian") {
+    val p = plan(SparkEntry.queries("q06_bounds_between")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "1-row bounds must broadcast, never cartesian")
+  }
+
+  test("q01: two-phase hash aggregation with map-side partial combine, vectorized scan") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final HashAggregate expected")
+    assert(p.contains("Batched: true"), "vectorized parquet reader expected")
+  }
+
+  test("partitioned write + read prunes partitions (w01 shape)") {
+    // sf0.001 events span one month; partition on event_type (5 values)
+    // so pruning is observable at this scale
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_planspec_events"
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val read = spark.read.parquet(out).filter(col("event_type") === "click")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters"), p)
+    read.collect()
+    val filesScanned = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesScanned > 0 && filesScanned < allFiles,
+      s"pruned read scanned $filesScanned of $allFiles files")
+  }
+
+  test("dedup operators never plan a cartesian product") {
+    for (name <- Seq("d06_minhash_pairs", "e03_embedding_neardup", "d01_dedup_exact")) {
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("brute-force kNN broadcasts the query side") {
+    val em = Tables.embeddings(spark, sfDir)
+    val p = plan(graft.operators.Similarity.bruteForceKnn(
+      em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+}

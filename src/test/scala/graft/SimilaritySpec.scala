@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN operators: brute-force exactness on a hand fixture, IVF recall
+  * against the exact baseline on the driver fixture.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force kNN: known nearest neighbors on a hand fixture") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceKnn(vs, vs.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .orderBy($"rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L), "nearest then next-nearest")
+    assert(got.head.getDouble(3) > 0.99)
+  }
+
+  test("brute-force kNN returns exactly k rows per query, ranked by cosine desc") {
+    val em = Tables.embeddings(spark, sfDir)
+    val got = Similarity.bruteForceKnn(em, em.filter($"vec_id" < 5), "vec_id", "embedding", k = 5)
+    val byQuery = got.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val cos = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cosine non-increasing in rank")
+    }
+  }
+
+  test("IVF kNN: recall vs exact baseline on fixture queries") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.ivfKnn(em, q, "vec_id", "embedding", k = 5, nList = 16, nProbe = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall below floor (nProbe=8/nList=16 on near-random vectors)")
+    assert(approx.nonEmpty && approx.subsetOf(pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = em.count().toInt))))
+  }
+}

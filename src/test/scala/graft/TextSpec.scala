@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import org.apache.spark.sql.graft.TextExpr
+
+/** Text kernels: tokenization, shingles, Jaccard, fingerprints,
+  * language/quality heuristics (SURVEY §2.8 analogues + pipeline tier).
+  */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, ""),
+    (5L, "   "),
+    (6L, "one two")
+  ).toDF("doc_id", "text")
+
+  test("tokens: whitespace split, blank-safe") {
+    val got = docs.select($"doc_id", Text.tokenCount($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 9, 2L -> 9, 3L -> 7, 4L -> 0, 5L -> 0, 6L -> 2))
+  }
+
+  test("shingles: n-gram count and distinctness") {
+    val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"))
+    val n = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    // 9 tokens -> 7 trigram positions, all distinct here; <3 tokens -> 0
+    assert(n(1L) == 7 && n(3L) == 5 && n(4L) == 0 && n(6L) == 0)
+  }
+
+  test("jaccard: near-dup pair high, unrelated pair low, self = 1") {
+    val sh = docs.filter($"doc_id" <= 3).select($"doc_id", Text.shingles($"text", 3).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Text.jaccard($"a.sh", $"b.sh").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 1L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: custom expression matches the HOF formulation bit-for-bit") {
+    val toks = docs.select($"doc_id", Text.tokens($"text").as("toks"))
+    // reference HOF formulation (the original interpreted implementation)
+    val hofWeights = aggregate(
+      $"toks",
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)),
+            p => when(call_function("shiftright", xxhash64(t), p).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))),
+          (w, d) => w + d
+        )
+    )
+    val hofSim = aggregate(
+      zip_with(hofWeights, sequence(lit(0), lit(63)),
+        (w, p) => when(w > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit)
+    )
+    val rows = toks.select(Text.simhash64($"toks").as("fast"), hofSim.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("simhash: near-dup docs land at small hamming distance") {
+    val fp = docs.filter(Text.tokenCount($"text") > 0)
+      .select($"doc_id", Text.simhash64(Text.tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) <= 12)
+    assert(ham(fp(1L), fp(3L)) > 12)
+  }
+
+  test("rolling hash: custom expression matches chained xxhash64 HOF; order-sensitive") {
+    val toks = docs.filter($"doc_id" <= 3).select($"doc_id", Text.tokens($"text").as("toks"))
+    val hofRoll = aggregate($"toks", lit(0L), (acc, t) => xxhash64(acc, t))
+    val rows = toks.select(Text.rollingFingerprint($"toks").as("fast"), hofRoll.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val ab = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("id", "text")
+      .select(Text.rollingFingerprint(Text.tokens($"text")).as("h")).collect()
+    assert(ab(0).getLong(0) != ab(1).getLong(0))
+  }
+
+  test("winnow sketch: w smallest distinct shingle hashes, ascending; matches HOF") {
+    val toks = docs.select($"doc_id", Text.tokens($"text").as("toks"), Text.shingles($"text", 3).as("sh"))
+    val hofWinnow = slice(array_sort(transform($"sh", s => xxhash64(s))), 1, 4)
+    val rows = toks
+      .select(Text.winnowFingerprint($"toks", 3, 4).as("fast"), hofWinnow.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("language guess: stopword-dominant languages detected; blank -> und") {
+    val t = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "le chat est dans la maison et la vie est belle"),
+      (3L, "der hund ist nicht mit der katze auf dem sofa"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val got = t.select($"doc_id", Text.langGuess($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "und"))
+  }
+
+  test("quality score: clean prose scores higher than junk") {
+    val t = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away to the hills"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "!!!! .... ;;;; ???? !!!! .... ;;;; ????")
+    ).toDF("doc_id", "text")
+    val got = t.select($"doc_id", Text.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(1L) > got(2L) && got(1L) > got(3L))
+  }
+
+  test("minhash signature expression: components bound shingle hashes, dup docs agree") {
+    val t = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val rows = t.select($"doc_id", TextExpr.minhashSig(Text.tokens($"text"), 3, 16).as("sig")).collect()
+    val sig = rows.map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(sig(1L).get == sig(2L).get, "identical docs must share signatures")
+    assert(sig(1L).get != sig(3L).get, "different docs must differ")
+    assert(sig(4L).isEmpty, "fewer tokens than shingle width -> null signature")
+    assert(sig(1L).get.length == 16)
+  }
+}
