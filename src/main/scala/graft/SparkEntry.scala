@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{EventsQueries, PipelineQueries, Q, RelationalQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{EventsQueries, PipelineQueries, Q, RelationalQueries}
 object SparkEntry {
 
   private def catalog: Seq[Q] =
-    RelationalQueries.all ++ EventsQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ EventsQueries.all ++ PipelineQueries.all ++ WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

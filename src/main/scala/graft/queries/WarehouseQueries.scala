@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.etl.Star
+import graft.measures.{Filters, Measures}
+
+/** Warehouse tier: the star-schema ETL outputs themselves as gated
+  * queries (the reference's dblink ETL, SURVEY §3.2), the parameterized
+  * measure layer with slicer filters (§2.10/P11), and the scalar
+  * function suite (§2.8: initcap, AGE-style month spans, TO_CHAR month
+  * labels).
+  */
+object WarehouseQueries {
+
+  // ---------------------------------------------------------------------
+  // etl01 — dim_date: dense spine + smart key + period starts.
+  // ---------------------------------------------------------------------
+  private def etl01(spark: SparkSession, dir: String): DataFrame =
+    Star.dimDate(Tables.orders(spark, dir)).orderBy(col("date_key"))
+  private val etl01Sql =
+    """WITH RECURSIVE spine(jour) AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders
+      |  UNION ALL
+      |  SELECT CAST(jour + INTERVAL 1 DAY AS DATE) FROM spine
+      |  WHERE jour < (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)
+      |)
+      |SELECT CAST(EXTRACT(YEAR FROM jour)*10000 + EXTRACT(MONTH FROM jour)*100 + EXTRACT(DAY FROM jour) AS INTEGER) AS date_key,
+      |  jour,
+      |  CAST(EXTRACT(YEAR FROM jour) AS INTEGER) AS annee,
+      |  CAST(EXTRACT(QUARTER FROM jour) AS INTEGER) AS trimestre,
+      |  CAST(EXTRACT(MONTH FROM jour) AS INTEGER) AS mois,
+      |  CAST(EXTRACT(DAY FROM jour) AS INTEGER) AS jour_mois,
+      |  CAST(date_trunc('month', jour) AS DATE) AS debut_mois,
+      |  CAST(date_trunc('quarter', jour) AS DATE) AS debut_trimestre,
+      |  CAST(date_trunc('year', jour) AS DATE) AS debut_annee
+      |FROM spine
+      |ORDER BY date_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // etl02 — dim_client: denormalized geo + row_number surrogate key.
+  // ---------------------------------------------------------------------
+  private def etl02(spark: SparkSession, dir: String): DataFrame =
+    Star
+      .dimCustomer(
+        Tables.customer(spark, dir),
+        Tables.nation(spark, dir),
+        Tables.region(spark, dir)
+      )
+      .orderBy(col("client_key"))
+  private val initcapDuck =
+    "array_to_string(list_transform(string_split(lower(%s), ' '), w -> upper(w[1]) || w[2:]), ' ')"
+  private val etl02Sql =
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS client_key,
+       |  c_custkey AS source_client_id,
+       |  c_name AS nom_client,
+       |  ${initcapDuck.format("n_name")} AS nation,
+       |  ${initcapDuck.format("r_name")} AS region,
+       |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS solde
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |ORDER BY client_key""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // etl03 — fact: business keys resolved to surrogates, smart date key.
+  // ---------------------------------------------------------------------
+  private def etl03(spark: SparkSession, dir: String): DataFrame =
+    Star
+      .factOrders(
+        Tables.orders(spark, dir),
+        Star.dimCustomer(
+          Tables.customer(spark, dir),
+          Tables.nation(spark, dir),
+          Tables.region(spark, dir)
+        )
+      )
+      .orderBy(col("source_commande_id"))
+  private val etl03Sql =
+    """WITH dim_client AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS client_key, c_custkey
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |)
+      |SELECT o_orderkey AS source_commande_id,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate)*10000 + EXTRACT(MONTH FROM o_orderdate)*100 + EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS date_key,
+      |  client_key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS montant,
+      |  o_orderstatus AS statut
+      |FROM orders JOIN dim_client ON o_custkey = c_custkey
+      |ORDER BY source_commande_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26 — measure layer with slicer filters (annee=1997, nation=France):
+  // filters hit the DIMENSIONS, the fact is restricted via broadcast
+  // left-semi joins on surviving keys — the semantic-model filter
+  // propagation pattern (J10).
+  // ---------------------------------------------------------------------
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val dimDate = Star.dimDate(orders)
+    val dimClient = Star.dimCustomer(
+      Tables.customer(spark, dir),
+      Tables.nation(spark, dir),
+      Tables.region(spark, dir)
+    )
+    val fact = Star.factOrders(orders, dimClient)
+    Measures.kpis(Measures.slice(fact, dimDate, dimClient, Filters(annee = Some(1997), nation = Some("France"))))
+  }
+  private val q26Sql =
+    """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca_total,
+      |  COUNT(*) AS n_commandes,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS panier_moyen,
+      |  COUNT(DISTINCT o_custkey) AS clients_actifs
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND n_name = 'FRANCE'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27 — scalar function suite (§2.8): INITCAP, AGE-style month span
+  // (months_between over month-truncated dates), TO_CHAR 'Mon YYYY'
+  // (date_format MMM yyyy, English locale on both engines).
+  // ---------------------------------------------------------------------
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(initcap(col("n_name")).as("nation"))
+      .agg(
+        to_date(min(col("o_orderdate"))).as("premiere"),
+        to_date(max(col("o_orderdate"))).as("derniere")
+      )
+      .select(
+        col("nation"),
+        col("premiere"),
+        col("derniere"),
+        months_between(date_trunc("month", col("derniere")), date_trunc("month", col("premiere")))
+          .cast(LongType)
+          .as("mois_ecart"),
+        date_format(col("derniere"), "MMM yyyy").as("dernier_mois"),
+        datediff(col("derniere"), col("premiere")).cast(LongType).as("jours_ecart")
+      )
+      .orderBy(col("nation"))
+  }
+  private val q27Sql =
+    s"""SELECT ${initcapDuck.format("n_name")} AS nation,
+       |  CAST(MIN(o_orderdate) AS DATE) AS premiere,
+       |  CAST(MAX(o_orderdate) AS DATE) AS derniere,
+       |  CAST(datediff('month', date_trunc('month', MIN(o_orderdate)), date_trunc('month', MAX(o_orderdate))) AS BIGINT) AS mois_ecart,
+       |  strftime(CAST(MAX(o_orderdate) AS DATE), '%b %Y') AS dernier_mois,
+       |  CAST(datediff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS jours_ecart
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY nation""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s02 — custom-state streaming sessionization (mapGroupsWithState):
+  // the streaming twin of q24, asserted equal in StreamingSpec and
+  // against the q24-derived oracle here.
+  // ---------------------------------------------------------------------
+  private def s02(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream
+      .runToCompletion(
+        graft.streaming.EventsStream.sessionCounts(spark, dir),
+        "graft_s02",
+        mode = "update"
+      )
+      .orderBy(col("user_id"))
+  private val s02Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+      |         LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+      |           OVER (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS prev_s
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id,
+      |         CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM seq
+      |)
+      |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM flagged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("etl01_dim_date", "star ETL: smart-keyed calendar dimension (S5/J8)", etl01, Some(etl01Sql)),
+    Q("etl02_dim_client", "star ETL: denormalized dim + surrogate keys", etl02, Some(etl02Sql)),
+    Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
+    Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
+    Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
+    Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql))
+  )
+}

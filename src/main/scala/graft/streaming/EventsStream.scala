@@ -53,12 +53,13 @@ object EventsStream {
   }
 
   /** Run a streaming DataFrame to completion against the static files and
-    * return the materialized result (memory sink, complete mode).
+    * return the materialized result (memory sink; complete mode for
+    * aggregations, update for stateful operators).
     */
-  def runToCompletion(streamDF: DataFrame, name: String): DataFrame = {
+  def runToCompletion(streamDF: DataFrame, name: String, mode: String = "complete"): DataFrame = {
     val spark = streamDF.sparkSession
     val q = streamDF.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
@@ -67,4 +68,50 @@ object EventsStream {
     q.stop()
     out
   }
+
+  /** Gap-based sessionization with CUSTOM STATE (mapGroupsWithState,
+    * SURVEY §2.9): per user, events more than 30 minutes apart start a
+    * new session; state carries (last timestamp, session count, event
+    * count) across micro-batches. The streaming twin of the q24 batch
+    * window — equal on a bounded input (asserted in StreamingSpec).
+    *
+    * Scale: state is O(|users|) and the shuffle is on user_id only. On an
+    * unbounded feed a GroupStateTimeout would expire idle users; the
+    * bounded fixture needs none.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(
+        col("user_id").cast(LongType).as("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
+        col("event_id").cast(LongType).as("event_id")
+      )
+      .as[(Long, Long, Long)]
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionAgg, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(SessionAgg(Long.MinValue, 0L, 0L))
+          // order within the batch matches the batch window spec
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val newSession = s.lastTs == Long.MinValue || r._2 - s.lastTs > 1800
+            s = SessionAgg(r._2, s.nSessions + (if (newSession) 1L else 0L), s.nEvents + 1L)
+          }
+          state.update(s)
+          (uid, s.nSessions, s.nEvents)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
 }
+
+/** mapGroupsWithState state: last event second, sessions so far, events
+  * so far.
+  */
+case class SessionAgg(lastTs: Long, nSessions: Long, nEvents: Long)

@@ -27,4 +27,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("mapGroupsWithState sessionization equals the batch LAG-window formulation") {
+    val streamed = EventsStream
+      .runToCompletion(EventsStream.sessionCounts(spark, sfDir), "streaming_spec_sessions", mode = "update")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val batch = SparkEntry.queries("q24_sessionization")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
