@@ -191,7 +191,56 @@ object WarehouseQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // v01 — the SQL surface: temp views layered on temp views, queried via
+  // spark.sql — the reference's CREATE VIEW API with analyzer-side view
+  // inlining (S6, §3.1 step 2).
+  // ---------------------------------------------------------------------
+  private def v01(spark: SparkSession, dir: String): DataFrame = {
+    graft.views.Views.register(spark, dir)
+    spark.sql("SELECT * FROM v_kpi_nation_mois ORDER BY n_name, mois")
+  }
+  private val v01Sql =
+    """SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca,
+      |  COUNT(*) AS n_commandes
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+      |ORDER BY n_name, mois""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // io01 — COPY-text round trip (S1): documents exported to PG COPY
+  // format (tab-separated, \N, backslash escapes) and re-ingested by the
+  // distributed parser; the aggregate must equal querying the source
+  // directly — which is exactly what the oracle does.
+  // ---------------------------------------------------------------------
+  private def io01(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PgCopy
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_io01_copy"
+    PgCopy.write(Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")), out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)
+    ))
+    PgCopy
+      .read(spark, out, schema)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+  private val io01Sql =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("v01_sql_views", "layered temp views via spark.sql (S6)", v01, Some(v01Sql)),
+    Q("io01_pgcopy_roundtrip", "PG COPY text format round trip (S1)", io01, Some(io01Sql)),
     Q("etl01_dim_date", "star ETL: smart-keyed calendar dimension (S5/J8)", etl01, Some(etl01Sql)),
     Q("etl02_dim_client", "star ETL: denormalized dim + surrogate keys", etl02, Some(etl02Sql)),
     Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
