@@ -323,6 +323,42 @@ object PipelineQueries {
       |ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // u02 — ON CONFLICT DO NOTHING semantics (SURVEY §2.1 S8): existing
+  // rows win; incoming fills absent keys only (dim_date's idempotent
+  // insert). Same construction as u01 so both conflict policies are
+  // observable against the same base.
+  // ---------------------------------------------------------------------
+  private def u02(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val current = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val incoming = o
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    Upsert
+      .insertIfAbsent(current, incoming, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("ca")
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+  private val u02Sql =
+    """WITH current AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |             FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM current
+      |  UNION ALL
+      |  SELECT * FROM incoming WHERE o_orderkey NOT IN (SELECT o_orderkey FROM current)
+      |)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // w01 — partitioned write + pruned read-back (SURVEY §2.1 S3: the
   // monthly payment partitions). Writes events partitioned by month under
   // java.io.tmpdir, reads back with a month predicate — partition pruning
@@ -385,6 +421,7 @@ object PipelineQueries {
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, None),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
+    Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql))
   )
