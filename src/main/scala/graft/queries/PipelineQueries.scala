@@ -392,6 +392,96 @@ object PipelineQueries {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // k01 — salted skew join (SURVEY §4 skew): events carry only 5 distinct
+  // event_type keys over the whole table — the canonical hot-key shape.
+  // The salted join spreads each key over 8 reducers and must produce
+  // row-identical results to the plain join the oracle runs.
+  // ---------------------------------------------------------------------
+  private def k01(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val dim = e.groupBy(col("event_type")).agg(avg(col("value")).as("valeur_moyenne"))
+    graft.operators.SkewJoin
+      .salted(e, dim, "event_type", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"),
+        round(max(col("valeur_moyenne")), 6).as("valeur_moyenne")
+      )
+      .orderBy(col("event_type"))
+  }
+  private val k01Sql =
+    """WITH dim AS (SELECT event_type, AVG(value) AS valeur_moyenne FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  ROUND(MAX(d.valeur_moyenne), 6) AS valeur_moyenne
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // io02 — bucketed co-partitioned join (SURVEY §4 join strategy): both
+  // sides written bucketed+sorted on the join key, merge-join hint forces
+  // the sort-merge path — which then needs NO shuffle and NO sort below
+  // the join (asserted in PlanSpec). The 100 TB pattern for repeated
+  // fact-to-fact joins.
+  // ---------------------------------------------------------------------
+  private def io02(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io02_buckets"
+    Tables
+      .orders(spark, dir)
+      .write.mode("overwrite")
+      .option("path", s"$tmp/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .option("path", s"$tmp/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    val o = spark.table("graft_orders_bucketed")
+    val li = spark.table("graft_lineitem_bucketed")
+    li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lignes"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DoubleType).as("ca_lignes")
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+  private val io02Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_lignes,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ca_lignes
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
+  // standalone punctuation — the pre-training token-count estimator).
+  // ---------------------------------------------------------------------
+  private def d08(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_tokens_regex"),
+        Text.tokenCount(col("text")).as("n_tokens_ws")
+      )
+      .orderBy(col("doc_id"))
+  private val d08Sql = {
+    val ws = """CASE WHEN length(trim(text)) = 0 THEN 0
+               |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_regex,
+       |  $ws AS n_tokens_ws
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // s01 — Structured Streaming daily rollup run to completion against the
   // static files (memory sink) — must equal the batch aggregation, which
   // is exactly what the oracle computes.
@@ -415,6 +505,7 @@ object PipelineQueries {
     Q("d05_fingerprints", "rolling-hash + winnowing sketches", d05, None),
     Q("d06_minhash_pairs", "MinHash+LSH near-dups vs exact-Jaccard oracle", d06, Some(d06Sql)),
     Q("d07_simhash", "SimHash-64 fingerprints", d07, None),
+    Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
     Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),
@@ -422,6 +513,8 @@ object PipelineQueries {
     Q("m02_media_features", "mapPartitions feature extraction", m02, None),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
+    Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),
+    Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql))
   )

@@ -68,6 +68,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-partitioned join: sort-merge with NO shuffle and NO sort below the join") {
+    val df = SparkEntry.queries("io02_bucketed_join")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchange allowed is the one feeding the final groupBy;
+    // bucketed+sorted scans feed the join directly
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"), s"bucketed join must not shuffle its inputs:\n$joinPart")
+    assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+  }
+
   test("brute-force kNN broadcasts the query side") {
     val em = Tables.embeddings(spark, sfDir)
     val p = plan(graft.operators.Similarity.bruteForceKnn(
