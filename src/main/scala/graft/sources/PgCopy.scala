@@ -163,6 +163,10 @@ object PgCopy {
       case DateType => java.sql.Date.valueOf(raw)
       case TimestampType => parseTimestamp(unescape(raw))
       case ArrayType(StringType, _) => parseArray(unescape(raw))
+      case BinaryType =>
+        val u = unescape(raw)
+        require(u.startsWith("\\x"), s"expected PG hex bytea, got: ${u.take(8)}")
+        u.drop(2).grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
       case other => throw new IllegalArgumentException(s"unsupported COPY type: $other")
     }
 }
