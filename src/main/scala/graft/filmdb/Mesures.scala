@@ -1,0 +1,150 @@
+package graft.filmdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The dashboard's 15-measure DAX layer (SURVEY §2.10) as Spark
+  * aggregations over the warehouse, with the 3 slicers (month / store /
+  * category, §2.2 P11) applied to dimensions and propagated to the fact
+  * by broadcast semi-joins — relationship filter propagation, J10.
+  *
+  * Label measures render as the dashboard shows them (French month
+  * names, French number formatting: "mars 2022 $11 413,88").
+  */
+object Mesures {
+
+  /** The dashboard's slicer state. */
+  final case class Slicers(
+      moisKey: Option[Int] = None, // yyyymm01 month key (v_dim_mois.date_key_mois)
+      magasinId: Option[Int] = None, // dim_magasin.source_magasin_id
+      categorie: Option[String] = None // dim_categorie.nom_categorie
+  )
+
+  /** Fact restricted by the slicers (expects Warehouse.build views). */
+  def fact(spark: SparkSession, s: Slicers = Slicers()): DataFrame = {
+    var f = spark.table("fact_paiement")
+    s.moisKey.foreach { mk =>
+      val d = spark.table("dim_date")
+        .filter((col("annee") * 10000 + col("mois") * 100 + 1) === mk)
+        .select("date_key")
+      f = f.join(broadcast(d), Seq("date_key"), "left_semi")
+    }
+    s.magasinId.foreach { m =>
+      val dm = spark.table("dim_magasin").filter(col("source_magasin_id") === m).select("magasin_key")
+      f = f.join(broadcast(dm), Seq("magasin_key"), "left_semi")
+    }
+    s.categorie.foreach { c =>
+      val dc = spark.table("dim_categorie").filter(col("nom_categorie") === c).select("categorie_key")
+      f = f.join(broadcast(dc), Seq("categorie_key"), "left_semi")
+    }
+    f
+  }
+
+  // -- scalar measures ----------------------------------------------------
+
+  def caTotal(f: DataFrame): BigDecimal = dec(f.agg(sum(col("montant"))))
+  def nbPaiements(f: DataFrame): Long = f.count()
+  def panierMoyen(f: DataFrame): BigDecimal =
+    (caTotal(f) / nbPaiements(f)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+  def clientsActifs(f: DataFrame): Long =
+    f.agg(countDistinct(col("client_key"))).collect().head.getLong(0)
+
+  def nbMagasins(spark: SparkSession): Long = spark.table("dim_magasin").count()
+  def nbClients(spark: SparkSession): Long = spark.table("dim_client").count()
+  def nbVilles(spark: SparkSession): Long =
+    spark.table("dim_client").agg(countDistinct(col("ville"))).collect().head.getLong(0)
+  def nbPays(spark: SparkSession): Long =
+    spark.table("dim_client").agg(countDistinct(col("pays"))).collect().head.getLong(0)
+  def nbFilms(spark: SparkSession): Long = spark.table("dim_film").count()
+
+  // -- Pareto measures (W4) ----------------------------------------------
+
+  /** Per-category CA with running cumulative and cumulative share,
+    * categories ordered by CA desc (the page-3 combo chart).
+    */
+  def caCumulCategories(spark: SparkSession, f: DataFrame): DataFrame = {
+    val byCat = f
+      .join(broadcast(spark.table("dim_categorie")), Seq("categorie_key"))
+      .groupBy(col("nom_categorie"))
+      .agg(sum(col("montant")).as("ca"))
+    val w = Window.orderBy(col("ca").desc, col("nom_categorie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    byCat
+      .withColumn("ca_cumul", sum(col("ca")).over(w))
+      .withColumn("pct_cumul",
+        (sum(col("ca")).over(w).cast(DoubleType) / sum(col("ca")).over(wTot).cast(DoubleType)))
+      .orderBy(col("ca").desc, col("nom_categorie"))
+  }
+
+  // -- top-1 label cards (W5) --------------------------------------------
+
+  private def top1(df: DataFrame, label: Column, ca: Column): (String, BigDecimal) = {
+    val r = df.orderBy(ca.desc, label).limit(1).select(label, ca).collect().head
+    (r.getString(0), BigDecimal(r.getDecimal(1)))
+  }
+
+  def filmTop(spark: SparkSession, f: DataFrame): String = {
+    val (t, ca) = top1(
+      f.join(broadcast(spark.table("dim_film").select(col("film_key"), col("titre_film"))), Seq("film_key"))
+        .groupBy(col("titre_film")).agg(sum(col("montant")).as("ca")),
+      col("titre_film"), col("ca"))
+    s"$t $$${frMoney(ca)}"
+  }
+
+  def clientTop(spark: SparkSession, f: DataFrame): String = {
+    val (n, ca) = top1(
+      f.join(broadcast(spark.table("dim_client").select(col("client_key"), col("nom_client"))), Seq("client_key"))
+        .groupBy(col("nom_client")).agg(sum(col("montant")).as("ca")),
+      col("nom_client"), col("ca"))
+    s"$n $$${frMoney(ca)}"
+  }
+
+  def moisRecord(spark: SparkSession, f: DataFrame): String = {
+    val r = f
+      .join(broadcast(spark.table("dim_date").select(col("date_key"), col("debut_mois"))), Seq("date_key"))
+      .groupBy(col("debut_mois")).agg(sum(col("montant")).as("ca"))
+      .orderBy(col("ca").desc, col("debut_mois")).limit(1)
+      .collect().head
+    val d = r.getDate(0).toLocalDate
+    s"${moisFr(d.getMonthValue)} ${d.getYear} $$${frMoney(BigDecimal(r.getDecimal(1)))}"
+  }
+
+  def anneeRecord(spark: SparkSession, f: DataFrame): String = {
+    val r = f
+      .join(broadcast(spark.table("dim_date").select(col("date_key"), col("annee"))), Seq("date_key"))
+      .groupBy(col("annee")).agg(sum(col("montant")).as("ca"))
+      .orderBy(col("ca").desc, col("annee")).limit(1)
+      .collect().head
+    val entier = BigDecimal(r.getDecimal(1)).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+    s"${r.getInt(0)} — ${frInt(entier)} $$"
+  }
+
+  def topCategorie(spark: SparkSession, f: DataFrame): String = {
+    val (c, ca) = top1(
+      f.join(broadcast(spark.table("dim_categorie")), Seq("categorie_key"))
+        .groupBy(col("nom_categorie")).agg(sum(col("montant")).as("ca")),
+      col("nom_categorie"), col("ca"))
+    s"$c $$${frMoney(ca)}"
+  }
+
+  // -- helpers ------------------------------------------------------------
+
+  private def dec(df: DataFrame): BigDecimal = BigDecimal(df.collect().head.getDecimal(0))
+
+  private val moisFrNoms = Array("janvier", "février", "mars", "avril", "mai", "juin",
+    "juillet", "août", "septembre", "octobre", "novembre", "décembre")
+  def moisFr(m: Int): String = moisFrNoms(m - 1)
+
+  /** French money rendering: space thousands, comma decimals (11 413,88). */
+  def frMoney(x: BigDecimal): String = {
+    val s = x.setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val Array(ent, decp) = s.split("\\.")
+    frGroup(ent) + "," + decp
+  }
+  def frInt(x: BigDecimal): String = frGroup(x.toBigInt.toString)
+  private def frGroup(digits: String): String =
+    digits.reverse.grouped(3).mkString(" ").reverse
+}
