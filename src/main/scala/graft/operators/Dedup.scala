@@ -185,6 +185,52 @@ object Dedup {
   ): DataFrame =
     minhashLsh(docs, idCol, textCol, shingleN = n, threshold = threshold)
 
+  /** Connected components over a near-duplicate pair list: iterative
+    * min-label propagation until fixpoint — each doc ends labeled with
+    * the smallest doc id reachable through the pair graph, which is the
+    * canonical survivor of its duplicate cluster.
+    *
+    * Scale: rounds = cluster diameter (near-dup clusters are
+    * small-diameter in practice); each round is one shuffle on id. The
+    * same loop structure GraphX's Pregel runs — expressed in DataFrame
+    * ops so AQE handles the skew of giant boilerplate clusters.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // eager checkpoint: truncates the (possibly expensive) pair-pipeline
+    // lineage once, so loop iterations never re-derive it and the plan
+    // does not grow with the iteration count
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("neighbor_min"))
+      val updated = labels
+        .join(neigh, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id")
+        )
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.select(col("id"), col("cluster_id").as("old_label")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old_label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * multi-table hyperplane-LSH buckets — no cross join. Shuffles
     * O(n · nTables) bucket rows; verification runs on candidate pairs

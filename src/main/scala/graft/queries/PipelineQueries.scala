@@ -171,6 +171,45 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d09 — duplicate clusters: connected components over the MinHash-LSH
+  // pair graph, each doc labeled with its cluster's canonical (minimum)
+  // id. Oracle computes the same transitive closure with a recursive
+  // CTE over the exhaustive-Jaccard pairs.
+  // ---------------------------------------------------------------------
+  private def d09(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    Dedup.clusters(pairs).orderBy(col("id"))
+  }
+  private val d09Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+      |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+2])) AS s
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |)
+      |SELECT id, MIN(r) AS cluster_id
+      |FROM reach
+      |GROUP BY id
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d07 — SimHash-64 fingerprints (near-dup pair join exercised in
   // DedupSpec; xxhash64-based → rows-only check).
   // ---------------------------------------------------------------------
@@ -506,6 +545,7 @@ object PipelineQueries {
     Q("d06_minhash_pairs", "MinHash+LSH near-dups vs exact-Jaccard oracle", d06, Some(d06Sql)),
     Q("d07_simhash", "SimHash-64 fingerprints", d07, None),
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
+    Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
     Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),

@@ -73,6 +73,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chain and islands cluster to min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("minhash LSH is deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     def run() = Dedup.minhashLsh(docs, "doc_id", "text").collect()
