@@ -1,18 +1,29 @@
 package graft
 
-/** Scratch dev runner: schema/plan inspection (not part of the driver contract). */
+/** Scratch dev runner: plan-quality sweep over the whole catalog (not
+  * part of the driver contract).
+  */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Session.local(8)
-    val dir = "/root/testdata/sf0.1"
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val dir = "/root/testdata/sf0.001"
+    val skipExec = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
+      "s01_stream_daily", "s02_stream_sessions", "d09_dedup_clusters")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val p = df.queryExecution.executedPlan.toString()
+        val flags = Seq(
+          "CARTESIAN" -> p.contains("CartesianProduct"),
+          "BNLJ" -> p.contains("BroadcastNestedLoopJoin"),
+          "SMJ" -> p.contains("SortMergeJoin"),
+          "BHJ" -> p.contains("BroadcastHashJoin")
+        ).collect { case (f, true) => f }
+        val singlePartWindow = "Exchange SinglePartition".r.findAllIn(p).length
+        val exchanges = "Exchange".r.findAllIn(p).length
+        println(f"[plan] $name%-28s exch=$exchanges singlePart=$singlePartWindow ${flags.mkString(",")}")
+      } catch { case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}") }
     }
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-    t("warmup")(spark.read.parquet(s"$dir/documents.parquet").count())
-    t("d09")(force(SparkEntry.queries("d09_dedup_clusters")(spark, dir)))
     spark.stop()
   }
 }

@@ -79,6 +79,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
   }
 
+  test("catalog-wide: no cartesian product in ANY query; nested-loop only at intentional sites") {
+    // BNLJ is legitimate only for 1-row scalar-bounds joins and the
+    // broadcast-query-side kNN
+    val allowedBnlj = Set("q06_bounds_between", "q07_revenue_share", "q14_zscore_daily", "e01_knn_brute")
+    // these run jobs at construction (writes, streaming, iteration) —
+    // their plan shapes are covered by dedicated tests above
+    val skip = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
+      "s01_stream_daily", "s02_stream_sessions", "d09_dedup_clusters")
+    SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowedBnlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans an unexpected nested-loop join")
+    }
+  }
+
   test("brute-force kNN broadcasts the query side") {
     val em = Tables.embeddings(spark, sfDir)
     val p = plan(graft.operators.Similarity.bruteForceKnn(
