@@ -554,6 +554,13 @@ object PipelineQueries {
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),
+    Q("t01_typed_agg", "Dataset[T] groupByKey with custom Aggregators", graft.typed.Typed.caByStatus,
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql))

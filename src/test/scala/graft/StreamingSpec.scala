@@ -28,6 +28,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch incremental MERGE load equals the one-shot batch build") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_incremental_etl"
+    val streamed = graft.streaming.IncrementalEtl.run(spark, sfDir, out)
+      .collect().map(_.toString).sorted
+    val batch = graft.streaming.IncrementalEtl.batchBuild(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("mapGroupsWithState sessionization equals the batch LAG-window formulation") {
     val streamed = EventsStream
       .runToCompletion(EventsStream.sessionCounts(spark, sfDir), "streaming_spec_sessions", mode = "update")
