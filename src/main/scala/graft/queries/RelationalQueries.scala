@@ -732,7 +732,27 @@ object RelationalQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q28 — sketch-based approximate KPIs (the 100 TB alternates to exact
+  // COUNT DISTINCT / percentile: HyperLogLog++ and KLL-style quantiles,
+  // single pass, mergeable, O(1) memory per group). Rows-only in the
+  // driver gate (approximation has no hash-exact oracle); the ≤2% error
+  // bound vs the exact aggregates is asserted in ApproxSpec.
+  // ---------------------------------------------------------------------
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.01).as("clients_approx"),
+        expr("approx_percentile(o_totalprice, 0.5, 5000)").as("mediane_approx"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q28_approx_kpis", "HLL++ distinct + approx percentile (scale alternates)", q28, None),
     Q("q01_pricing_summary", "grouped multi-measure agg (A1/A2/A11)", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", "5-way inner join chain (J1/J4)", q02, Some(q02Sql)),
     Q("q03_top_customers", "top-k with tiebreak (O1/O2/O3)", q03, Some(q03Sql)),
