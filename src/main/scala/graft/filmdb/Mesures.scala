@@ -79,6 +79,19 @@ object Mesures {
       .orderBy(col("ca").desc, col("nom_categorie"))
   }
 
+  /** Per-category CA with an optional visual-level measure filter
+    * (SURVEY §2.2 P12: the pbix "[CA Total] > x" filters — applied
+    * AFTER aggregation, unlike slicers).
+    */
+  def caParCategorie(spark: SparkSession, f: DataFrame, minCa: Option[BigDecimal] = None): DataFrame = {
+    val agg = f
+      .join(broadcast(spark.table("dim_categorie")), Seq("categorie_key"))
+      .groupBy(col("nom_categorie"))
+      .agg(sum(col("montant")).as("ca"))
+    minCa.fold(agg)(m => agg.filter(col("ca") > lit(m.bigDecimal)))
+      .orderBy(col("ca").desc, col("nom_categorie"))
+  }
+
   // -- top-1 label cards (W5) --------------------------------------------
 
   private def top1(df: DataFrame, label: Column, ca: Column): (String, BigDecimal) = {

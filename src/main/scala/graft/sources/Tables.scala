@@ -32,4 +32,27 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Remote relational source (SURVEY §2.1 S4: the reference's dblink
+    * pull). In a live deployment the ETL reads the OLTP source through
+    * JDBC with predicate pushdown and `partitionColumn` parallelism; in
+    * this project the staged tables are read directly (same engine-side
+    * semantics). No database ships in this environment, so this helper
+    * is deployment-time only.
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      tableOrQuery: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: Map[String, String] = Map.empty
+  ): DataFrame = {
+    var r = spark.read.format("jdbc").option("url", url).option("dbtable", tableOrQuery)
+    partitionColumn.foreach { case (c, lo, hi, n) =>
+      r = r.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi).option("numPartitions", n)
+    }
+    props.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
 }

@@ -45,6 +45,13 @@ class MesuresSpec extends SparkSpec {
     assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("visual-level measure filter (P12): CA > 4375.85 keeps the top 5 categories") {
+    val rows = Mesures.caParCategorie(spark, f(), minCa = Some(BigDecimal("4375.85"))).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("Sports", "Sci-Fi", "Animation", "Drama", "Comedy"),
+      "strict > excludes Action at exactly 4375.85")
+  }
+
   test("slicers: store filter reproduces the per-store split; compose with category") {
     assert(Mesures.caTotal(f(Slicers(magasinId = Some(1)))) == BigDecimal("33489.47"))
     assert(Mesures.nbPaiements(f(Slicers(magasinId = Some(2)))) == 7992L)
