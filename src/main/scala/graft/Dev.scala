@@ -1,29 +1,25 @@
 package graft
 
-/** Scratch dev runner: plan-quality sweep over the whole catalog (not
-  * part of the driver contract).
+import java.nio.file.{Files, Paths}
+
+/** Scratch dev runner: dumps formatted plans for the headline queries
+  * (feeds PLANS.md; not part of the driver contract).
   */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Session.local(8)
     val dir = "/root/testdata/sf0.001"
-    val skipExec = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
-      "s01_stream_daily", "s02_stream_sessions", "d09_dedup_clusters")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, dir)
-        val p = df.queryExecution.executedPlan.toString()
-        val flags = Seq(
-          "CARTESIAN" -> p.contains("CartesianProduct"),
-          "BNLJ" -> p.contains("BroadcastNestedLoopJoin"),
-          "SMJ" -> p.contains("SortMergeJoin"),
-          "BHJ" -> p.contains("BroadcastHashJoin")
-        ).collect { case (f, true) => f }
-        val singlePartWindow = "Exchange SinglePartition".r.findAllIn(p).length
-        val exchanges = "Exchange".r.findAllIn(p).length
-        println(f"[plan] $name%-28s exch=$exchanges singlePart=$singlePartWindow ${flags.mkString(",")}")
-      } catch { case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}") }
+    val names = Seq("q02_revenue_by_nation", "q22_filtered_scan", "d06_minhash_pairs",
+      "e01_knn_brute", "io02_bucketed_join", "q17_rolling_7d")
+    val sb = new StringBuilder
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb.append(s"## $name\n\n```\n").append(formatted).append("\n```\n\n")
     }
+    Files.writeString(Paths.get("/tmp/plans_raw.md"), sb.toString)
+    println("[dev] plans written")
     spark.stop()
   }
 }
