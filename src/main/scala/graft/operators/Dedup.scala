@@ -183,7 +183,9 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame =
-    minhashLsh(docs, idCol, textCol, shingleN = n, threshold = threshold)
+    // r = 2 bands: candidate recall ≥ 99.99% at the threshold, so the
+    // exact-verified result is effectively the true similarity join
+    minhashLsh(docs, idCol, textCol, shingleN = n, k = 64, bands = 32, threshold = threshold)
 
   /** Connected components over a near-duplicate pair list: iterative
     * min-label propagation until fixpoint — each doc ends labeled with
