@@ -238,7 +238,27 @@ object WarehouseQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s03 — streaming sliding-window rollup (7-day windows, 1-day slide):
+  // every event contributes to 7 overlapping windows. Oracle reproduces
+  // the window explosion with a 0..6-day offset cross join.
+  // ---------------------------------------------------------------------
+  private def s03(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream
+      .runToCompletion(graft.streaming.EventsStream.slidingWeekly(spark, dir), "graft_s03")
+      .orderBy(col("debut_fenetre"), col("event_type"))
+  private val s03Sql =
+    """SELECT CAST(CAST(ts AS DATE) - INTERVAL (k.k) DAY AS DATE) AS debut_fenetre,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("s03_stream_sliding", "sliding 7d/1d streaming windows (§2.9)", s03, Some(s03Sql)),
     Q("v01_sql_views", "layered temp views via spark.sql (S6)", v01, Some(v01Sql)),
     Q("io01_pgcopy_roundtrip", "PG COPY text format round trip (S1)", io01, Some(io01Sql)),
     Q("etl01_dim_date", "star ETL: smart-keyed calendar dimension (S5/J8)", etl01, Some(etl01Sql)),

@@ -69,6 +69,31 @@ object EventsStream {
     out
   }
 
+  /** Streaming SLIDING-window rollup: 7-day windows advancing by 1 day
+    * (each event lands in 7 overlapping windows — the streaming twin of
+    * the rolling-revenue analytics). Watermark bounds open-window state.
+    */
+  def slidingWeekly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "7 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value_dec")
+      )
+      .select(
+        col("window.start").cast(DateType).as("debut_fenetre"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value_dec").cast(DoubleType).as("total_value")
+      )
+  }
+
   /** Gap-based sessionization with CUSTOM STATE (mapGroupsWithState,
     * SURVEY §2.9): per user, events more than 30 minutes apart start a
     * new session; state carries (last timestamp, session count, event
