@@ -7,15 +7,19 @@ import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers (per the pipeline brief):
+  * Three tiers (per the pipeline brief):
   *   - bruteForceKnn: exact baseline. The query side is broadcast (queries
   *     are few); the corpus streams through once; per-partition top-k via
   *     window. Cost O(|queries| · |corpus|) — correct at any corpus size
   *     as long as the query set is small.
   *   - ivfKnn: scale path. Corpus is clustered into nList coarse cells
-  *     (k-means-lite via deterministic seed vectors); queries probe the
+  *     (hash-derived seed directions — zero training); queries probe the
   *     nProbe nearest cells only, cutting the scanned fraction to
   *     nProbe/nList. All shuffles are on cell id.
+  *   - trainCentroids + ivfKnnTrained: the same scale path with REAL
+  *     Lloyd-iteration k-means centroids — assignment and centroid
+  *     recomputation are distributed DataFrame ops; only the k × dim
+  *     centroid matrix (the model) ever reaches the driver.
   */
 object Similarity {
 
@@ -31,6 +35,89 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
     val scored = c
       .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Nearest-centroid id for a vector column, given driver-side
+    * centroids (broadcast as literals — k·dim doubles, the model).
+    * Ties break toward the lower cell id; codegen CosineSim per cell.
+    */
+  private def nearestCell(v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =
+    sort_array(
+      array(cents.indices.map(i =>
+        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(i).as("cell"))): _*),
+      asc = false
+    )(0)("cell")
+
+  /** Lloyd k-means over unit-normalized cosine geometry: assign each
+    * vector to its nearest centroid (map), recompute centroids as
+    * component-wise means via posexplode + groupBy (one shuffle of
+    * |corpus|·dim skinny rows per iteration), collect only the k × dim
+    * result. Deterministic init: the k lowest-id vectors.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): Array[Array[Double]] = {
+    val base = corpus
+      .select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .cache()
+    var cents: Array[Array[Double]] = base
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cell", nearestCell(col("v"), cents))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("comps"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF search against trained centroids: corpus assigned once, queries
+    * probe their nProbe nearest cells. Same output schema as
+    * bruteForceKnn.
+    */
+  def ivfKnnTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Double]],
+      nProbe: Int = 4
+  ): DataFrame = {
+    def cellStructs(v: org.apache.spark.sql.Column) =
+      array(cents.indices.map(i =>
+        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(i).as("cell"))): _*)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+      .withColumn("cell", nearestCell(col("v_c"), cents))
+    val q = queries
+      .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+      .withColumn("cell", explode(transform(
+        slice(sort_array(cellStructs(col("v_q")), asc = false), 1, nProbe), s => s("cell"))))
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

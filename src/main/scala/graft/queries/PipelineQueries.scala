@@ -261,6 +261,20 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // e04 — trained IVF ANN: Lloyd k-means centroids (distributed assign +
+  // recompute, model-only collect) replace the hash-derived cells of
+  // e02. Approximate by construction → rows-only; recall vs brute force
+  // asserted in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  private def e04(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    Similarity
+      .ivfKnnTrained(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH
   // (xxhash64-derived hyperplanes → rows-only check). The fixture has no
   // natural cosine-0.99 pairs (max ≈ 0.51), so the corpus is the fixture
@@ -548,6 +562,7 @@ object PipelineQueries {
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
+    Q("e04_knn_ivf_trained", "k-means-trained IVF top-k", e04, None),
     Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, None),

@@ -35,6 +35,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained IVF: k-means centroids beat hash-derived cells on recall") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5))
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 4)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    val trained = pairs(Similarity.ivfKnnTrained(em, q, "vec_id", "embedding", k = 5, cents, nProbe = 8))
+    val hashed = pairs(Similarity.ivfKnn(em, q, "vec_id", "embedding", k = 5, nList = 16, nProbe = 8))
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    val rHashed = (exact & hashed).size.toDouble / exact.size
+    assert(rTrained >= rHashed - 0.05,
+      s"trained recall $rTrained should not trail hash recall $rHashed")
+    assert(rTrained >= 0.5, s"trained IVF recall $rTrained below floor")
+  }
+
   test("IVF kNN: recall vs exact baseline on fixture queries") {
     val em = Tables.embeddings(spark, sfDir)
     val q = em.filter($"vec_id" < 10)
