@@ -41,22 +41,14 @@ object Text {
       .otherwise(size(array_intersect(a, b)).cast("double") / union.cast("double"))
   }
 
-  /** 64-bit seeded shingle hash: one of the k MinHash permutations. */
-  private def seededHash(seed: Column, s: Column): Column = xxhash64(seed, s)
-
-  /** Array of k MinHash signatures (min over shingle hashes per seed).
-    * Sequential aggregate over the shingle array — per-row, no shuffle.
+  /** Array of k MinHash signature components over a TOKEN array (min of
+    * per-seed shingle hashes) — delegates to the MinHashSig custom
+    * expression: one string hash per shingle + k cheap long mixes, pure
+    * map, no shuffle (the interpreted higher-order fold it replaced ran
+    * k·|shingles| lambda steps per row).
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      seed =>
-        aggregate(
-          shingleCol,
-          lit(Long.MaxValue),
-          (acc, s) => least(acc, seededHash(seed, s))
-        )
-    )
+  def minhashSignature(tokenCol: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graft.TextExpr.minhashSig(tokenCol, n, k)
 
   /** SimHash-64: per token, xxhash64 sets/clears each bit weighted ±1;
     * the sign of each accumulated bit weight forms the fingerprint.
