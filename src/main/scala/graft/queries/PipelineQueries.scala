@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -208,6 +209,51 @@ object PipelineQueries {
       |FROM reach
       |GROUP BY id
       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d10 — per-document TF-IDF keywords: token explode → term frequency →
+  // document frequency → smoothed idf → top-3 per doc. Three shuffles
+  // (tf, df, per-doc window), all on bounded keys — the multi-stage
+  // corpus-statistics pipeline shape.
+  // ---------------------------------------------------------------------
+  private def d10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, Seq("tok"))
+      .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rang", row_number().over(w))
+      .filter(col("rang") <= 3)
+      .select(col("doc_id"), col("rang"), col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rang"))
+  }
+  private val d10Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |  WHERE length(trim(text)) > 0
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+      |), n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |         ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, tok, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rang
+      |  FROM scored
+      |)
+      |SELECT doc_id, rang, tok, score
+      |FROM ranked WHERE rang <= 3
+      |ORDER BY doc_id, rang""".stripMargin
 
   // ---------------------------------------------------------------------
   // d07 — SimHash-64 fingerprints (near-dup pair join exercised in
@@ -560,6 +606,7 @@ object PipelineQueries {
     Q("d07_simhash", "SimHash-64 fingerprints", d07, None),
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
+    Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k", e04, None),
