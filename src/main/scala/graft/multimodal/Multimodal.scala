@@ -83,6 +83,32 @@ object Multimodal {
     ds.toDF("media_id", "media_type", "features")
   }
 
+  /** STUB resize kernel for image rows: scales the payload byte count
+    * proportionally to the pixel-count ratio and rewrites the metadata
+    * dims — a real implementation decodes, resamples, re-encodes in the
+    * same per-partition batch loop. Deterministic, so the Spark-side
+    * plumbing (schema evolution, per-partition batching) is
+    * oracle-checkable.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"), col("meta.width").as("w"), col("meta.height").as("h"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // decoder/scaler init once per partition
+        rows.map { case (id, payload, w, h) =>
+          val newLen = math.max(1L,
+            payload.length.toLong * (targetW.toLong * targetH) / (w.toLong * h)).toInt
+          val out = java.util.Arrays.copyOf(payload, newLen) // stub re-encode
+          (id, targetW, targetH, out)
+        }
+      }
+      .toDF("media_id", "largeur", "hauteur", "payload")
+  }
+
   /** Frame sampling for video rows: split the payload into `n` byte
     * slices (a real impl would seek keyframes) — exercises the
     * explode-wide-binary pattern.

@@ -110,7 +110,37 @@ object EventsQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q29 — JSON property extraction (the events.props payload): scalar
+  // JSON-path access inside codegen, aggregated. The reference has no
+  // JSON (SURVEY §2.8) — this covers the pipeline-tier need.
+  // ---------------------------------------------------------------------
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast(LongType).as("somme_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max")
+      )
+      .orderBy(col("event_type"))
+  private val q29Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS somme_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q29_json_props", "JSON path extraction over event props", q29, Some(q29Sql)),
     Q("q23_events_daily", "tumbling daily event rollup (streaming twin)", q23, Some(q23Sql)),
     Q("q24_sessionization", "gap-based sessions via LAG (W2 on streams)", q24, Some(q24Sql)),
     Q("q25_event_pivot", "pivot to columns (BI matrix)", q25, Some(q25Sql))

@@ -387,6 +387,30 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // m03 — multimodal resize plumbing: image rows re-encoded (stub
+  // kernel, see Multimodal.resize) with deterministic byte scaling, so
+  // the oracle can recompute the expected output shape from the source
+  // text and metadata formulas.
+  // ---------------------------------------------------------------------
+  private def m03(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .resize(Multimodal.fromDocuments(Tables.documents(spark, dir)), 64, 64)
+      .select(
+        col("media_id"),
+        col("largeur"),
+        col("hauteur"),
+        octet_length(col("payload")).as("n_bytes")
+      )
+      .orderBy(col("media_id"))
+  private val m03Sql =
+    """SELECT doc_id AS media_id, 64 AS largeur, 64 AS hauteur,
+      |  CAST(greatest(1, (octet_length(encode(text)) * 4096)
+      |    // (((doc_id % 8) * 160 + 320) * ((doc_id % 8) * 90 + 180))) AS INTEGER) AS n_bytes
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // u01 — MERGE upsert semantics (SURVEY §2.1 S7): an updates batch (every
   // even orderkey, price bumped) merged new-wins into the current
   // snapshot; verified via post-merge aggregate.
@@ -613,6 +637,7 @@ object PipelineQueries {
     Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, None),
+    Q("m03_media_resize", "stub resize with real batch plumbing", m03, Some(m03Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),
