@@ -38,6 +38,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("watermark drops late events: out-of-order feed across micro-batches (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{window => fwindow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = source.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(fwindow(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("fenetre"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_data_spec").start()
+    // batch 1: events in hour 10; max event time 10:30 -> watermark 09:30
+    source.addData((ts("2024-01-01 10:00:00"), "a", 1.0), (ts("2024-01-01 10:30:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance time to 13:00 -> watermark 12:00, closing hour-10/11 windows
+    source.addData((ts("2024-01-01 13:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 10 (before watermark 12:00) must be dropped,
+    // an on-time event for hour 13 must be counted
+    source.addData((ts("2024-01-01 10:45:00"), "a", 99.0), (ts("2024-01-01 13:10:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 4: advance far enough to close the hour-13 window too
+    source.addData((ts("2024-01-01 20:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("late_data_spec").collect()
+      .map(r => r.getTimestamp(0).toString.substring(11, 13) -> r.getLong(2)).toMap
+    q.stop()
+    assert(rows("10") == 2L, s"hour-10 window must emit the 2 ON-TIME events only, got $rows")
+    assert(rows("13") == 2L, s"hour-13 window counts both on-time events, got $rows")
+  }
+
   test("mapGroupsWithState sessionization equals the batch LAG-window formulation") {
     val streamed = EventsStream
       .runToCompletion(EventsStream.sessionCounts(spark, sfDir), "streaming_spec_sessions", mode = "update")
