@@ -23,14 +23,18 @@ object Bench {
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune per-row computed columns out of select-only
       // queries and under-measure them)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries surface as a NEGATIVE time (and in "failed"): a
+    // regression that breaks a query must never read as a fast success
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,13 @@ object TextExpr {
     */
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
+  /** Portable SimHash variant: per-token MD5 (first 64 digest bits,
+    * hex-reading order) instead of xxhash64, fingerprint returned as a
+    * 64-char '0'/'1' string — reproducible by any engine with an md5()
+    * (the DuckDB oracle recomputes it from hex digits).
+    */
+  def md5SimhashBits(tokens: Column): Column = col(Md5SimHashBits(expr(tokens)))
+
   /** k-component MinHash signature over the n-gram shingles of a token
     * array; null when the array has fewer than n tokens.
     */
@@ -161,6 +168,47 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** MD5-based SimHash over a token array, emitted as a 64-char bit string
+  * (bit j = bit (7 - j%8) of digest byte j/8 — i.e. the bits in the order
+  * the hex string reads). Tokens vote with multiplicity; accumulator > 0
+  * sets '1'. Defined over MD5 precisely so non-Spark engines can verify
+  * fingerprints bit-for-bit.
+  */
+case class Md5SimHashBits(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_md5_simhash_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nTok = a.numElements()
+    val weights = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nTok) {
+      md.reset()
+      val digest = md.digest(a.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((digest(j >> 3) & 0xff) >>> (7 - (j & 7)) & 1) == 1) weights(j) += 1
+        else weights(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) { sb.append(if (weights(j) > 0) '1' else '0'); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHashBits =
     copy(child = newChild)
 }
 

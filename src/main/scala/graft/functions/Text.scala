@@ -62,6 +62,13 @@ object Text {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** MD5-based SimHash as a 64-char bit string — same semantics as
+    * [[simhash64]] but defined over md5 so any engine can reproduce it
+    * (the cross-engine-verifiable flavor; xxhash64 keeps the fast path).
+    */
+  def md5SimhashBits(tokenCol: Column): Column =
+    org.apache.spark.sql.graft.TextExpr.md5SimhashBits(tokenCol)
+
   /** Chained rolling-hash fingerprint over the token stream — a cheap
     * order-sensitive document identity (same tokens reordered hash apart,
     * unlike MinHash). acc' = xxhash64(acc, token): overflow-free under

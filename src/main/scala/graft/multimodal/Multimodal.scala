@@ -54,15 +54,20 @@ object Multimodal {
 
   /** STUB decode kernel: a real implementation would call the codec here.
     * The fake derives a dim-`featDim` float feature from payload bytes —
-    * deterministic, so downstream plumbing is testable.
+    * deterministic AND order-independent (exact integer byte sums, one
+    * float division at the end), so the result is reproducible by any
+    * engine from the raw bytes regardless of summation order.
     */
   private def fakeDecode(payload: Array[Byte], featDim: Int): Array[Float] = {
-    val out = new Array[Float](featDim)
+    val acc = new Array[Long](featDim)
     var i = 0
     while (i < payload.length) {
-      out(i % featDim) += (payload(i) & 0xff) / 255.0f
+      acc(i % featDim) += (payload(i) & 0xff)
       i += 1
     }
+    val out = new Array[Float](featDim)
+    var j = 0
+    while (j < featDim) { out(j) = (acc(j).toDouble / 255.0).toFloat; j += 1 }
     out
   }
 

@@ -46,7 +46,7 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       k: Int = 64,
-      bands: Int = 16,
+      bands: Int = 32,
       threshold: Double = 0.5
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -121,12 +121,20 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Text.shingles(col("text"), shingleN).as("sh"))
       .cache()
-    candidates
+    val verified = candidates
       .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(Text.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager materialization of the (small) verified pair list lets the
+      // intermediate caches be dropped NOW instead of leaking into the
+      // session for the rest of a long-running catalog
+      .localCheckpoint(true)
+    withSig.unpersist()
+    candidates.unpersist()
+    shSets.unpersist()
+    verified
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ maxDist.

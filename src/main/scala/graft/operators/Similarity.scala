@@ -46,14 +46,16 @@ object Similarity {
 
   /** Nearest-centroid id for a vector column, given driver-side
     * centroids (broadcast as literals — k·dim doubles, the model).
-    * Ties break toward the lower cell id; codegen CosineSim per cell.
+    * Ties break toward the lower cell id (the sort struct carries the
+    * NEGATED cell id so the descending struct sort prefers it);
+    * codegen CosineSim per cell.
     */
   private def nearestCell(v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =
-    sort_array(
+    -sort_array(
       array(cents.indices.map(i =>
-        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(i).as("cell"))): _*),
+        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(-i).as("negcell"))): _*),
       asc = false
-    )(0)("cell")
+    )(0)("negcell")
 
   /** Lloyd k-means over unit-normalized cosine geometry: assign each
     * vector to its nearest centroid (map), recompute centroids as
@@ -90,6 +92,7 @@ object Similarity {
       // empty cells keep their previous centroid
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
+    base.unpersist() // model is collected; drop the training cache
     cents
   }
 
@@ -106,16 +109,18 @@ object Similarity {
       cents: Array[Array[Double]],
       nProbe: Int = 4
   ): DataFrame = {
+    // negated cell id in the sort struct: equal scores prefer the LOWER
+    // cell under the descending sort, matching nearestCell's tie-break
     def cellStructs(v: org.apache.spark.sql.Column) =
       array(cents.indices.map(i =>
-        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(i).as("cell"))): _*)
+        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(-i).as("negcell"))): _*)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("cell", nearestCell(col("v_c"), cents))
     val q = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
       .withColumn("cell", explode(transform(
-        slice(sort_array(cellStructs(col("v_q")), asc = false), 1, nProbe), s => s("cell"))))
+        slice(sort_array(cellStructs(col("v_q")), asc = false), 1, nProbe), s => -s("negcell"))))
     val scored = c
       .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -146,21 +151,23 @@ object Similarity {
     // not trained, so no side-file ships to executors. Projections are a
     // materialized column (see Vectors.packBuckets note), the ranking
     // struct array is a cheap 16-element HOF over that attribute.
+    // negated cell id in the sort struct: equal scores prefer the LOWER
+    // cell under the descending sort (same tie-break as nearestCell)
     def cellStructs(scores: org.apache.spark.sql.Column) =
       transform(
         sequence(lit(0), lit(nList - 1)),
-        i => struct(element_at(scores, i + 1).as("score"), i.as("cell"))
+        i => struct(element_at(scores, i + 1).as("score"), (-i).as("negcell"))
       )
 
     val c = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("scores", VectorExpr.randomProjections(col("v_c"), nList))
-      .withColumn("cell", sort_array(cellStructs(col("scores")), asc = false)(0)("cell"))
+      .withColumn("cell", -sort_array(cellStructs(col("scores")), asc = false)(0)("negcell"))
       .drop("scores")
     val q = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
       .withColumn("scores", VectorExpr.randomProjections(col("v_q"), nList))
-      .withColumn("cell", explode(transform(slice(sort_array(cellStructs(col("scores")), asc = false), 1, nProbe), s => s("cell"))))
+      .withColumn("cell", explode(transform(slice(sort_array(cellStructs(col("scores")), asc = false), 1, nProbe), s => -s("negcell"))))
       .drop("scores")
 
     val scored = c

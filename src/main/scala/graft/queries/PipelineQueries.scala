@@ -131,17 +131,69 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
-  // d05 — document fingerprints (rolling hash + winnowing sketch).
-  // xxhash64-based → no DuckDB equivalent → rows-only check.
+  // d05 — document fingerprints: MOSS-style winnowing over token 3-gram
+  // MD5 fingerprints (window w=4 minima, deduplicated, sorted). Defined
+  // over md5 hex so the sketch is engine-portable and fully oracle-gated;
+  // the sketch is emitted as a comma-joined string (scalar columns only —
+  // raw array output is hostile to downstream tabular tooling). The
+  // xxhash64 rolling/winnow expressions stay the fast in-engine path
+  // (TextSpec). Plan: one shuffle on doc_id (window), then the groupBy
+  // reuses the same partitioning — scale-safe at any corpus size.
   // ---------------------------------------------------------------------
   private def d05(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(
-      col("doc_id"),
-      Text.rollingFingerprint(Text.tokens(col("text"))).as("empreinte"),
-      Text.winnowFingerprint(Text.tokens(col("text")), 3, 4).as("sketch")
-    ).orderBy(col("doc_id"))
+    val toks = d.select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val kg = toks
+      .withColumn("t1", lead("tok", 1).over(wOrd))
+      .withColumn("t2", lead("tok", 2).over(wOrd))
+      .filter(col("t2").isNotNull)
+      .select(
+        col("doc_id"),
+        col("pos"),
+        substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 16).as("h")
+      )
+    val win = kg.withColumn("wm", min(col("h")).over(wOrd.rowsBetween(Window.currentRow, 3)))
+    val sk = win
+      .groupBy("doc_id")
+      .agg(
+        min(col("h")).as("empreinte"),
+        concat_ws(",", array_sort(array_distinct(collect_list(col("wm"))))).as("sketch")
+      )
+    d.select(col("doc_id"))
+      .join(sk, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("empreinte"), lit("")).as("empreinte"),
+        coalesce(col("sketch"), lit("")).as("sketch")
+      )
+      .orderBy(col("doc_id"))
   }
+  private val d05Sql =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE length(trim(text)) > 0
+      |),
+      |kgl AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(a)-1, 1)), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g,
+      |    unnest(range(1, greatest(len(a)-1, 1))) AS pos
+      |  FROM base WHERE len(a) >= 3
+      |),
+      |kg AS (SELECT doc_id, pos, substr(md5(g), 1, 16) AS h FROM kgl),
+      |win AS (
+      |  SELECT doc_id, h,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+      |  FROM kg
+      |),
+      |sk AS (
+      |  SELECT doc_id, MIN(h) AS empreinte,
+      |    array_to_string(list_sort(list_distinct(list(wm))), ',') AS sketch
+      |  FROM win GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(sk.empreinte, '') AS empreinte, coalesce(sk.sketch, '') AS sketch
+      |FROM documents d LEFT JOIN sk USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d06 — MinHash+LSH near-duplicate pairs, verified with exact shingle
@@ -256,17 +308,40 @@ object PipelineQueries {
       |ORDER BY doc_id, rang""".stripMargin
 
   // ---------------------------------------------------------------------
-  // d07 — SimHash-64 fingerprints (near-dup pair join exercised in
-  // DedupSpec; xxhash64-based → rows-only check).
+  // d07 — SimHash fingerprints, md5-defined and emitted as a 64-char bit
+  // string so the oracle can recompute every bit from hex digits (the
+  // xxhash64 simhash64 + Hamming pair join stays the fast path,
+  // exercised in DedupSpec). Pure map — no shuffle at any corpus size.
   // ---------------------------------------------------------------------
   private def d07(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(
       col("doc_id"),
-      Text.simhash64(Text.tokens(col("text"))).as("simhash"),
+      Text.md5SimhashBits(Text.tokens(col("text"))).as("simhash"),
       Text.tokenCount(col("text")).as("n_tokens")
     ).orderBy(col("doc_id"))
   }
+  private val d07Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0
+      |),
+      |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1) >> CAST(3 - j % 4 AS INT)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM th, (SELECT unnest(range(64)) AS j) js
+      |  GROUP BY doc_id, j
+      |),
+      |fp AS (
+      |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(fp.simhash, repeat('0', 64)) AS simhash,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |FROM documents d LEFT JOIN fp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // e01 — brute-force cosine top-k (exact ANN baseline). Query side =
@@ -296,47 +371,58 @@ object PipelineQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // e02 — IVF-bucketed ANN (the scale path; approximate by construction →
-  // rows-only check; recall vs e01 is asserted in SimilaritySpec).
+  // e02 — IVF-bucketed ANN (the scale path). The gated run probes ALL
+  // nList cells, which makes IVF exhaustive — every (query, corpus) pair
+  // is scored exactly once through the cell-join machinery — so the
+  // brute-force SQL oracle gates the full assign/probe/merge pipeline
+  // bit-for-bit. The approximate nProbe < nList configuration (what a
+  // 100 TB deployment runs) is recall-tested in SimilaritySpec.
   // ---------------------------------------------------------------------
   private def e02(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
     Similarity
-      .ivfKnn(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .ivfKnn(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        nList = 16, nProbe = 16)
       .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------------
   // e04 — trained IVF ANN: Lloyd k-means centroids (distributed assign +
   // recompute, model-only collect) replace the hash-derived cells of
-  // e02. Approximate by construction → rows-only; recall vs brute force
-  // asserted in SimilaritySpec.
+  // e02. Gated with nProbe = k (exhaustive probe ⇒ exact ⇒ brute-force
+  // oracle); the approximate low-probe path is recall-tested in
+  // SimilaritySpec.
   // ---------------------------------------------------------------------
   private def e04(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
     val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
     Similarity
-      .ivfKnnTrained(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents, nProbe = 4)
+      .ivfKnnTrained(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents, nProbe = 16)
       .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------------
-  // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH
-  // (xxhash64-derived hyperplanes → rows-only check). The fixture has no
-  // natural cosine-0.99 pairs (max ≈ 0.51), so the corpus is the fixture
-  // plus a jittered copy of itself (±2% per-component noise, cosine
-  // ≈ 0.9999): every planted pair (id, id+1e6) must surface — exactly
-  // |embeddings| result rows, recall asserted in DedupSpec.
+  // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
+  // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
+  // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
+  // per-component noise, cosine ≈ 0.9999): every planted pair
+  // (id, id+1e6) must surface. The oracle recomputes ALL pairs ≥ 0.99
+  // exhaustively, so the gate checks LSH recall (miss probability per
+  // pair ≈ (1-p^nBits)^nTables ≈ 2e-12 at cosine 0.9999) AND the exact
+  // cosine verification values.
   // ---------------------------------------------------------------------
   private def e03(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // deterministic arithmetic jitter (not hash-based) so the oracle can
+    // rebuild the identical float32 corpus: factor_j = 1 + ((id*31 + j*7)
+    // mod 100 / 100 - 0.5) * 0.04, double math rounded to float
     val jittered = em.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(
         col("embedding"),
         (x, j) =>
           (x.cast(DoubleType) *
-            (lit(1.0) + (pmod(xxhash64(col("vec_id"), j), lit(100)).cast(DoubleType) / 100.0 - 0.5) * 0.04))
+            (lit(1.0) + (pmod(col("vec_id") * 31 + j.cast(LongType) * 7, lit(100L)).cast(DoubleType) / 100.0 - 0.5) * 0.04))
             .cast(FloatType)
       ).as("embedding")
     )
@@ -344,6 +430,25 @@ object PipelineQueries {
       .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99, nBits = 8, nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
   }
+  private val e03Sql =
+    """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |jit AS (
+      |  SELECT src_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE) * (1.0 + (((src_id * 31 + (i - 1) * 7) % 100) / 100.0 - 0.5) * 0.04) AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig)
+      |),
+      |allv AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM jit
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // m01 — multimodal metadata extraction over binary payloads: byte
@@ -371,7 +476,10 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------------
   // m02 — per-partition feature extraction over binary payloads (the
-  // mapInPandas-equivalent batch path; fake decode kernel → rows-only).
+  // mapInPandas-equivalent batch path). The stub kernel accumulates
+  // exact integer byte sums then divides once, so feat0 is a
+  // bit-deterministic float32 the oracle recomputes from the UTF-8 hex
+  // bytes — the whole mapPartitions plumbing is hash-gated.
   // ---------------------------------------------------------------------
   private def m02(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
@@ -381,10 +489,25 @@ object PipelineQueries {
         col("media_id"),
         col("media_type"),
         size(col("features")).as("dim"),
-        round(element_at(col("features"), 1).cast(DoubleType), 4).as("feat0")
+        element_at(col("features"), 1).as("feat0")
       )
       .orderBy(col("media_id"))
   }
+  private val m02Sql =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, unnest(range(octet_length(encode(text)))) AS i
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, SUM(CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)) AS s0
+      |  FROM b WHERE i % 16 = 0 GROUP BY doc_id
+      |)
+      |SELECT d.doc_id AS media_id,
+      |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  16 AS dim,
+      |  CAST(CAST(coalesce(s.s0, 0) AS DOUBLE) / 255.0 AS FLOAT) AS feat0
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // m03 — multimodal resize plumbing: image rows re-encoded (stub
@@ -625,18 +748,18 @@ object PipelineQueries {
     Q("d02_token_stats", "whitespace token statistics", d02, Some(d02Sql)),
     Q("d03_quality_score", "Gopher-style quality rules", d03, Some(d03Sql)),
     Q("d04_lang_guess", "stopword/CJK language ID", d04, Some(d04Sql)),
-    Q("d05_fingerprints", "rolling-hash + winnowing sketches", d05, None),
+    Q("d05_fingerprints", "md5 winnowing fingerprints + sketch", d05, Some(d05Sql)),
     Q("d06_minhash_pairs", "MinHash+LSH near-dups vs exact-Jaccard oracle", d06, Some(d06Sql)),
-    Q("d07_simhash", "SimHash-64 fingerprints", d07, None),
+    Q("d07_simhash", "md5-SimHash 64-bit fingerprints", d07, Some(d07Sql)),
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
-    Q("e02_knn_ivf", "IVF-bucketed approximate top-k", e02, None),
-    Q("e04_knn_ivf_trained", "k-means-trained IVF top-k", e04, None),
-    Q("e03_embedding_neardup", "multi-table hyperplane-LSH cosine near-dups", e03, None),
+    Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
+    Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
+    Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
-    Q("m02_media_features", "mapPartitions feature extraction", m02, None),
+    Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),
     Q("m03_media_resize", "stub resize with real batch plumbing", m03, Some(m03Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),

@@ -25,6 +25,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         col = out[c]
         if col.dtype == object and len(col) and isinstance(col.iloc[0], (bytes, bytearray)):
             out[c] = col.apply(lambda b: b.hex() if b is not None else None)
+        elif col.dtype == object and len(col) and isinstance(
+                col.iloc[0], (list, tuple, np.ndarray)):
+            # array cells are unhashable -> sort_values raises; use a
+            # stable string form instead
+            out[c] = col.apply(lambda v: None if v is None else json.dumps(
+                [x.item() if hasattr(x, "item") else x for x in v]))
         elif str(col.dtype).startswith("datetime"):
             out[c] = col.astype("datetime64[us]").astype(str)
         elif col.dtype == np.float32:
@@ -48,13 +54,16 @@ def main():
         if not files:
             failures.append((name, "no spark output"))
             continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        # everything per-query inside try: one bad query (duckdb error,
+        # unsortable column, schema surprise) records a failure instead of
+        # aborting the whole gate run
         try:
+            got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
             exp = con.execute(oracles[name]).df()
-        except Exception as e:
-            failures.append((name, f"duckdb error: {e}"))
+            g, e = normalize(got), normalize(exp)
+        except Exception as ex:
+            failures.append((name, f"error: {ex}"))
             continue
-        g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             failures.append((name, f"columns differ: spark={list(g.columns)} duck={list(e.columns)}"))
             continue
@@ -62,15 +71,19 @@ def main():
             failures.append((name, f"row count differ: spark={len(g)} duck={len(e)}"))
             continue
         diff_cols = []
-        for c in g.columns:
-            a, b = g[c], e[c]
-            if a.dtype.kind == "f" and b.dtype.kind == "f":
-                an, bn = a.isna(), b.isna()
-                same = (an == bn).all() and (a[~an].values == b[~bn].values).all()
-            else:
-                same = a.astype(str).equals(b.astype(str))
-            if not same:
-                diff_cols.append(c)
+        try:
+            for c in g.columns:
+                a, b = g[c], e[c]
+                if a.dtype.kind == "f" and b.dtype.kind == "f":
+                    an, bn = a.isna(), b.isna()
+                    same = (an == bn).all() and (a[~an].values == b[~bn].values).all()
+                else:
+                    same = a.astype(str).equals(b.astype(str))
+                if not same:
+                    diff_cols.append(c)
+        except Exception as ex:
+            failures.append((name, f"compare error: {ex}"))
+            continue
         if diff_cols:
             failures.append((name, f"value mismatch in {diff_cols}"))
             for c in diff_cols[:2]:
