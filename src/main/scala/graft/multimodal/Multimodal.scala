@@ -116,10 +116,14 @@ object Multimodal {
 
   /** Frame sampling for video rows: split the payload into `n` byte
     * slices (a real impl would seek keyframes) — exercises the
-    * explode-wide-binary pattern.
+    * explode-wide-binary pattern. Offsets are integer-defined
+    * (step = total ÷ n, frame i = bytes [i·step, i·step + max(step,1))),
+    * so any engine can recompute the exact slices; trailing remainder
+    * bytes are dropped, and payloads shorter than n repeat the head byte.
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val total = length(col("payload"))
+    val step = floor(total / n).cast(IntegerType)
     media
       .filter(col("media_type") === "video")
       .select(
@@ -129,7 +133,7 @@ object Multimodal {
             sequence(lit(0), lit(n - 1)),
             i => struct(
               i.as("frame_no"),
-              substring(col("payload"), (i * (total / n) + 1).cast(IntegerType), greatest((total / n).cast(IntegerType), lit(1))).as("frame_bytes")
+              substring(col("payload"), i * step + 1, greatest(step, lit(1))).as("frame_bytes")
             )
           )
         ).as("frame")

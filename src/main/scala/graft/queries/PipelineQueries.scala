@@ -270,12 +270,15 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   private def d10(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
+    val n = docs.count() // parquet metadata count — no data scan
     val toks = docs.select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // document frequency as a count window over the tok partition: tf is
+    // computed ONCE and shuffled once on tok (a tf→groupBy(df)→join
+    // formulation plans tf twice — the explode+agg ran on both join
+    // sides and dominated the query)
     val scored = tf
-      .join(df, Seq("tok"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     scored
@@ -534,6 +537,42 @@ object PipelineQueries {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // m04 — frame sampling over video payloads: n byte slices per row (the
+  // explode-wide-binary pattern). Offsets are integer-defined, so the
+  // oracle reslices the UTF-8 hex stream and digests the same bytes
+  // (md5 over the uppercase hex rendering, which both engines emit —
+  // DuckDB 1.0 has no BLOB-digest function).
+  // ---------------------------------------------------------------------
+  private def m04(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sampleFrames(Multimodal.fromDocuments(Tables.documents(spark, dir)), 4)
+      .select(
+        col("media_id"),
+        col("frame_no"),
+        octet_length(col("frame_bytes")).as("n_bytes"),
+        md5(hex(col("frame_bytes"))).as("digest")
+      )
+      .orderBy(col("media_id"), col("frame_no"))
+  private val m04Sql =
+    """WITH v AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS total
+      |  FROM documents WHERE doc_id % 3 = 2
+      |),
+      |f AS (
+      |  SELECT doc_id, unnest(range(4)) AS frame_no, hx, total // 4 AS step FROM v
+      |),
+      |sl AS (
+      |  SELECT doc_id, frame_no,
+      |    substr(hx, CAST(2 * frame_no * step + 1 AS INT), CAST(2 * greatest(step, 1) AS INT)) AS fhx
+      |  FROM f
+      |)
+      |SELECT doc_id AS media_id, frame_no,
+      |  CAST(length(fhx) // 2 AS INT) AS n_bytes,
+      |  md5(fhx) AS digest
+      |FROM sl
+      |ORDER BY media_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------------
   // u01 — MERGE upsert semantics (SURVEY §2.1 S7): an updates batch (every
   // even orderkey, price bumped) merged new-wins into the current
   // snapshot; verified via post-merge aggregate.
@@ -761,6 +800,7 @@ object PipelineQueries {
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),
     Q("m03_media_resize", "stub resize with real batch plumbing", m03, Some(m03Sql)),
+    Q("m04_frame_sample", "n-slice frame sampling over video payloads", m04, Some(m04Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),
