@@ -34,6 +34,19 @@ object Text {
       )
   }
 
+  /** Contiguous word n-grams over an ALREADY-TOKENIZED column, with
+    * multiplicity (unlike [[shingles]], which dedupes) — the unit for
+    * corpus frequency statistics / vocabulary building.
+    */
+  def ngramsAll(tokenCol: Column, n: Int): Column =
+    when(size(tokenCol) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokenCol) - n),
+          i => concat_ws(" ", slice(tokenCol, i + 1, lit(n)))
+        )
+      )
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val union = size(array_union(a, b))

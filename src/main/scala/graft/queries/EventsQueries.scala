@@ -139,8 +139,45 @@ object EventsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // j01 — as-of join: each error event picks up the most recent prior
+  // click of the same user (inclusive bound, deterministic max-event_id
+  // tiebreak). Runs the distributed union+window formulation — ONE
+  // shuffle on user_id, no range cross product (operators/AsOfJoin);
+  // the oracle states the same semantics as correlated point lookups.
+  // ---------------------------------------------------------------------
+  private def j01(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    graft.operators.AsOfJoin
+      .backward(
+        left = e.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+        right = e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"),
+        leftTime = "ts",
+        rightTime = "ts",
+        payload = Seq("event_id", "value"),
+        rightOrder = "event_id",
+        prefix = "prev_click_"
+      )
+      .select(col("event_id"), col("user_id"),
+        col("prev_click_event_id").as("prev_click_id"),
+        col("prev_click_value").as("prev_click_value"))
+      .orderBy(col("event_id"))
+  }
+  private val j01Sql =
+    """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+      |errors AS (SELECT * FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT r.event_id FROM clicks r WHERE r.user_id = e.user_id AND r.ts <= e.ts
+      |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS prev_click_id,
+      |  (SELECT r.value FROM clicks r WHERE r.user_id = e.user_id AND r.ts <= e.ts
+      |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS prev_click_value
+      |FROM errors e
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q29_json_props", "JSON path extraction over event props", q29, Some(q29Sql)),
+    Q("j01_asof_join", "as-of join: latest prior click per error event", j01, Some(j01Sql)),
     Q("q23_events_daily", "tumbling daily event rollup (streaming twin)", q23, Some(q23Sql)),
     Q("q24_sessionization", "gap-based sessions via LAG (W2 on streams)", q24, Some(q24Sql)),
     Q("q25_event_pivot", "pivot to columns (BI matrix)", q25, Some(q25Sql))

@@ -767,6 +767,52 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
+  // kept, lowercased), with document frequency, deterministic
+  // lexicographic tiebreak. Map-side-combined hash aggregate on bigram +
+  // TakeOrdered top-k — the vocabulary-building shape, no full sort at
+  // any corpus size.
+  // ---------------------------------------------------------------------
+  private def d11(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(Text.ngramsAll(col("toks"), 2)).as("bigramme"))
+      .groupBy(col("bigramme"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigramme"))
+      .limit(20)
+  private val d11Sql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      |  FROM documents WHERE length(trim(text)) > 0
+      |),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigramme
+      |  FROM t WHERE len(a) >= 2
+      |)
+      |SELECT bigramme, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM bg GROUP BY bigramme
+      |ORDER BY n DESC, bigramme LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s04 — streaming dedup: the event stream delivered twice, deduped
+  // with watermark-evicted state, then aggregated — must equal the
+  // batch aggregate over the clean table (which is what the oracle
+  // computes).
+  // ---------------------------------------------------------------------
+  private def s04(spark: SparkSession, dir: String): DataFrame =
+    EventsStream
+      .runToCompletion(EventsStream.dedupCounts(spark, dir), "graft_s04")
+      .orderBy(col("event_type"))
+  private val s04Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s01 — Structured Streaming daily rollup run to completion against the
   // static files (memory sink) — must equal the batch aggregation, which
   // is exactly what the oracle computes.
@@ -793,6 +839,7 @@ object PipelineQueries {
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
+    Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
@@ -813,6 +860,7 @@ object PipelineQueries {
              |ORDER BY o_orderstatus""".stripMargin)),
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
-    Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql))
+    Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),
+    Q("s04_stream_dedup", "watermarked streaming dedup of a doubled feed", s04, Some(s04Sql))
   )
 }

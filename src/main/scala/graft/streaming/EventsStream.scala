@@ -94,6 +94,37 @@ object EventsStream {
       )
   }
 
+  /** Streaming deduplication: the input stream doubled (every event
+    * arrives twice — the at-least-once delivery shape), then
+    * `dropDuplicates` keyed on (event_id, ts) with a watermark so dedup
+    * state EVICTS once event time passes — on an unbounded feed, state
+    * stays O(events within the watermark horizon) instead of growing
+    * forever. The downstream per-type aggregate must equal the plain
+    * batch aggregate over the un-duplicated table.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    src
+      .unionByName(src) // duplicate delivery
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id", "ts")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value_dec")
+      )
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("total_value_dec").cast(DoubleType).as("total_value")
+      )
+  }
+
   /** Gap-based sessionization with CUSTOM STATE (mapGroupsWithState,
     * SURVEY §2.9): per user, events more than 30 minutes apart start a
     * new session; state carries (last timestamp, session count, event

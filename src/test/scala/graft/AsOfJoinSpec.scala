@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: inclusive most-recent-prior match, null when no
+  * prior right row exists, deterministic tiebreak at equal timestamps,
+  * and a shuffle-once (no cross product) physical plan.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val right = Seq(
+    (1L, ts(10), 100L, 1.0),
+    (1L, ts(20), 101L, 2.0),
+    (1L, ts(20), 102L, 3.0), // same key+time as 101: max event_id must win
+    (2L, ts(50), 200L, 9.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  private val left = Seq(
+    (1L, ts(5), 900L),  // before any right row -> null
+    (1L, ts(10), 901L), // exactly at a right row -> inclusive match 100
+    (1L, ts(25), 902L), // after the tie -> 102 (not 101)
+    (2L, ts(60), 903L),
+    (3L, ts(99), 904L)  // key with no right rows -> null
+  ).toDF("user_id", "ts", "event_id")
+
+  private def run() =
+    AsOfJoin
+      .backward(left, right, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value"), rightOrder = "event_id")
+      .select("event_id", "prev_event_id", "prev_value")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1)
+
+  test("inclusive prior match, nulls, and max-rightOrder tiebreak") {
+    assert(run().toSeq == Seq(
+      (900L, None, None),
+      (901L, Some(100L), Some(1.0)),
+      (902L, Some(102L), Some(3.0)),
+      (903L, Some(200L), Some(9.0)),
+      (904L, None, None)
+    ))
+  }
+
+  test("plan has no cross product and a single exchange feeding the window") {
+    val plan = AsOfJoin
+      .backward(left, right, Seq("user_id"), "ts", "ts",
+        payload = Seq("value"), rightOrder = "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not plan a cross product:\n$plan")
+    assert(plan.contains("Window"), "carried payload must come from a window")
+  }
+
+  test("matches the per-row lookup semantics on fixture data") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val got = AsOfJoin.backward(
+      e.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+      e.filter(col("event_type") === "click"),
+      Seq("user_id"), "ts", "ts", Seq("event_id"), "event_id", "prev_")
+      .select("event_id", "prev_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // brute-force reference computed on the driver (fixture is tiny)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    errors.foreach { case (id, u, t) =>
+      val expect = clicks.filter(c => c._1 == u && !c._2.after(t))
+        .sortBy(c => (c._2.getTime, c._3)).lastOption.map(_._3)
+      assert(got(id) == expect, s"error $id (user $u)")
+    }
+  }
+}
