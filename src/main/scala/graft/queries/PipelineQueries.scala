@@ -715,6 +715,9 @@ object PipelineQueries {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io02_buckets"
     Tables
       .orders(spark, dir)
+      // prune BEFORE the bucketed write: the downstream join only needs
+      // key + status, so don't pay to write (or later scan) the rest
+      .select(col("o_orderkey"), col("o_orderstatus"))
       .write.mode("overwrite")
       .option("path", s"$tmp/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -796,6 +799,70 @@ object PipelineQueries {
       |ORDER BY n DESC, bigramme LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d12 — text scrubbing (PII-style redaction): emails then standalone
+  // number runs replaced with placeholder tokens, with match counts.
+  // Pure map over codegen'd regexp kernels; patterns kept in the
+  // Java∩RE2 common dialect so the oracle applies the identical rewrite.
+  // ---------------------------------------------------------------------
+  private def d12(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val numRe = "[0-9]+"
+    val scrubbed =
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(scrubbed).as("empreinte_nettoyee"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numRe), lit(0))).as("n_nombres")
+      )
+      .orderBy(col("doc_id"))
+  }
+  private val d12Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |      '[0-9]+', '<NUM>', 'g')) AS empreinte_nettoyee,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_nombres
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d13 — deterministic train/val/test assignment: a 16-bit hash slot
+  // from md5(doc_id) drives an 80/10/10 split and a 10% subsample flag.
+  // Seed-stable, engine-portable, pure map — the reproducible-split
+  // contract a training pipeline needs (resharding, re-runs, and other
+  // engines all agree on every document's split).
+  // ---------------------------------------------------------------------
+  private def d13(spark: SparkSession, dir: String): DataFrame = {
+    val slot = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), slot.as("slot"))
+      .withColumn(
+        "split",
+        when(pmod(col("slot"), lit(10)) <= 7, lit("train"))
+          .when(pmod(col("slot"), lit(10)) === 8, lit("val"))
+          .otherwise(lit("test"))
+      )
+      .withColumn("echantillon_10pct", (col("slot") < 6554).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+  private val d13Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS slot
+      |  FROM documents
+      |)
+      |SELECT doc_id, slot,
+      |  CASE WHEN slot % 10 <= 7 THEN 'train' WHEN slot % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(slot < 6554 AS INT) AS echantillon_10pct
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s04 — streaming dedup: the event stream delivered twice, deduped
   // with watermark-evicted state, then aggregated — must equal the
   // batch aggregate over the clean table (which is what the oracle
@@ -840,6 +907,8 @@ object PipelineQueries {
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),
+    Q("d12_text_scrub", "PII-style redaction with match counts", d12, Some(d12Sql)),
+    Q("d13_split_assign", "deterministic md5 train/val/test split", d13, Some(d13Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
