@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-element lambda calls dominate corpus-scale runs. Hash values are
   * bit-identical to the HOF formulations (Spark's two-argument xxhash64
   * chain: seed 42, then per-child XXH64 mix), so swapping implementations
-  * never changes results. CodegenFallback costs one virtual call per row;
-  * the eval bodies are JIT'd tight loops.
+  * never changes results. Every expression has a real `doGenCode` that
+  * calls its static kernel in [[TextKernels]]: the tokenization child
+  * stays inside WholeStageCodegen (a CodegenFallback here would force the
+  * whole subtree — including the regex split — through interpreted eval).
   */
 object TextExpr {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -51,61 +53,55 @@ object TextExpr {
     col(MinHashSig(expr(tokens), n, k))
 }
 
-private object TextExprUtil {
+/** Static JIT-friendly kernels shared by interpreted eval and generated
+  * code. A top-level object with no companion class compiles to a mirror
+  * class with static methods, so janino-generated Java calls
+  * `TextKernels.rollingHash(arr)` directly — one static call per row, the
+  * loop body JIT-compiled once.
+  */
+object TextKernels {
+  private val space = UTF8String.fromString(" ")
+
   /** xxhash64(string-col) — Spark seed 42. */
-  @inline def hashTok(t: UTF8String): Long = XXH64.hashUTF8String(t, 42L)
-  /** xxhash64(long-col, string-col) — Spark chains child hashes. */
-  @inline def hashChain(acc: Long, t: UTF8String): Long =
-    XXH64.hashUTF8String(t, XXH64.hashLong(acc, 42L))
-}
+  @inline private def hashTok(t: UTF8String): Long = XXH64.hashUTF8String(t, 42L)
 
-case class RollingHash(child: Expression)
-    extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_rolling_hash"
+  /** MessageDigest.getInstance does a provider lookup per call; digests
+    * are stateful, so share per thread, reset per use.
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  def rollingHash(a: ArrayData): Long = {
     val n = a.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) { acc = TextExprUtil.hashChain(acc, a.getUTF8String(i)); i += 1 }
+    // xxhash64(long-col, string-col) — Spark chains child hashes
+    while (i < n) {
+      acc = XXH64.hashUTF8String(a.getUTF8String(i), XXH64.hashLong(acc, 42L))
+      i += 1
+    }
     acc
   }
 
-  override protected def withNewChildInternal(newChild: Expression): RollingHash =
-    copy(child = newChild)
-}
+  /** Hash of the space-joined n-token shingle starting at i. */
+  @inline private def shingleHash(a: ArrayData, i: Int, n: Int): Long = {
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n) {
+      if (j > 0) parts(2 * j - 1) = space
+      parts(2 * j) = a.getUTF8String(i + j)
+      j += 1
+    }
+    hashTok(UTF8String.concat(parts: _*))
+  }
 
-case class WinnowSketch(child: Expression, n: Int, w: Int)
-    extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
-  require(n > 0 && w > 0, "n and w must be positive")
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_winnow_sketch"
-
-  private val space = UTF8String.fromString(" ")
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  def winnowSketch(a: ArrayData, n: Int, w: Int): ArrayData = {
     val nTok = a.numElements()
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
     val hs = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i <= nTok - n) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(i + j)
-        j += 1
-      }
-      hs.add(TextExprUtil.hashTok(UTF8String.concat(parts: _*)))
+      hs.add(shingleHash(a, i, n))
       i += 1
     }
     val out = new Array[Long](math.min(w, hs.size))
@@ -115,47 +111,18 @@ case class WinnowSketch(child: Expression, n: Int, w: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WinnowSketch =
-    copy(child = newChild)
-}
-
-/** MinHash signature in one pass per row: each n-gram shingle is hashed
-  * once (xxhash64 of the space-joined string), then mixed per component
-  * with XXH64.hashLong(shingleHash, seed_i) — k cheap long mixes instead
-  * of k string hashes. A pure map expression: signatures need NO shuffle
-  * at any corpus size (the DataFrame alternative — explode + k min
-  * aggregates — shuffles |shingles| rows and was ~5x slower even with
-  * map-side combine).
-  */
-case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
-  require(n > 0 && k > 0, "n and k must be positive")
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_minhash_sig"
-
-  private val space = UTF8String.fromString(" ")
-  @transient private lazy val seeds: Array[Long] =
-    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  /** MinHash signature; null when fewer than n tokens. Each shingle is
+    * hashed once, then mixed per component with
+    * XXH64.hashLong(shingleHash, seeds(c)) — k cheap long mixes instead
+    * of k string hashes.
+    */
+  def minhashSig(a: ArrayData, n: Int, k: Int, seeds: Array[Long]): ArrayData = {
     val nTok = a.numElements()
     if (nTok < n) return null
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i <= nTok - n) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(i + j)
-        j += 1
-      }
-      val h0 = TextExprUtil.hashTok(UTF8String.concat(parts: _*))
+      val h0 = shingleHash(a, i, n)
       var c = 0
       while (c < k) {
         val h = XXH64.hashLong(h0, seeds(c))
@@ -167,29 +134,10 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** MD5-based SimHash over a token array, emitted as a 64-char bit string
-  * (bit j = bit (7 - j%8) of digest byte j/8 — i.e. the bits in the order
-  * the hex string reads). Tokens vote with multiplicity; accumulator > 0
-  * sets '1'. Defined over MD5 precisely so non-Spark engines can verify
-  * fingerprints bit-for-bit.
-  */
-case class Md5SimHashBits(child: Expression)
-    extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = StringType
-  override def prettyName: String = "graft_md5_simhash_bits"
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  def md5SimhashBits(a: ArrayData): UTF8String = {
     val nTok = a.numElements()
     val weights = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     var i = 0
     while (i < nTok) {
       md.reset()
@@ -202,31 +150,18 @@ case class Md5SimHashBits(child: Expression)
       }
       i += 1
     }
-    val sb = new java.lang.StringBuilder(64)
+    val bits = new Array[Byte](64)
     var j = 0
-    while (j < 64) { sb.append(if (weights(j) > 0) '1' else '0'); j += 1 }
-    UTF8String.fromString(sb.toString)
+    while (j < 64) { bits(j) = if (weights(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(bits)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Md5SimHashBits =
-    copy(child = newChild)
-}
-
-case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  def simhash64(a: ArrayData): Long = {
     val nTok = a.numElements()
     val weights = new Array[Long](64)
     var i = 0
     while (i < nTok) {
-      val h = TextExprUtil.hashTok(a.getUTF8String(i))
+      val h = hashTok(a.getUTF8String(i))
       var p = 0
       while (p < 64) {
         if (((h >>> p) & 1L) == 1L) weights(p) += 1L else weights(p) -= 1L
@@ -239,6 +174,121 @@ case class SimHash64(child: Expression)
     while (p < 64) { if (weights(p) > 0) fp |= (1L << p); p += 1 }
     fp
   }
+}
+
+case class RollingHash(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.rollingHash($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+case class WinnowSketch(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0 && w > 0, "n and w must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_sketch"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowSketch(input.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.winnowSketch($x, $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketch =
+    copy(child = newChild)
+}
+
+/** MinHash signature in one pass per row: each n-gram shingle is hashed
+  * once (xxhash64 of the space-joined string), then mixed per component
+  * with XXH64.hashLong(shingleHash, seed_i). A pure map expression:
+  * signatures need NO shuffle at any corpus size (the DataFrame
+  * alternative — explode + k min aggregates — shuffles |shingles| rows
+  * and was ~5x slower even with map-side combine).
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0 && k > 0, "n and k must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val seeds: Array[Long] =
+    MinHashSig.seedsFor(k)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], n, k, seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      x => {
+        val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+        s"""
+        ${ev.value} = org.apache.spark.sql.graft.TextKernels.minhashSig($x, $n, $k, $seedsRef);
+        ${ev.isNull} = ${ev.value} == null;
+        """
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def seedsFor(k: Int): Array[Long] = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+}
+
+/** MD5-based SimHash over a token array, emitted as a 64-char bit string
+  * (bit j = bit (7 - j%8) of digest byte j/8 — i.e. the bits in the order
+  * the hex string reads). Tokens vote with multiplicity; accumulator > 0
+  * sets '1'. Defined over MD5 precisely so non-Spark engines can verify
+  * fingerprints bit-for-bit.
+  */
+case class Md5SimHashBits(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_md5_simhash_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5SimhashBits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.md5SimhashBits($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHashBits =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.simhash64($x)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -136,13 +136,13 @@ case class CosineSim(left: Expression, right: Expression)
   * trained side-file ships to executors) is built lazily once per task
   * and reused across rows — the dominant cost drops from
   * O(rows·n·dim) hashes to O(rows·n·dim) multiply-adds.
-  * CodegenFallback: the eval itself is a JIT'd tight loop; fallback only
-  * costs one virtual call per row.
+  * Codegen calls back into this instance (reference object) so the
+  * per-task hyperplane cache is preserved while the child expression
+  * stays inside WholeStageCodegen.
   */
 case class RandomProjections(child: Expression, n: Int)
     extends UnaryExpression
-    with ImplicitCastInputTypes
-    with CodegenFallback {
+    with ImplicitCastInputTypes {
   require(n > 0, "n must be positive")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -174,8 +174,8 @@ case class RandomProjections(child: Expression, n: Int)
     planes
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Kernel shared by interpreted eval and generated code. */
+  def project(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val h = planesFor(dim)
     val out = new Array[Double](n)
@@ -189,6 +189,13 @@ case class RandomProjections(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftProj", this, classOf[RandomProjections].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.project($x)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RandomProjections =
