@@ -37,6 +37,15 @@ object AsOfJoin {
       prefix: String = "prev_"
   ): DataFrame = {
     val leftCols = left.columns.filterNot(keys.contains).toSeq
+    // a prefixed payload column sharing a left column's name would let the
+    // carried-forward right value silently shadow (or be shadowed by) the
+    // left column — refuse instead of guessing
+    val clash = payload.map(prefix + _).intersect(left.columns.toSeq)
+    require(
+      clash.isEmpty,
+      s"as-of join: prefixed payload column(s) ${clash.mkString(", ")} collide with left columns; choose a different prefix")
+    val reserved = Seq("__ts", "__tag", "__ord").intersect(left.columns.toSeq ++ payload.map(prefix + _))
+    require(reserved.isEmpty, s"as-of join: column name(s) ${reserved.mkString(", ")} are reserved")
 
     val rTagged = right.select(
       keys.map(col) ++

@@ -735,24 +735,47 @@ object RelationalQueries {
   // ---------------------------------------------------------------------
   // q28 — sketch-based approximate KPIs (the 100 TB alternates to exact
   // COUNT DISTINCT / percentile: HyperLogLog++ and KLL-style quantiles,
-  // single pass, mergeable, O(1) memory per group). Rows-only in the
-  // driver gate (approximation has no hash-exact oracle); the ≤2% error
-  // bound vs the exact aggregates is asserted in ApproxSpec.
+  // single pass, mergeable, O(1) memory per group). The sketch values
+  // themselves are not bit-reproducible in another engine, so the query
+  // emits the exact companions plus a deterministic in-plan bound check
+  // (`approx_ok`): the oracle recomputes the exact columns and asserts
+  // TRUE — the whole result row hash-gates, and a sketch drifting past
+  // its advertised error budget fails the gate, not just a spec.
   // ---------------------------------------------------------------------
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     Tables
       .orders(spark, dir)
       .groupBy($"o_orderstatus")
       .agg(
+        countDistinct($"o_custkey").as("clients_exact"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("mediane_exacte"),
+        count(lit(1)).as("n_orders"),
         approx_count_distinct($"o_custkey", 0.01).as("clients_approx"),
-        expr("approx_percentile(o_totalprice, 0.5, 5000)").as("mediane_approx"),
-        count(lit(1)).as("n_orders")
+        expr("approx_percentile(o_totalprice, 0.5, 5000)").as("mediane_approx")
+      )
+      .select(
+        $"o_orderstatus",
+        $"clients_exact",
+        $"mediane_exacte",
+        $"n_orders",
+        (abs($"clients_approx" - $"clients_exact") / $"clients_exact" <= 0.02 &&
+          abs($"mediane_approx" - $"mediane_exacte") / $"mediane_exacte" <= 0.02)
+          .as("approx_ok")
       )
       .orderBy($"o_orderstatus")
   }
+  private val q28Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS clients_exact,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS mediane_exacte,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  TRUE AS approx_ok
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q28_approx_kpis", "HLL++ distinct + approx percentile (scale alternates)", q28, None),
+    Q("q28_approx_kpis", "HLL++ distinct + approx percentile (scale alternates)", q28, Some(q28Sql)),
     Q("q01_pricing_summary", "grouped multi-measure agg (A1/A2/A11)", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", "5-way inner join chain (J1/J4)", q02, Some(q02Sql)),
     Q("q03_top_customers", "top-k with tiebreak (O1/O2/O3)", q03, Some(q03Sql)),

