@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth stress for the dedup/ANN tier (feeds SCALE.md).
+  *
+  * Generates two fixtures with the SAME deterministic generator — 1×
+  * (5k docs / 2k vectors, the sf0.1 shape) and 10× — then times every
+  * documents/embeddings query on both and reports wall-time and
+  * result-count growth. The interesting outputs are the growth factors:
+  * a bucketed/banded operator must grow ~linearly in rows and planted
+  * duplicates; an all-pairs formulation would grow ~100× and is exactly
+  * what this harness exists to catch.
+  *
+  * Generator: Zipfian vocabulary (multiplicity ∝ 1/rank, like real
+  * token frequency), ~60 tokens per doc via splitmix64 — every 50th doc
+  * is a near-dup of its predecessor (2 tokens replaced), every 40th
+  * vector a perturbed copy of its predecessor, so near-dup density is
+  * scale-invariant and pair counts should scale ~10×.
+  *
+  * Usage: runMain graft.ScaleStress [outBase] (default /tmp/graft_scale)
+  */
+object ScaleStress {
+  private val vocab = Array(
+    "the", "a", "data", "row", "stream", "group", "agg", "merge", "query",
+    "column", "value", "vector", "window", "fast", "sort", "join", "scan",
+    "table", "spark", "big", "batch", "hash", "filter", "line", "customer",
+    "order", "slow")
+  // Zipfian unigram table: rank r appears ceil(27/r) times
+  private val unigrams: Array[String] =
+    vocab.zipWithIndex.flatMap { case (w, i) => Array.fill(math.max(1, 27 / (i + 1)))(w) }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def docTokens(id: Long, nTok: Int): Array[String] =
+    Array.tabulate(nTok)(i => unigrams(math.floorMod(mix(id * 1000003L + i), unigrams.length).toInt))
+
+  private def genDocs(spark: SparkSession, n: Int, dir: String): Unit = {
+    val rows = (0 until n).map { i =>
+      val id = i.toLong
+      val base = if (i % 50 == 0 && i > 0) (i - 1).toLong else id
+      val toks = docTokens(base, 55 + math.floorMod(mix(base), 11).toInt)
+      if (base != id) { // near-dup: swap the last two tokens for fresh ones
+        toks(toks.length - 1) = unigrams(math.floorMod(mix(id + 7L), unigrams.length).toInt)
+        toks(toks.length - 2) = unigrams(math.floorMod(mix(id + 13L), unigrams.length).toInt)
+      }
+      (id, toks.mkString(" "), "en", s"src${i % 20}")
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def genEmbeddings(spark: SparkSession, n: Int, dim: Int, dir: String): Unit = {
+    val rows = (0 until n).map { i =>
+      val id = i.toLong
+      val base = if (i % 40 == 0 && i > 0) (i - 1).toLong else id
+      val v = Array.tabulate(dim) { j =>
+        val b = mix(base * 7919L + j).toDouble / Long.MaxValue.toDouble
+        val noise =
+          if (base != id) 0.01 * (mix(id * 31L + j).toDouble / Long.MaxValue.toDouble) else 0.0
+        (b + noise).toFloat
+      }
+      (id, v, (math.floorMod(mix(base), 10)).toInt)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private val names = Seq(
+    "d01_dedup_exact", "d02_token_stats", "d03_quality_score", "d04_lang_guess",
+    "d05_fingerprints", "d06_minhash_pairs", "d07_simhash", "d08_regex_tokens",
+    "d09_dedup_clusters", "d10_tfidf_keywords", "d11_vocab_bigrams",
+    "d12_text_scrub", "d13_split_assign",
+    "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
+
+  private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] =
+    names.map { name =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = df.count()
+      // count() is fine here: growth factors need row counts, and every
+      // query's work is dominated by its joins/aggs, not final projection
+      name -> (((System.nanoTime() - t0) / 1e9, rows))
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_scale")
+    val spark = graft.engine.Session.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val d1 = s"$base/x1"
+    val d10x = s"$base/x10"
+    println("[scale] generating fixtures (1x: 5k docs/2k vecs; 10x: 50k/20k)")
+    genDocs(spark, 5000, d1); genEmbeddings(spark, 2000, 64, d1)
+    genDocs(spark, 50000, d10x); genEmbeddings(spark, 20000, 64, d10x)
+    println("[scale] warmup at 1x"); run(spark, d1)
+    println("[scale] timed 1x"); val r1 = run(spark, d1)
+    println("[scale] timed 10x"); val r10 = run(spark, d10x)
+    println(f"| query | 1x sec | 1x rows | 10x sec | 10x rows | time growth | row growth |")
+    println("|---|---|---|---|---|---|---|")
+    names.foreach { n =>
+      val (t1, c1) = r1(n); val (t10, c10) = r10(n)
+      println(f"| $n | $t1%.2f | $c1 | $t10%.2f | $c10 | ${t10 / t1}%.1fx | ${
+        if (c1 > 0) f"${c10.toDouble / c1}%.1fx" else "-"} |")
+    }
+    spark.stop()
+  }
+}

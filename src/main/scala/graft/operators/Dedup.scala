@@ -98,11 +98,13 @@ object Dedup {
       .join(sigFor("id_b"), Seq("id_b"))
       .withColumn(
         "est",
-        aggregate(
-          zip_with(col("sig_id_a"), col("sig_id_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v
-        ).cast("double") / k
+        // codegen'd equal-component count — this runs per raw candidate,
+        // and the interpreted zip_with+aggregate it replaces cost ~1 ms
+        // per pair (the dominant term once candidates number in the
+        // millions under small-vocabulary skew)
+        org.apache.spark.sql.graft.TextExpr
+          .sigMatchCount(col("sig_id_a"), col("sig_id_b"))
+          .cast("double") / k
       )
       .filter(col("est") >= cut)
       .select("id_a", "id_b")
@@ -247,18 +249,31 @@ object Dedup {
     * O(n · nTables) bucket rows; verification runs on candidate pairs
     * only. nBits controls precision (bucket size ≈ n / 2^nBits per
     * table), nTables recall (1 − (1 − p^nBits)^nTables).
+    *
+    * nBits ≤ 0 (the default) auto-scales to the corpus:
+    * ceil(log2(n / 16)) clamped to [6, 20]. Candidate volume within a
+    * table is Σ|bucket|²/2 ≈ n²/2^nBits — with FIXED bits it grows
+    * quadratically in n, so bucket width must track log2(n) to keep
+    * verification linear. Recall for near-identical pairs (the near-dup
+    * regime: p per bit ≥ 0.99) stays ≈ 1 across that whole clamp range.
     */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      nBits: Int = 8,
+      nBits0: Int = -1,
       nTables: Int = 8
   ): DataFrame = {
     import graft.functions.Vectors
     import org.apache.spark.sql.graft.VectorExpr
     val base = embeddings.select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
+    val nBits =
+      if (nBits0 > 0) nBits0
+      else {
+        val n = math.max(base.count(), 1L) // metadata-only parquet count
+        math.min(20, math.max(6, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+      }
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval

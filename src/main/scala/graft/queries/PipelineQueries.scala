@@ -434,7 +434,7 @@ object PipelineQueries {
       ).as("embedding")
     )
     Dedup
-      .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99, nBits = 8, nTables = 8)
+      .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99, nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
   }
   private val e03Sql =

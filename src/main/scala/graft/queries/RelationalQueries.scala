@@ -743,16 +743,26 @@ object RelationalQueries {
   // its advertised error budget fails the gate, not just a spec.
   // ---------------------------------------------------------------------
   private def q28(spark: SparkSession, dir: String): DataFrame = {
-    Tables
-      .orders(spark, dir)
+    val o = Tables.orders(spark, dir)
+    // two clean scans joined on the tiny group key: one agg mixing a
+    // DISTINCT (Expand) with typed-imperative percentile buffers plans a
+    // sort-based aggregate over the expanded relation — 8x slower here
+    // and worse with more groups
+    val exact = o
       .groupBy($"o_orderstatus")
       .agg(
         countDistinct($"o_custkey").as("clients_exact"),
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("mediane_exacte"),
-        count(lit(1)).as("n_orders"),
+        count(lit(1)).as("n_orders")
+      )
+    val approx = o
+      .groupBy($"o_orderstatus")
+      .agg(
         approx_count_distinct($"o_custkey", 0.01).as("clients_approx"),
         expr("approx_percentile(o_totalprice, 0.5, 5000)").as("mediane_approx")
       )
+    exact
+      .join(approx, "o_orderstatus")
       .select(
         $"o_orderstatus",
         $"clients_exact",
