@@ -9,6 +9,22 @@ object Dev {
   def main(args: Array[String]): Unit = {
     // `Dev bench <name>[,<name>...] <sfDir> [reps]` — time queries through
     // the same noop-sink path the driver bench uses.
+    // `Dev plan <name>[,<name>...] <sfDir>` — dump formatted plans.
+    if (args.length >= 2 && args(0) == "plan") {
+      val spark = graft.engine.Session.local(8)
+      spark.sparkContext.setLogLevel("WARN")
+      val sb = new StringBuilder
+      args(1).split(",").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, args(2))
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        sb.append(s"## $name\n\n```\n").append(formatted).append("\n```\n\n")
+      }
+      Files.writeString(Paths.get("/tmp/plans_raw.md"), sb.toString)
+      println("[dev] plans written")
+      spark.stop()
+      return
+    }
     if (args.length >= 2 && args(0) == "bench") {
       val spark = graft.engine.Session.local(32)
       spark.sparkContext.setLogLevel("WARN")

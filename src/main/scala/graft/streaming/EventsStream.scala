@@ -55,18 +55,36 @@ object EventsStream {
   /** Run a streaming DataFrame to completion against the static files and
     * return the materialized result (memory sink; complete mode for
     * aggregations, update for stateful operators).
+    *
+    * `statePartitions` sizes the stateful-operator shuffle, pinned at
+    * query start (per-query checkpoint): every state partition pays a
+    * store init + commit PER MICRO-BATCH, so it should track the state
+    * KEY cardinality (windows × groups — bounded by time span, not input
+    * volume), not the batch-side default parallelism. The catalog's
+    * streams keep O(10²–10³) keys, where 8 partitions is right even at
+    * full corpus scale; a high-cardinality stream (per-user sessions at
+    * production fan-in) should pass its own larger value.
     */
-  def runToCompletion(streamDF: DataFrame, name: String, mode: String = "complete"): DataFrame = {
+  def runToCompletion(
+      streamDF: DataFrame,
+      name: String,
+      mode: String = "complete",
+      statePartitions: Int = 8
+  ): DataFrame = {
     val spark = streamDF.sparkSession
-    val q = streamDF.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    val out = spark.table(name).localCheckpoint(eager = true)
-    q.stop()
-    out
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = streamDF.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      val out = spark.table(name).localCheckpoint(eager = true)
+      q.stop()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Streaming SLIDING-window rollup: 7-day windows advancing by 1 day
