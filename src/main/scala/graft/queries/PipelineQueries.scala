@@ -775,6 +775,25 @@ object PipelineQueries {
       |ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // io03 — small-file compaction (§2.9): rewrite the documents table
+  // range-clustered on doc_id and return the compacted content — the
+  // oracle proves the rewrite is content-exact (no row lost, duplicated
+  // or mutated). File-count and min/max-clustering assertions live in
+  // CompactSpec; this gate covers the data-preservation contract.
+  // ---------------------------------------------------------------------
+  private def io03(spark: SparkSession, dir: String): DataFrame = {
+    val dst =
+      s"${System.getProperty("java.io.tmpdir")}/graft_io03_${Integer.toHexString(dir.hashCode)}"
+    graft.operators.Compact
+      .parquet(spark, s"$dir/documents.parquet", dst, Seq(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+  private val io03Sql =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -956,6 +975,7 @@ object PipelineQueries {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
+    Q("io03_compact_roundtrip", "range-clustered small-file compaction (§2.9)", io03, Some(io03Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),
     Q("s04_stream_dedup", "watermarked streaming dedup of a doubled feed", s04, Some(s04Sql))

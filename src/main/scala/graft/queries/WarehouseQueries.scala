@@ -94,6 +94,33 @@ object WarehouseQueries {
       |ORDER BY source_commande_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // etl04 — the incremental ETL (§2.9): the Structured Streaming
+  // foreachBatch MERGE loader drained against the static feed must land
+  // on exactly the table the one-shot batch build produces — the oracle
+  // IS that batch SQL, so re-runnability/idempotence of the incremental
+  // path is hash-gated, not just spec-asserted.
+  // ---------------------------------------------------------------------
+  private def etl04(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = s"${System.getProperty("java.io.tmpdir")}/graft_etl04_${Integer.toHexString(dir.hashCode)}"
+    graft.streaming.IncrementalEtl
+      .run(spark, dir, tgt)
+      .select(
+        col("source_commande_id"),
+        col("date_key"),
+        col("montant").cast(DoubleType).as("montant"),
+        col("statut")
+      )
+      .orderBy(col("source_commande_id"))
+  }
+  private val etl04Sql =
+    """SELECT o_orderkey AS source_commande_id,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate)*10000 + EXTRACT(MONTH FROM o_orderdate)*100 + EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS date_key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS montant,
+      |  o_orderstatus AS statut
+      |FROM orders
+      |ORDER BY source_commande_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q26 — measure layer with slicer filters (annee=1997, nation=France):
   // filters hit the DIMENSIONS, the fact is restricted via broadcast
   // left-semi joins on surviving keys — the semantic-model filter
@@ -264,6 +291,7 @@ object WarehouseQueries {
     Q("etl01_dim_date", "star ETL: smart-keyed calendar dimension (S5/J8)", etl01, Some(etl01Sql)),
     Q("etl02_dim_client", "star ETL: denormalized dim + surrogate keys", etl02, Some(etl02Sql)),
     Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
+    Q("etl04_incremental_merge", "foreachBatch MERGE loader == batch build (§2.9)", etl04, Some(etl04Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
     Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql))
