@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, Md5SimHashBits, MinHashSig, RandomProjections, RollingHash, SigMatchCount, SimHash64, WinnowSketch}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the graft kernels (SURVEY §2.11) — registered through
+  * the standard `SparkSessionExtensions` seam, so a SQL-only user gets
+  * the custom Catalyst expressions without touching the Scala API:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.engine.GraftExtensions ...
+  * SELECT doc_id, graft_simhash64(graft_tokens(text)) FROM documents
+  * }}}
+  *
+  * Each function resolves to the SAME expression class the DataFrame API
+  * uses (codegen'd static kernels — see `TextExpressions.scala`), so SQL
+  * and Scala plans are identical. Arity/type errors surface at analysis
+  * time; integer shape parameters (n, k, bits) must be literals because
+  * they fix the expression's output schema.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be an INTEGER literal (it fixes the output shape), got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n argument(s), got ${args.length}")
+
+  private def inject(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String
+  )(builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction(
+      (
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        (args: Seq[Expression]) => builder(args)
+      )
+    )
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "graft_rolling_hash", "order-sensitive chained xxhash64 over a token array") {
+      args => arity("graft_rolling_hash", args, 1); RollingHash(args.head)
+    }
+    inject(ext, "graft_simhash64", "xxhash64 SimHash fingerprint of a token array") {
+      args => arity("graft_simhash64", args, 1); SimHash64(args.head)
+    }
+    inject(ext, "graft_md5_simhash_bits", "md5 SimHash as a 64-char bit string (engine-portable)") {
+      args => arity("graft_md5_simhash_bits", args, 1); Md5SimHashBits(args.head)
+    }
+    inject(ext, "graft_minhash_sig", "k-component MinHash signature of n-gram shingles: (tokens, n, k)") {
+      args =>
+        arity("graft_minhash_sig", args, 3)
+        MinHashSig(
+          args.head,
+          intLit(args(1), "graft_minhash_sig", "n"),
+          intLit(args(2), "graft_minhash_sig", "k"))
+    }
+    inject(ext, "graft_winnow_sketch", "w smallest distinct n-gram shingle hashes: (tokens, n, w)") {
+      args =>
+        arity("graft_winnow_sketch", args, 3)
+        WinnowSketch(
+          args.head,
+          intLit(args(1), "graft_winnow_sketch", "n"),
+          intLit(args(2), "graft_winnow_sketch", "w"))
+    }
+    inject(ext, "graft_sig_match_count", "count of equal positions in two BIGINT arrays") {
+      args => arity("graft_sig_match_count", args, 2); SigMatchCount(args.head, args(1))
+    }
+    inject(ext, "graft_dot", "dot product of two DOUBLE arrays") {
+      args => arity("graft_dot", args, 2); DotProduct(args.head, args(1))
+    }
+    inject(ext, "graft_cosine", "cosine similarity of two DOUBLE arrays (0.0 on zero norm)") {
+      args => arity("graft_cosine", args, 2); CosineSim(args.head, args(1))
+    }
+    inject(ext, "graft_random_projections", "n hyperplane projections of a DOUBLE array: (vec, n)") {
+      args =>
+        arity("graft_random_projections", args, 2)
+        RandomProjections(args.head, intLit(args(1), "graft_random_projections", "n"))
+    }
+  }
+}
