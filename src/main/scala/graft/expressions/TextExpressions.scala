@@ -169,7 +169,13 @@ object TextKernels {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0
     var i = 0
-    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    // null slots never match (getLong on a null slot reads raw 0 bits,
+    // which would spuriously equal a real 0L); internal signatures are
+    // null-free, but the SQL surface accepts nullable-element arrays
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
     c
   }
 

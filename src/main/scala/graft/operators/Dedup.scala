@@ -257,29 +257,34 @@ object Dedup {
     * verification linear. Recall for near-identical pairs (the near-dup
     * regime: p per bit ≥ 0.99) stays ≈ 1 across that whole clamp range.
     */
+  /** Bucket width for a corpus of n vectors: constant expected bucket
+    * size (~16), clamped to [6, 20] bits.
+    */
+  def autoBits(n: Long): Int =
+    math.min(20, math.max(6, math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2)).toInt))
+
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      nBits0: Int = -1,
+      nBits: Int = -1,
       nTables: Int = 8
   ): DataFrame = {
     import graft.functions.Vectors
     import org.apache.spark.sql.graft.VectorExpr
     val base = embeddings.select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
-    val nBits =
-      if (nBits0 > 0) nBits0
-      else {
-        val n = math.max(base.count(), 1L) // metadata-only parquet count
-        math.min(20, math.max(6, math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
-      }
+    // NOTE: the fallback count() runs a real job over the caller's input
+    // plan at DataFrame-construction time. When the corpus size is known
+    // (or derivable from a bare parquet scan's cheap metadata count),
+    // pass autoBits(n) explicitly instead.
+    val bits = if (nBits > 0) nBits else autoBits(base.count())
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval
     val v = base
-      .select(col("vec_id"), VectorExpr.randomProjections(col("v"), nBits * nTables).as("proj"))
-      .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), nBits, nTables)).as("tb"))
+      .select(col("vec_id"), VectorExpr.randomProjections(col("v"), bits * nTables).as("proj"))
+      .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), bits, nTables)).as("tb"))
     val a = v.select(col("vec_id").as("id_a"), col("tb"))
     val b = v.select(col("vec_id").as("id_b"), col("tb"))
     // candidate ids dedup BEFORE pulling vectors back in: the distinct

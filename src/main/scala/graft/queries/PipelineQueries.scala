@@ -433,8 +433,13 @@ object PipelineQueries {
             .cast(FloatType)
       ).as("embedding")
     )
+    // corpus size is known from the bare parquet scan's metadata count
+    // (em is union'd with one jittered copy) — pass the bucket width
+    // explicitly so construction never runs the auto-sizing job
+    val nBits = Dedup.autoBits(2L * Tables.embeddings(spark, dir).count())
     Dedup
-      .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99, nTables = 8)
+      .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99,
+        nBits = nBits, nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
   }
   private val e03Sql =
@@ -732,8 +737,17 @@ object PipelineQueries {
     // key + status/price, so don't pay to write (or later scan) the rest
     val orders = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
     val lines = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+    // the marker records the source files' (length, mtime) fingerprint:
+    // a regenerated fixture at the same path invalidates the buckets
+    // instead of silently serving stale data
     val marker = new java.io.File(s"$base/_SETUP_DONE")
-    if (marker.exists()) {
+    val fingerprint = Seq("orders", "lineitem").map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      s"$t:${f.length()}:${f.lastModified()}"
+    }.mkString("\n")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (markerFresh) {
       def register(tab: String, df: DataFrame, key: String, sub: String): Unit =
         if (!spark.catalog.tableExists(tab))
           spark.sql(
@@ -750,7 +764,7 @@ object PipelineQueries {
         .option("path", s"$base/lineitem")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lTab)
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
     (oTab, lTab)
   }

@@ -72,19 +72,25 @@ object EventsStream {
       statePartitions: Int = 8
   ): DataFrame = {
     val spark = streamDF.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = streamDF.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      q.processAllAvailable()
-      val out = spark.table(name).localCheckpoint(eager = true)
-      q.stop()
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the shuffle-partitions override is session-global until restored;
+    // serialize drains on the session so overlapping calls cannot clobber
+    // each other's saved value (batch queries issued DURING a drain would
+    // still observe the override — none do in this codebase)
+    spark.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = streamDF.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .start()
+        q.processAllAvailable()
+        val out = spark.table(name).localCheckpoint(eager = true)
+        q.stop()
+        out
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Streaming SLIDING-window rollup: 7-day windows advancing by 1 day
