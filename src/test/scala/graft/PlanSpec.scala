@@ -95,6 +95,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no custom kernel is a CodegenFallback (would force the subtree interpreted)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.graft._
+    val probe = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    val kernels: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq(
+      RollingHash(probe), WinnowSketch(probe, 3, 4), MinHashSig(probe, 3, 8),
+      Md5SimHashBits(probe), SimHash64(probe), SigMatchCount(probe, probe),
+      DotProduct(probe, probe), CosineSim(probe, probe), RandomProjections(probe, 4))
+    kernels.foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.prettyName} must implement doGenCode — CodegenFallback evaluates the whole " +
+          "subtree (including the tokenization child) interpreted")
+    }
+  }
+
+  test("d10 never plans a window partitioned by token (Zipfian skew guard)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("d10_tfidf_keywords")(spark, sfDir)
+    val tokWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.exists {
+        case a: AttributeReference => a.name == "tok"
+        case _ => false
+      } => w
+    }
+    assert(tokWindows.isEmpty,
+      "document frequency must come from groupBy+join, not a token-partitioned window " +
+        "(one task would buffer the entire hot-token partition)")
+  }
+
   test("brute-force kNN broadcasts the query side") {
     val em = Tables.embeddings(spark, sfDir)
     val p = plan(graft.operators.Similarity.bruteForceKnn(
