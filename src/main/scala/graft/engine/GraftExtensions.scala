@@ -46,7 +46,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     )
 
+  /** Wrap a Column-composition function (functions.Text/Vectors style)
+    * as an expression builder: the composed tree of BUILT-IN expressions
+    * is spliced in at analysis time, exactly as the DataFrame API would.
+    */
+  private def composed1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(
+      args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.graft.TextExpr.{columnOf, expressionOf}
+    expressionOf(f(columnOf(args.head)))
+  }
+
+  private def composed2(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)(
+      args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.graft.TextExpr.{columnOf, expressionOf}
+    expressionOf(f(columnOf(args.head), columnOf(args(1))))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "graft_tokens", "whitespace tokenization; blank text gives an empty array") {
+      args => arity("graft_tokens", args, 1); composed1(graft.functions.Text.tokens)(args)
+    }
+    inject(ext, "graft_shingles", "deduplicated word n-gram shingles: (text, n)") { args =>
+      arity("graft_shingles", args, 2)
+      val n = intLit(args(1), "graft_shingles", "n")
+      composed1(graft.functions.Text.shingles(_, n))(args)
+    }
+    inject(ext, "graft_jaccard", "exact Jaccard similarity of two shingle-set arrays") {
+      args => arity("graft_jaccard", args, 2); composed2(graft.functions.Text.jaccard)(args)
+    }
+    inject(ext, "graft_hamming64", "Hamming distance between two 64-bit fingerprints") {
+      args => arity("graft_hamming64", args, 2); composed2(graft.functions.Text.hamming64)(args)
+    }
+    inject(ext, "graft_quality_score", "Gopher-style document quality heuristic in [0,1]") {
+      args => arity("graft_quality_score", args, 1); composed1(graft.functions.Text.qualityScore)(args)
+    }
+    inject(ext, "graft_lang_guess", "stopword/CJK-density language ID ('und' when unknown)") {
+      args => arity("graft_lang_guess", args, 1); composed1(graft.functions.Text.langGuess)(args)
+    }
     inject(ext, "graft_rolling_hash", "order-sensitive chained xxhash64 over a token array") {
       args => arity("graft_rolling_hash", args, 1); RollingHash(args.head)
     }

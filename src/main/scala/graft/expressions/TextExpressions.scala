@@ -23,6 +23,18 @@ object TextExpr {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Public Column↔Expression bridge for code outside org.apache.spark.sql
+    * (ExpressionUtils is private[sql]) — used by the SQL function injector
+    * to wrap composed Column functions as expression builders.
+    * expressionOf converts the whole ColumnNode tree to catalyst
+    * expressions (ColumnNodeToExpressionConverter): a plain
+    * ExpressionUtils.expression wrapper leaves a ColumnNodeExpression
+    * leaf that the SQL analyzer would never resolve.
+    */
+  def columnOf(e: Expression): Column = col(e)
+  def expressionOf(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Order-sensitive chained hash over a token array:
     * acc_{i+1} = xxhash64(acc_i, tok_i), acc_0 = 0.
     */

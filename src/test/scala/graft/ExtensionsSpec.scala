@@ -64,6 +64,26 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("composed text functions from SQL: tokens, shingles, jaccard, quality, lang") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        """SELECT
+          |  graft_tokens('  a b  c ') AS t,
+          |  graft_shingles('a b c d', 2) AS sh,
+          |  round(graft_jaccard(array('a b', 'b c'), array('b c', 'c d')), 6) AS j,
+          |  graft_hamming64(7L, 1L) AS h,
+          |  graft_lang_guess('the cat is on the mat and it is fine') AS lg
+          |""".stripMargin)
+        .collect()
+        .head
+      assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+      assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+      assert(r.getDouble(2) == 0.333333)
+      assert(r.getInt(3) == 2)
+      assert(r.getString(4) == "en")
+    }
+  }
+
   test("vector kernels from SQL: dot, cosine, sig match count") {
     withExtendedSession { s =>
       val r = s.sql(
