@@ -6,11 +6,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * The image/audio codecs are NOT in this container, so the decode kernel
-  * is a clearly-marked deterministic fake (`fakeDecode`) — the Spark-side
-  * contract (schema, batching via mapPartitions, partition sizing, typed
-  * output) is real and tested. Swapping `fakeDecode` for a JNI/codec call
-  * is a one-function change.
+  * Two kernel tiers:
+  *   - deterministic byte kernels (`fakeDecode`, stub resize) power the
+  *     ORACLE-GATED catalog queries — the driver fixture's payloads are
+  *     synthetic bytes, and these kernels are engine-reproducible from
+  *     the raw bytes, so DuckDB can verify them exactly;
+  *   - REAL image kernels (decode / resize / grid features) via the
+  *     JDK's own ImageIO codecs (PNG/JPEG/BMP/GIF — no external
+  *     library), spec'd with encode→decode round trips. Audio/video
+  *     decode stays out of scope: those codecs genuinely are not in
+  *     this container.
   *
   * Scale notes: media rows are wide — `maxPartitionBytes` should be
   * lowered for real payloads so a task holds O(100) rows, and feature
@@ -112,6 +117,120 @@ object Multimodal {
         }
       }
       .toDF("media_id", "largeur", "hauteur", "payload")
+  }
+
+  // ------------------------------------------------------------------
+  // Real image kernels — the JDK ships PNG/JPEG/BMP/GIF codecs
+  // (javax.imageio in java.desktop), so image decode does NOT need an
+  // external library. The gated catalog queries (m01–m04) keep the
+  // deterministic byte kernels above because the driver fixture's
+  // payloads are synthetic bytes, not encoded images; the operators
+  // below are the production path, spec'd with PNG encode→decode round
+  // trips in MultimodalSpec. Audio/video codecs remain out of scope
+  // (not in the JDK).
+  // ------------------------------------------------------------------
+
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode image rows and report their REAL dimensions (vs. the carried
+    * metadata): the validation step of an ingest pipeline. Undecodable
+    * payloads survive with decodable=false rather than failing the job —
+    * at corpus scale a poison payload must never kill the stage.
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // ImageIO plugin scan happens once per JVM; per-partition loop
+        // amortizes stream/reader setup
+        rows.map { case (id, p) =>
+          readImage(p) match {
+            case Some(img) => (id, true, img.getWidth, img.getHeight)
+            case None      => (id, false, -1, -1)
+          }
+        }
+      }
+      .toDF("media_id", "decodable", "largeur", "hauteur")
+  }
+
+  /** Real image resize: decode → bilinear rescale → PNG re-encode, one
+    * decoder per partition. Undecodable rows are dropped (they were
+    * already flagged by [[decodeImageMeta]] upstream).
+    */
+  def resizeImagesReal(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) =>
+          readImage(p).map { img =>
+            val scaled = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            (id, targetW, targetH, encodePng(scaled))
+          }
+        }
+      }
+      .toDF("media_id", "largeur", "hauteur", "payload")
+  }
+
+  /** Real image features: mean grayscale over a grid×grid cell raster —
+    * the classic cheap visual embedding (and the shape a real model
+    * projection would replace). Output dim = grid².
+    */
+  def imageGridFeatures(media: DataFrame, grid: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) =>
+          readImage(p).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val acc = new Array[Double](grid * grid)
+            val cnt = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val gray =
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+                val cell = math.min(grid - 1, y * grid / h) * grid + math.min(grid - 1, x * grid / w)
+                acc(cell) += gray; cnt(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val feat = Array.tabulate(grid * grid)(i =>
+              if (cnt(i) == 0) 0f else (acc(i) / cnt(i)).toFloat)
+            (id, feat)
+          }
+        }
+      }
+      .toDF("media_id", "features")
   }
 
   /** Frame sampling for video rows: split the payload into `n` byte

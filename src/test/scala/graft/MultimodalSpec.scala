@@ -56,4 +56,51 @@ class MultimodalSpec extends SparkSpec {
     val vids = media.filter($"media_type" === "video").count()
     assert(frames.select($"media_id").distinct().count() == vids)
   }
+
+  // ---- real image kernels (JDK ImageIO) ------------------------------
+
+  /** Solid-color PNG bytes (encoded on the driver with the same JDK
+    * codec the executors decode with).
+    */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def realMedia = Seq(
+    (1L, "image", png(8, 6, 0xffffff)),         // white
+    (2L, "image", png(16, 16, 0x000000)),       // black
+    (3L, "image", "not an image".getBytes),     // poison payload
+    (4L, "video", png(8, 8, 0x123456))          // wrong modality — ignored
+  ).toDF("media_id", "media_type", "payload")
+
+  test("real decode: ImageIO reads true dimensions; poison payloads flagged, not fatal") {
+    val got = Multimodal.decodeImageMeta(realMedia).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((true, 8, 6)))
+    assert(got(2L) == ((true, 16, 16)))
+    assert(got(3L) == ((false, -1, -1)))
+    assert(!got.contains(4L))
+  }
+
+  test("real resize: decode -> bilinear rescale -> PNG re-encode round-trips") {
+    val out = Multimodal.resizeImagesReal(realMedia, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](3)).toMap
+    assert(out.keySet == Set(1L, 2L)) // poison row dropped
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L)))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(2, 2) & 0xffffff) == 0xffffff, "white image must stay white")
+  }
+
+  test("real features: grid grayscale means separate black from white") {
+    val f = Multimodal.imageGridFeatures(realMedia, grid = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L).length == 4 && f(2L).length == 4)
+    assert(f(1L).forall(v => v > 0.99f), s"white image features: ${f(1L)}")
+    assert(f(2L).forall(v => v < 0.01f), s"black image features: ${f(2L)}")
+  }
 }
