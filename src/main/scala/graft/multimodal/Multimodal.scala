@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   *     the raw bytes, so DuckDB can verify them exactly;
   *   - REAL image kernels (decode / resize / grid features) via the
   *     JDK's own ImageIO codecs (PNG/JPEG/BMP/GIF — no external
-  *     library), spec'd with encode→decode round trips. Audio/video
-  *     decode stays out of scope: those codecs genuinely are not in
-  *     this container.
+  *     library), spec'd with encode→decode round trips, plus WAV-PCM
+  *     audio (pure header/byte arithmetic, no codec). Compressed
+  *     audio/video decode stays out of scope: those codecs genuinely
+  *     are not in this container.
   *
   * Scale notes: media rows are wide — `maxPartitionBytes` should be
   * lowered for real payloads so a task holds O(100) rows, and feature
@@ -126,8 +127,8 @@ object Multimodal {
   // deterministic byte kernels above because the driver fixture's
   // payloads are synthetic bytes, not encoded images; the operators
   // below are the production path, spec'd with PNG encode→decode round
-  // trips in MultimodalSpec. Audio/video codecs remain out of scope
-  // (not in the JDK).
+  // trips in MultimodalSpec. Compressed audio/video codecs remain out
+  // of scope (not in the JDK); uncompressed WAV-PCM is handled below.
   // ------------------------------------------------------------------
 
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -230,6 +231,97 @@ object Multimodal {
           }
         }
       }
+      .toDF("media_id", "features")
+  }
+
+  // ------------------------------------------------------------------
+  // Real audio kernels — RIFF/WAV PCM needs no codec at all: the header
+  // is plain byte arithmetic and the samples are raw integers. Same
+  // poison-payload contract as the image tier.
+  // ------------------------------------------------------------------
+
+  private case class WavInfo(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, dataOffset: Int, dataLen: Int) {
+    def frames: Int = if (channels == 0 || bitsPerSample == 0) 0
+      else dataLen / (channels * (bitsPerSample / 8))
+    def durationMs: Int =
+      if (sampleRate == 0) 0 else (frames.toLong * 1000 / sampleRate).toInt
+  }
+
+  /** Minimal RIFF/WAV chunk walk (little-endian): accepts PCM (format 1)
+    * with a fmt chunk before data; anything else → None.
+    */
+  private def parseWav(p: Array[Byte]): Option[WavInfo] = {
+    @inline def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    @inline def u32(i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    @inline def tag(i: Int, s: String): Boolean =
+      i + 4 <= p.length && s.indices.forall(j => p(i + j) == s.charAt(j).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (off + 8 <= p.length) {
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      if (tag(off, "fmt ") && size >= 16) {
+        if (u16(off + 8) != 1) return None // PCM only
+        fmt = Some((u16(off + 10), u32(off + 12), u16(off + 22)))
+      } else if (tag(off, "data")) {
+        return fmt.map { case (ch, rate, bits) => WavInfo(ch, rate, bits, off + 8, size) }
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** True audio metadata for audio rows: decodability, channel count,
+    * sample rate, PCM duration — the audio twin of [[decodeImageMeta]].
+    */
+  def decodeWavMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        parseWav(p) match {
+          case Some(w) => (id, true, w.channels, w.sampleRate, w.durationMs)
+          case None    => (id, false, -1, -1, -1)
+        }
+      })
+      .toDF("media_id", "decodable", "canaux", "sample_rate", "duree_ms")
+  }
+
+  /** RMS energy per time window over 16-bit PCM (channel-interleaved
+    * samples pooled) — the classic cheap audio embedding; output dim =
+    * `windows`. Non-PCM/undecodable rows are dropped.
+    */
+  def audioRmsFeatures(media: DataFrame, windows: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWav(p).filter(_.bitsPerSample == 16).map { w =>
+          val nSamp = w.dataLen / 2
+          val acc = new Array[Double](windows)
+          val cnt = new Array[Long](windows)
+          var i = 0
+          while (i < nSamp) {
+            val b = w.dataOffset + 2 * i
+            val s = ((p(b) & 0xff) | (p(b + 1) << 8)).toShort / 32768.0
+            val win = math.min(windows - 1, (i.toLong * windows / nSamp).toInt)
+            acc(win) += s * s; cnt(win) += 1
+            i += 1
+          }
+          val feat = Array.tabulate(windows)(j =>
+            if (cnt(j) == 0) 0f else math.sqrt(acc(j) / cnt(j)).toFloat)
+          (id, feat)
+        }
+      })
       .toDF("media_id", "features")
   }
 

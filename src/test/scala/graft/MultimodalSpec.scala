@@ -96,6 +96,53 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(2, 2) & 0xffffff) == 0xffffff, "white image must stay white")
   }
 
+  /** 16-bit mono PCM WAV bytes: first half silence, second half a full
+    * sine at the given amplitude.
+    */
+  private def wav(sampleRate: Int, nFrames: Int, amp: Double): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes); u32(36 + dataLen); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); u32(16); u16(1); u16(1); u32(sampleRate)
+    u32(sampleRate * 2); u16(2); u16(16)
+    bos.write("data".getBytes); u32(dataLen)
+    (0 until nFrames).foreach { i =>
+      val v =
+        if (i < nFrames / 2) 0.0
+        else amp * math.sin(2 * math.Pi * 440 * i / sampleRate)
+      u16(((v * 32767).toInt).toShort & 0xffff)
+    }
+    bos.toByteArray
+  }
+
+  private def audioMedia = Seq(
+    (10L, "audio", wav(8000, 8000, 0.5)), // 1 s: silence then sine
+    (11L, "audio", "not audio".getBytes), // poison
+    (12L, "image", wav(8000, 100, 0.1))   // wrong modality — ignored
+  ).toDF("media_id", "media_type", "payload")
+
+  test("real wav decode: channels, sample rate, duration; poison flagged not fatal") {
+    val got = Multimodal.decodeWavMeta(audioMedia).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(10L) == ((true, 1, 8000, 1000)))
+    assert(got(11L) == ((false, -1, -1, -1)))
+    assert(!got.contains(12L))
+  }
+
+  test("real audio features: RMS separates the silent half from the sine half") {
+    val f = Multimodal.audioRmsFeatures(audioMedia, windows = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f.keySet == Set(10L)) // poison row dropped
+    val feat = f(10L)
+    assert(feat.length == 4)
+    assert(feat(0) < 0.01f && feat(1) < 0.01f, s"silent half must be ~0: $feat")
+    // RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2) ≈ 0.354
+    assert(feat(2) > 0.3f && feat(2) < 0.4f, s"sine half RMS off: $feat")
+    assert(feat(3) > 0.3f && feat(3) < 0.4f, s"sine half RMS off: $feat")
+  }
+
   test("real features: grid grayscale means separate black from white") {
     val f = Multimodal.imageGridFeatures(realMedia, grid = 2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
