@@ -121,6 +121,59 @@ object WarehouseQueries {
       |ORDER BY source_commande_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // etl05 — ETL-time constraint validation (SURVEY §1.2: the engine-side
+  // replacement for the reference's DDL enforcement — CHECK montant>=0,
+  // enum domains, NOT NULL, PK, FK). Row rules run in ONE aggregate pass
+  // per table; PK = hash-groupBy; FK = left-anti join. The range rule is
+  // deliberately violated by the data (~half of lineitem) so the report
+  // is non-trivial.
+  // ---------------------------------------------------------------------
+  private def etl05(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Validate
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    Validate.summary(
+      Validate.rowReport(
+        orders,
+        Validate.RowRule("o_totalprice_check", col("o_totalprice") >= 0) +:
+          Validate.inSet("o_orderstatus", Seq("F", "O", "P")) +:
+          Validate.notNull("o_orderdate")
+      ),
+      Validate.rowReport(lineitem, Seq(Validate.inRange("l_quantity", 1, 25))),
+      Validate.primaryKeyReport(orders, "pk_orders", Seq("o_orderkey")),
+      Validate.foreignKeyReport(lineitem, Seq("l_orderkey"), orders, Seq("o_orderkey"),
+        "fk_lineitem_orders")
+    )
+  }
+  private val etl05Sql =
+    """SELECT regle, violations FROM (
+      |  SELECT 'o_totalprice_check' AS regle,
+      |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice >= 0, FALSE)) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus_domain',
+      |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate_not_null',
+      |    CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'l_quantity_range',
+      |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 25, FALSE)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'pk_orders',
+      |    CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem l
+      |          WHERE l.l_orderkey IS NOT NULL
+      |            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |)
+      |ORDER BY regle""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q26 — measure layer with slicer filters (annee=1997, nation=France):
   // filters hit the DIMENSIONS, the fact is restricted via broadcast
   // left-semi joins on surviving keys — the semantic-model filter
@@ -292,6 +345,7 @@ object WarehouseQueries {
     Q("etl02_dim_client", "star ETL: denormalized dim + surrogate keys", etl02, Some(etl02Sql)),
     Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
     Q("etl04_incremental_merge", "foreachBatch MERGE loader == batch build (§2.9)", etl04, Some(etl04Sql)),
+    Q("etl05_constraint_report", "ETL constraint validation: CHECK/domain/NOT NULL/PK/FK (§1.2)", etl05, Some(etl05Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
     Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql))
