@@ -84,7 +84,11 @@ object ScaleStress {
     "d12_text_scrub", "d13_split_assign",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
 
-  private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] =
+  private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] = {
+    // drop cached/checkpointed blocks from previous queries: pinned
+    // localCheckpoint RDDs otherwise accumulate block-manager pressure
+    // across the session and add ±50% noise to the iterative queries
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     names.map { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
@@ -93,6 +97,7 @@ object ScaleStress {
       // query's work is dominated by its joins/aggs, not final projection
       name -> (((System.nanoTime() - t0) / 1e9, rows))
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")
