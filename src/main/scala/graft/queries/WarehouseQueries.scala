@@ -272,6 +272,43 @@ object WarehouseQueries {
       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s05 — flatMapGroupsWithState sessionization (§2.9): one row PER
+  // closed session, emitted when a later event closes it; the trailing
+  // open session stays in state (on an unbounded stream it is not yet
+  // complete), so the oracle is every session except each user's last.
+  // ---------------------------------------------------------------------
+  private def s05(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream
+      .runToCompletion(
+        graft.streaming.EventsStream.sessionsFlat(spark, dir),
+        "graft_s05",
+        mode = "update"
+      )
+      .orderBy(col("user_id"), col("debut_s"))
+  private val s05Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+      |         LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT), 1)
+      |           OVER (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS prev_s
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts_s,
+      |         SUM(CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM seq
+      |), sess AS (
+      |  SELECT user_id, sid, MIN(ts_s) AS debut_s, MAX(ts_s) AS fin_s, COUNT(*) AS n_events
+      |  FROM numbered GROUP BY user_id, sid
+      |), last AS (
+      |  SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY user_id
+      |)
+      |SELECT s.user_id, s.debut_s, s.fin_s, s.n_events
+      |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid < l.last_sid
+      |ORDER BY s.user_id, s.debut_s""".stripMargin
+
+  // ---------------------------------------------------------------------
   // v01 — the SQL surface: temp views layered on temp views, queried via
   // spark.sql — the reference's CREATE VIEW API with analyzer-side view
   // inlining (S6, §3.1 step 2).
@@ -348,6 +385,7 @@ object WarehouseQueries {
     Q("etl05_constraint_report", "ETL constraint validation: CHECK/domain/NOT NULL/PK/FK (§1.2)", etl05, Some(etl05Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
-    Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql))
+    Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql)),
+    Q("s05_stream_sessions_flat", "flatMapGroupsWithState per-session emission (§2.9)", s05, Some(s05Sql))
   )
 }

@@ -189,9 +189,56 @@ object EventsStream {
       }
       .toDF("user_id", "n_sessions", "n_events")
   }
+  /** Per-SESSION emission via flatMapGroupsWithState: a session row
+    * (start, end, event count) is emitted the moment a later event
+    * closes it (gap > 30 min); the trailing open session stays in state
+    * and is never emitted — on an unbounded stream it is not yet known
+    * to be complete. State per user is O(1) (one open session).
+    */
+  def sessionsFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(
+        col("user_id").cast(LongType).as("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
+        col("event_id").cast(LongType).as("event_id")
+      )
+      .as[(Long, Long, Long)]
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _) =>
+            open match {
+              case Some(s) if ts - s.lastS > 1800 =>
+                out += ((uid, s.startS, s.lastS, s.n))
+                open = Some(OpenSession(ts, ts, 1))
+              case Some(s) =>
+                open = Some(s.copy(lastS = ts, n = s.n + 1))
+              case None =>
+                open = Some(OpenSession(ts, ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "debut_s", "fin_s", "n_events")
+  }
 }
 
 /** mapGroupsWithState state: last event second, sessions so far, events
   * so far.
   */
 case class SessionAgg(lastTs: Long, nSessions: Long, nEvents: Long)
+
+/** flatMapGroupsWithState state: the user's current open session. */
+case class OpenSession(startS: Long, lastS: Long, n: Long)
