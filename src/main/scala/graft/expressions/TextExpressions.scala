@@ -64,6 +64,22 @@ object TextExpr {
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     col(MinHashSig(expr(tokens), n, k))
 
+  /** LSH band buckets of a MinHash signature: array of (band,
+    * xxhash64(band, sig[band·r .. band·r+r])) structs, bit-identical to
+    * the transform(sequence(...)) HOF formulation (Spark's two-argument
+    * xxhash64 over an int and an array<long> slice) but compiled — the
+    * banding runs once per corpus row, and an interpreted lambda there
+    * is per-row overhead at any scale.
+    */
+  def minhashBands(sig: Column, bands: Int, r: Int): Column =
+    col(MinHashBands(expr(sig), bands, r))
+
+  /** SimHash pigeonhole chunks: array of (chunk, chunk-bits) structs —
+    * the compiled twin of the shiftright/mask transform lambda.
+    */
+  def simhashChunks(simhash: Column, chunks: Int, width: Int): Column =
+    col(SimHashChunks(expr(simhash), chunks, width))
+
   /** Count of positions where two long arrays hold equal values — the
     * matching-components numerator of the MinHash Jaccard estimator.
     * Runs once per CANDIDATE pair, so it must be a compiled loop: the
@@ -175,6 +191,39 @@ object TextKernels {
     var j = 0
     while (j < 64) { bits(j) = if (weights(j) > 0) '1' else '0'; j += 1 }
     UTF8String.fromBytes(bits)
+  }
+
+  /** Band buckets: (band, xxhash64(band, sig-slice)) — the chained hash
+    * matches Spark's two-argument xxhash64 over (int, array<long>):
+    * seed 42 → hashInt(band) → per-element hashLong fold over the slice.
+    */
+  def minhashBands(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var j = 0
+      while (j < r) { h = XXH64.hashLong(sig.getLong(b * r + j), h); j += 1 }
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, h))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Pigeonhole chunks: (chunk, (h >> chunk·width) & mask) — arithmetic
+    * shift to mirror Spark's shiftright exactly.
+    */
+  def simhashChunks(h: Long, chunks: Int, width: Int): ArrayData = {
+    val mask = (1L << width) - 1
+    val out = new Array[Any](chunks)
+    var c = 0
+    while (c < chunks) {
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c, (h >> (c * width)) & mask))
+      c += 1
+    }
+    new GenericArrayData(out)
   }
 
   def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
@@ -309,6 +358,52 @@ case class Md5SimHashBits(child: Expression)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.md5SimhashBits($x)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5SimHashBits =
+    copy(child = newChild)
+}
+
+/** LSH band buckets of a MinHash signature (compiled banding loop). */
+case class MinHashBands(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(bands > 0 && r > 0, "bands and r must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashBands(input.asInstanceOf[ArrayData], bands, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.minhashBands($x, $bands, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** SimHash pigeonhole chunk keys (compiled chunking loop). */
+case class SimHashChunks(child: Expression, chunks: Int, width: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(chunks > 0 && width > 0, "chunks and width must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk", IntegerType, nullable = false),
+      StructField("ckey", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_simhash_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhashChunks(input.asInstanceOf[Long], chunks, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.simhashChunks($x, $chunks, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
     copy(child = newChild)
 }
 

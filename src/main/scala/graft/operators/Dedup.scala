@@ -68,14 +68,11 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .cache()
 
+    // banding runs once per corpus row — compiled MinHashBands, not an
+    // interpreted transform(sequence(...)) lambda (bit-identical buckets)
     val buckets = withSig.select(
       col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket"))
-        )
-      ).as("bb")
+      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig"), bands, r)).as("bb")
     )
     val l = buckets.select(col("doc_id").as("id_a"), col("bb"))
     val rr = buckets.select(col("doc_id").as("id_b"), col("bb"))
@@ -160,18 +157,8 @@ object Dedup {
     val blocked = fp.select(
       col("doc_id"),
       col("simhash"),
-      explode(
-        transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c =>
-            struct(
-              c.as("chunk"),
-              call_function("shiftright", col("simhash"), c * width)
-                .bitwiseAND(lit((1L << width) - 1))
-                .as("ckey")
-            )
-        )
-      ).as("blk")
+      explode(org.apache.spark.sql.graft.TextExpr.simhashChunks(col("simhash"), chunks, width))
+        .as("blk")
     )
     val a = blocked.select(col("doc_id").as("id_a"), col("simhash").as("h_a"), col("blk"))
     val b = blocked.select(col("doc_id").as("id_b"), col("simhash").as("h_b"), col("blk"))

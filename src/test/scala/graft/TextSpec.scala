@@ -136,4 +136,35 @@ class TextSpec extends SparkSpec {
     assert(sig(4L).isEmpty, "fewer tokens than shingle width -> null signature")
     assert(sig(1L).get.length == 16)
   }
+
+  test("minhash band buckets: compiled expression == HOF xxhash64 formulation bit-for-bit") {
+    val (bands, r) = (8, 2)
+    val t = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextExpr.minhashSig(Text.tokens($"text"), 3, bands * r).as("sig"))
+    val compiled = t.select($"doc_id",
+      explode(TextExpr.minhashBands($"sig", bands, r)).as("bb")).collect()
+      .map(x => (x.getLong(0), x.getStruct(1).getInt(0), x.getStruct(1).getLong(1))).toSet
+    val hof = t.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(b, slice($"sig", b * r + 1, lit(r))).as("bucket"))))
+        .as("bb")).collect()
+      .map(x => (x.getLong(0), x.getStruct(1).getInt(0), x.getStruct(1).getLong(1))).toSet
+    assert(compiled == hof)
+  }
+
+  test("simhash chunk keys: compiled expression == shiftright/mask formulation bit-for-bit") {
+    val (chunks, width) = (4, 16)
+    val t = Seq((1L, -6148914691236517206L), (2L, 81985529216486895L)).toDF("doc_id", "simhash")
+    val compiled = t.select($"doc_id",
+      explode(TextExpr.simhashChunks($"simhash", chunks, width)).as("blk")).collect()
+      .map(x => (x.getLong(0), x.getStruct(1).getInt(0), x.getStruct(1).getLong(1))).toSet
+    val hof = t.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", $"simhash", c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("ckey")))).as("blk")).collect()
+      .map(x => (x.getLong(0), x.getStruct(1).getInt(0), x.getStruct(1).getLong(1))).toSet
+    assert(compiled == hof)
+  }
 }
