@@ -20,19 +20,13 @@ object Text {
 
   /** Contiguous word n-gram shingles (space-joined), deduplicated.
     * The canonical unit for MinHash / Jaccard near-dup detection.
+    * Compiled ShinglesOf expression — the array_distinct(transform(...))
+    * formulation it replaces evaluated interpreted per element, which
+    * dominated exact-Jaccard verification once candidate docs numbered
+    * in the thousands.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(
-        array_distinct(
-          transform(
-            sequence(lit(0), size(t) - n),
-            i => concat_ws(" ", slice(t, i + 1, lit(n)))
-          )
-        )
-      )
-  }
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextExpr.shinglesOf(tokens(text), n)
 
   /** Contiguous word n-grams over an ALREADY-TOKENIZED column, with
     * multiplicity (unlike [[shingles]], which dedupes) — the unit for

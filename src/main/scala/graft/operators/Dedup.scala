@@ -39,6 +39,19 @@ object Dedup {
     * defaults (k=64, b=32, r=2) catch s ≥ 0.5 with ≥ 99.99%. The 3σ
     * estimate margin (σ = sqrt(s(1-s)/k)) keeps prefilter false-drop
     * probability below 1e-3 at s = threshold and ~0 above it.
+    *
+    * `maxBucket` drops band buckets holding more than that many docs
+    * from candidate generation. Mega-buckets arise when a corpus-hot
+    * minimum shingle degenerates a band (boilerplate, tiny
+    * vocabularies): one such bucket enumerates |bucket|²/2 pairs inside
+    * ONE task — quadratic join output that AQE cannot split, and
+    * essentially all of it fails verification. Recall cost is
+    * negligible: a pair at J ≥ threshold+ε collides in ~b·J^r bands
+    * (~8 of 32 at J = 0.5), and losing a pair requires EVERY one of
+    * its colliding buckets to be degenerate — probability
+    * (capped-fraction)^(b·J^r), ~1e-44 at the 2 % capped-row fraction
+    * the adversarial SCALE.md stress produces (which still finds 100 %
+    * of planted pairs with the cap active).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -47,7 +60,8 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 64,
       bands: Int = 32,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = 4096
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -74,37 +88,62 @@ object Dedup {
       col("doc_id"),
       explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig"), bands, r)).as("bb")
     )
-    val l = buckets.select(col("doc_id").as("id_a"), col("bb"))
-    val rr = buckets.select(col("doc_id").as("id_b"), col("bb"))
-    val rawCandidates = l
+    // the oversized-bucket list is tiny (top-k hot buckets) → broadcast
+    // anti join; the sizing aggregation shuffles the same narrow rows
+    // the self-join shuffles anyway
+    val hot = buckets
+      .groupBy(col("bb"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxBucket)
+      .select("bb")
+    val pruned = buckets.join(broadcast(hot), Seq("bb"), "left_anti")
+    val l = pruned.select(col("doc_id").as("id_a"), col("bb"))
+    val rr = pruned.select(col("doc_id").as("id_b"), col("bb"))
+    val rawPairs = l
       .join(rr, Seq("bb"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
 
     // Estimate prefilter: fraction of equal signature components is an
     // unbiased Jaccard estimator (σ = sqrt(j(1-j)/k)); band candidates
     // far below the threshold (r=2 lets j ≈ 0.1 noise through) die here
     // on cached 64-long arrays instead of reaching text verification.
+    // est does not depend on pair multiplicity, so the kill commutes
+    // with dedup — apply it on whichever side of the distinct is cheap.
     val sigma = math.sqrt(threshold * (1 - threshold) / k)
     val cut = math.max(0.0, threshold - 3 * sigma)
     val sigFor = (alias: String) =>
       withSig.select(col("doc_id").as(alias), col("sig").as(s"sig_$alias"))
-    val candidates = rawCandidates
-      .join(sigFor("id_a"), Seq("id_a"))
-      .join(sigFor("id_b"), Seq("id_b"))
-      .withColumn(
-        "est",
-        // codegen'd equal-component count — this runs per raw candidate,
-        // and the interpreted zip_with+aggregate it replaces cost ~1 ms
-        // per pair (the dominant term once candidates number in the
-        // millions under small-vocabulary skew)
-        org.apache.spark.sql.graft.TextExpr
-          .sigMatchCount(col("sig_id_a"), col("sig_id_b"))
-          .cast("double") / k
-      )
-      .filter(col("est") >= cut)
-      .select("id_a", "id_b")
+    val est = org.apache.spark.sql.graft.TextExpr
+      .sigMatchCount(col("sig_id_a"), col("sig_id_b"))
+      .cast("double") / k
+    // Boilerplate-heavy corpora produce mega-buckets (every doc sharing
+    // a hot minimum shingle hash lands in one band bucket), and raw
+    // band pairs then dwarf the final candidates — Σ|bucket|²/2 rows.
+    // While the signature table fits a broadcast, stream the raw pairs
+    // MAP-SIDE through broadcast sig lookups and kill on the estimate
+    // BEFORE any shuffle: the distinct then runs on survivors only
+    // (222M raw → ~1M on the adversarial 10× stress). Past broadcast
+    // size, dedup first — the narrow distinct is then cheaper than
+    // shuffling sig-wide raw pairs twice.
+    val nDocs = withSig.count() // materializes the cache (reused by every branch)
+    val sigBroadcastable = nDocs * (k * 8L + 32L) <= 128L * 1024 * 1024
+    val candidates = (if (sigBroadcastable)
+      rawPairs
+        .join(broadcast(sigFor("id_a")), Seq("id_a"))
+        .join(broadcast(sigFor("id_b")), Seq("id_b"))
+        .withColumn("est", est)
+        .filter(col("est") >= cut)
+        .select("id_a", "id_b")
+        .distinct()
+    else
+      rawPairs
+        .distinct()
+        .join(sigFor("id_a"), Seq("id_a"))
+        .join(sigFor("id_b"), Seq("id_b"))
+        .withColumn("est", est)
+        .filter(col("est") >= cut)
+        .select("id_a", "id_b"))
       .cache() // feeds two candDocs branches + the verification join
 
     // Exact-Jaccard verification builds shingle SETS only for surviving
