@@ -57,42 +57,60 @@ object Similarity {
       asc = false
     )(0)("negcell")
 
-  /** Lloyd k-means over unit-normalized cosine geometry: assign each
-    * vector to its nearest centroid (map), recompute centroids as
-    * component-wise means via posexplode + groupBy (one shuffle of
-    * |corpus|·dim skinny rows per iteration), collect only the k × dim
-    * result. Deterministic init: the k lowest-id vectors.
+  /** Lloyd k-means over cosine geometry, fitted on a bounded
+    * DETERMINISTIC sample (hash-ordered TakeOrdered, default
+    * max(4096, 128·k) vectors) and iterated on the driver: centroid
+    * quality needs O(100·k) training points, not the corpus, so the fit
+    * cost is O(1) in corpus size — the FAISS-style train-on-sample
+    * pattern (a full-corpus distributed Lloyd shuffled |corpus|·dim
+    * rows per iteration and grew ~5× per 10× rows in the SCALE.md
+    * stress). Only the sample (≤ cap·dim doubles) reaches the driver;
+    * ties prefer the lower cell, matching `nearestCell`.
     */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 5
+      iters: Int = 5,
+      sampleCap: Int = 0
   ): Array[Array[Double]] = {
-    val base = corpus
+    val cap = if (sampleCap > 0) sampleCap else math.max(4096, 128 * k)
+    val vecs: Array[Array[Double]] = corpus
       .select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
-      .cache()
-    var cents: Array[Array[Double]] = base
-      .orderBy(col("vec_id"))
-      .limit(k)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")) // TakeOrdered, no full sort
+      .limit(cap)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
-      val assigned = base.withColumn("cell", nearestCell(col("v"), cents))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("comps"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
-        .toMap
-      // empty cells keep their previous centroid
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    require(vecs.nonEmpty, "empty training corpus")
+    @inline def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      val n = math.min(a.length, b.length)
+      while (j < n) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      val den = math.sqrt(na * nb)
+      if (den == 0.0) 0.0 else dot / den
     }
-    base.unpersist() // model is collected; drop the training cache
+    var cents = vecs.take(k)
+    val dim = cents(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      vecs.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(v, cents(c))
+          if (s > bestScore) { bestScore = s; best = c } // strict > : ties keep lower cell
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i =>
+        if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))).toArray
+    }
     cents
   }
 
