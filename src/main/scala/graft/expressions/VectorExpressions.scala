@@ -35,6 +35,57 @@ object VectorExpr {
     * materialized once per task instead of re-hashed per row.
     */
   def randomProjections(v: Column, n: Int): Column = col(RandomProjections(expr(v), n))
+
+  /** Multi-table sign-bit bucket packing of a projections array:
+    * (table, bucket) structs, bucket bit i = sign of projection
+    * table·nBits+i. Compiled — the transform+aggregate fold ran
+    * nTables·nBits interpreted lambda steps per corpus row.
+    */
+  def packBuckets(proj: Column, nBits: Int, nTables: Int): Column =
+    col(PackBuckets(expr(proj), nBits, nTables))
+}
+
+/** Static kernels callable from generated code (see TextKernels). */
+object VectorKernels {
+  def packBuckets(proj: ArrayData, nBits: Int, nTables: Int): ArrayData = {
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var b = 0L
+      var i = 0
+      while (i < nBits) {
+        if (proj.getDouble(t * nBits + i) >= 0) b |= (1L << i)
+        i += 1
+      }
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t, b))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sign-bit LSH bucket packing (compiled loop). */
+case class PackBuckets(child: Expression, nBits: Int, nTables: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(nBits > 0 && nTables > 0, "nBits and nTables must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("table", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_pack_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.packBuckets(input.asInstanceOf[ArrayData], nBits, nTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.VectorKernels.packBuckets($x, $nBits, $nTables)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackBuckets =
+    copy(child = newChild)
 }
 
 /** Dot product of two array<double> columns. */

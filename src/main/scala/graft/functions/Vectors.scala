@@ -38,22 +38,7 @@ object Vectors {
     * where extra bits multiply precision.
     */
   def packBuckets(proj: Column, nBits: Int, nTables: Int): Column =
-    transform(
-      sequence(lit(0), lit(nTables - 1)),
-      t =>
-        struct(
-          t.as("table"),
-          aggregate(
-            sequence(lit(0), lit(nBits - 1)),
-            lit(0L),
-            (acc, i) =>
-              acc.bitwiseOR(
-                when(element_at(proj, t * nBits + i + 1) >= 0, call_function("shiftleft", lit(1L), i))
-                  .otherwise(lit(0L))
-              )
-          ).as("bucket")
-        )
-    )
+    VectorExpr.packBuckets(proj, nBits, nTables)
 
   /** Convenience: projections + packing in one column expression. Only
     * safe on small nBits·nTables; operators materialize the projections
