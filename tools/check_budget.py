@@ -15,7 +15,7 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
-    ap.add_argument("--per-query", type=float, default=5.0)
+    ap.add_argument("--per-query", type=float, default=6.0)
     ap.add_argument("--total", type=float, default=80.0)
     args = ap.parse_args()
 
