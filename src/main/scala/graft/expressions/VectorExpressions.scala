@@ -43,10 +43,48 @@ object VectorExpr {
     */
   def packBuckets(proj: Column, nBits: Int, nTables: Int): Column =
     col(PackBuckets(expr(proj), nBits, nTables))
+
+  /** Cosine similarity of a vector against every row of a fixed
+    * centroid matrix (array<double> result) — the IVF assign kernel,
+    * with the matrix shipped once per task as a reference object.
+    */
+  def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
+    col(CentroidScores(expr(v), cents))
+
+  /** Index of the maximum of an array<double>; ties prefer the LOWER
+    * index (matching the descending (score, -index) struct sort).
+    */
+  def argMaxIndex(scores: Column): Column = col(ArgMaxIndex(expr(scores)))
+
+  /** Indices of the k largest values, descending by value, ties by
+    * lower index first.
+    */
+  def topKIndices(scores: Column, k: Int): Column = col(TopKIndices(expr(scores), k))
 }
 
 /** Static kernels callable from generated code (see TextKernels). */
 object VectorKernels {
+  def argMax(a: ArrayData): Int = {
+    val n = a.numElements()
+    var best = 0
+    var bestV = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      if (v > bestV) { bestV = v; best = i } // strict > : ties keep lower index
+      i += 1
+    }
+    best
+  }
+
+  def topK(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val idx = Array.tabulate(n)(identity)
+    // stable sort by descending value keeps lower indices first on ties
+    val sorted = idx.sortBy(i => -a.getDouble(i))
+    new GenericArrayData(sorted.take(math.min(k, n)))
+  }
+
   def packBuckets(proj: ArrayData, nBits: Int, nTables: Int): ArrayData = {
     val out = new Array[Any](nTables)
     var t = 0
@@ -250,5 +288,85 @@ case class RandomProjections(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RandomProjections =
+    copy(child = newChild)
+}
+
+/** Cosine of a vector against each row of a per-task centroid matrix. */
+case class CentroidScores(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(cents.nonEmpty, "empty centroid matrix")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_scores"
+
+  def score(input: ArrayData): ArrayData = {
+    val dim = input.numElements()
+    val v = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { v(j) = input.getDouble(j); j += 1 }
+    var nv = 0.0
+    j = 0
+    while (j < dim) { nv += v(j) * v(j); j += 1 }
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(dim, ct.length)
+      var dot = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) { dot += v(i) * ct(i); nc += ct(i) * ct(i); i += 1 }
+      val den = math.sqrt(nv * nc)
+      out(c) = if (den == 0.0) 0.0 else dot / den
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCents", this, classOf[CentroidScores].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.score($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidScores =
+    copy(child = newChild)
+}
+
+/** argmax over array<double>; ties prefer the lower index. */
+case class ArgMaxIndex(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmax_index"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.argMax(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.VectorKernels.argMax($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxIndex =
+    copy(child = newChild)
+}
+
+/** Indices of the k largest values, descending, ties by lower index. */
+case class TopKIndices(child: Expression, k: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k > 0, "k must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_topk_indices"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.topK(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.VectorKernels.topK($x, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopKIndices =
     copy(child = newChild)
 }

@@ -17,9 +17,10 @@ import graft.functions.Vectors
   *     nProbe nearest cells only, cutting the scanned fraction to
   *     nProbe/nList. All shuffles are on cell id.
   *   - trainCentroids + ivfKnnTrained: the same scale path with REAL
-  *     Lloyd-iteration k-means centroids — assignment and centroid
-  *     recomputation are distributed DataFrame ops; only the k × dim
-  *     centroid matrix (the model) ever reaches the driver.
+  *     Lloyd k-means centroids, fitted FAISS-style on a bounded
+  *     deterministic sample (training cost O(1) in corpus size); the
+  *     corpus-wide assignment is one compiled kernel call per row with
+  *     the k × dim centroid matrix shipped as a task reference.
   */
 object Similarity {
 
@@ -45,17 +46,14 @@ object Similarity {
   }
 
   /** Nearest-centroid id for a vector column, given driver-side
-    * centroids (broadcast as literals — k·dim doubles, the model).
-    * Ties break toward the lower cell id (the sort struct carries the
-    * NEGATED cell id so the descending struct sort prefers it);
-    * codegen CosineSim per cell.
+    * centroids (shipped once per task as the CentroidScores reference
+    * object — k·dim doubles, the model). One compiled kernel call per
+    * row; ties break toward the lower cell id.
     */
-  private def nearestCell(v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =
-    -sort_array(
-      array(cents.indices.map(i =>
-        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(-i).as("negcell"))): _*),
-      asc = false
-    )(0)("negcell")
+  private def nearestCell(v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) = {
+    import org.apache.spark.sql.graft.VectorExpr
+    VectorExpr.argMaxIndex(VectorExpr.centroidScores(v, cents))
+  }
 
   /** Lloyd k-means over cosine geometry, fitted on a bounded
     * DETERMINISTIC sample (hash-ordered TakeOrdered, default
@@ -127,18 +125,14 @@ object Similarity {
       cents: Array[Array[Double]],
       nProbe: Int = 4
   ): DataFrame = {
-    // negated cell id in the sort struct: equal scores prefer the LOWER
-    // cell under the descending sort, matching nearestCell's tie-break
-    def cellStructs(v: org.apache.spark.sql.Column) =
-      array(cents.indices.map(i =>
-        struct(Vectors.cosine(v, lit(cents(i))).as("score"), lit(-i).as("negcell"))): _*)
+    import org.apache.spark.sql.graft.VectorExpr
     val c = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("cell", nearestCell(col("v_c"), cents))
     val q = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
-      .withColumn("cell", explode(transform(
-        slice(sort_array(cellStructs(col("v_q")), asc = false), 1, nProbe), s => -s("negcell"))))
+      .withColumn("cell",
+        explode(VectorExpr.topKIndices(VectorExpr.centroidScores(col("v_q"), cents), nProbe)))
     val scored = c
       .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -166,26 +160,18 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpr
     // centroid direction c[i][j] from xxhash64(i,j) in [-1,1] — derived,
-    // not trained, so no side-file ships to executors. Projections are a
-    // materialized column (see Vectors.packBuckets note), the ranking
-    // struct array is a cheap 16-element HOF over that attribute.
-    // negated cell id in the sort struct: equal scores prefer the LOWER
-    // cell under the descending sort (same tie-break as nearestCell)
-    def cellStructs(scores: org.apache.spark.sql.Column) =
-      transform(
-        sequence(lit(0), lit(nList - 1)),
-        i => struct(element_at(scores, i + 1).as("score"), (-i).as("negcell"))
-      )
-
+    // not trained, so no side-file ships to executors. Cell pick =
+    // compiled argmax/top-k over the materialized projections column;
+    // ties prefer the lower cell (same break as nearestCell).
     val c = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("scores", VectorExpr.randomProjections(col("v_c"), nList))
-      .withColumn("cell", -sort_array(cellStructs(col("scores")), asc = false)(0)("negcell"))
+      .withColumn("cell", VectorExpr.argMaxIndex(col("scores")))
       .drop("scores")
     val q = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
       .withColumn("scores", VectorExpr.randomProjections(col("v_q"), nList))
-      .withColumn("cell", explode(transform(slice(sort_array(cellStructs(col("scores")), asc = false), 1, nProbe), s => -s("negcell"))))
+      .withColumn("cell", explode(VectorExpr.topKIndices(col("scores"), nProbe)))
       .drop("scores")
 
     val scored = c
