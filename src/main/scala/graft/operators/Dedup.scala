@@ -52,6 +52,15 @@ object Dedup {
     * (capped-fraction)^(b·J^r), ~1e-44 at the 2 % capped-row fraction
     * the adversarial SCALE.md stress produces (which still finds 100 %
     * of planted pairs with the cap active).
+    *
+    * `sigBroadcastBytes` bounds the signature-table broadcast that
+    * enables the map-side estimate kill; < 0 (default) reads the
+    * session's `spark.sql.autoBroadcastJoinThreshold` — the hinted
+    * broadcast bypasses the planner's auto check, so the same conf is
+    * applied to the same decision here. Dedup-heavy pipelines on large
+    * corpora should raise the conf (or pass the knob): the broadcast is
+    * n·(8k+32) bytes and replaces shuffling the raw band-pair relation,
+    * which is orders of magnitude larger on boilerplate-heavy data.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -61,7 +70,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5,
-      maxBucket: Int = 4096
+      maxBucket: Int = 4096,
+      sigBroadcastBytes: Long = -1L
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -127,7 +137,10 @@ object Dedup {
     // size, dedup first — the narrow distinct is then cheaper than
     // shuffling sig-wide raw pairs twice.
     val nDocs = withSig.count() // materializes the cache (reused by every branch)
-    val sigBroadcastable = nDocs * (k * 8L + 32L) <= 128L * 1024 * 1024
+    val broadcastCutoff =
+      if (sigBroadcastBytes >= 0) sigBroadcastBytes
+      else docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val sigBroadcastable = broadcastCutoff > 0 && nDocs * (k * 8L + 32L) <= broadcastCutoff
     val candidates = (if (sigBroadcastable)
       rawPairs
         .join(broadcast(sigFor("id_a")), Seq("id_a"))
@@ -228,10 +241,15 @@ object Dedup {
     * the smallest doc id reachable through the pair graph, which is the
     * canonical survivor of its duplicate cluster.
     *
-    * Scale: rounds = cluster diameter (near-dup clusters are
-    * small-diameter in practice); each round is one shuffle on id. The
-    * same loop structure GraphX's Pregel runs — expressed in DataFrame
-    * ops so AQE handles the skew of giant boilerplate clusters.
+    * Delta propagation (the structure GraphX's Pregel runs for
+    * ConnectedComponents): only vertices whose label IMPROVED last round
+    * message their neighbors, so round t's join touches O(edges incident
+    * to the frontier) instead of the full edge relation. Most labels
+    * stabilize in the first round or two (near-dup clusters are
+    * small-diameter); from then on the frontier is the boundary of the
+    * few still-converging giant clusters and per-round work collapses
+    * accordingly. Rounds = cluster diameter; each round is one shuffle
+    * on id; AQE handles the skew of giant boilerplate clusters.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // eager checkpoint: truncates the (possibly expensive) pair-pipeline
@@ -244,26 +262,30 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    // round 0: every vertex just took its own id, so every vertex is
+    // "changed" — the first round is exactly full propagation
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neigh = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dst_label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("neighbor_min"))
+      val msgs = edges
+        .join(frontier.select(col("id").as("src"), col("cluster_id").as("lbl")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("lbl")).as("neighbor_min"))
       // the changed flag rides INSIDE the checkpointed row, so the
       // convergence probe is a limit-1 scan over the just-cached blocks
       // (no shuffle, no join-with-previous-labels, no lineage recompute)
       // — one real job per iteration instead of two or three
       val updated = labels
-        .join(neigh, Seq("id"), "left")
+        .join(msgs, Seq("id"), "left")
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id")).as("changed")
         )
         .localCheckpoint(true)
-      converged = updated.filter(col("changed")).isEmpty
+      frontier = updated.filter(col("changed")).select(col("id"), col("cluster_id"))
+      converged = frontier.isEmpty
       labels = updated.select(col("id"), col("cluster_id"))
       iter += 1
     }
@@ -300,11 +322,22 @@ object Dedup {
     import graft.functions.Vectors
     import org.apache.spark.sql.graft.VectorExpr
     val base = embeddings.select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
-    // NOTE: the fallback count() runs a real job over the caller's input
-    // plan at DataFrame-construction time. When the corpus size is known
-    // (or derivable from a bare parquet scan's cheap metadata count),
-    // pass autoBits(n) explicitly instead.
-    val bits = if (nBits > 0) nBits else autoBits(base.count())
+    // Auto-sizing must not run a hidden job over the caller's input plan
+    // at DataFrame-construction time: corpus size comes from scan
+    // metadata only (parquet footers / local relations / unions thereof,
+    // all driver-side). Inputs whose cardinality is NOT metadata-derivable
+    // (filters, joins) must size explicitly — a silent count() here would
+    // execute an arbitrary upstream plan twice.
+    val bits =
+      if (nBits > 0) nBits
+      else
+        graft.sources.ScanStats
+          .exactRowCountNoJob(embeddings)
+          .map(autoBits)
+          .getOrElse(throw new IllegalArgumentException(
+            "embeddingNearDup: corpus size is not derivable from scan metadata " +
+              "(input is not a projection/union over parquet scans or local relations); " +
+              "pass nBits explicitly — e.g. nBits = Dedup.autoBits(n) for a known corpus size n"))
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval

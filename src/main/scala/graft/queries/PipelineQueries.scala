@@ -433,13 +433,12 @@ object PipelineQueries {
             .cast(FloatType)
       ).as("embedding")
     )
-    // corpus size is known from the bare parquet scan's metadata count
-    // (em is union'd with one jittered copy) — pass the bucket width
-    // explicitly so construction never runs the auto-sizing job
-    val nBits = Dedup.autoBits(2L * Tables.embeddings(spark, dir).count())
+    // bucket width auto-sizes from parquet-footer metadata (the corpus is
+    // a union of two projections over the same bare scan) — construction
+    // runs NO Spark job, asserted by DedupSpec's job-count case
     Dedup
       .embeddingNearDup(em.unionByName(jittered), "vec_id", "embedding", threshold = 0.99,
-        nBits = nBits, nTables = 8)
+        nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
   }
   private val e03Sql =

@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned scans; nothing here assumes single-file layout.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo: `spark.read.parquet` without an explicit schema runs a
+    * footer-read JOB per call for inference — a real catalog (metastore)
+    * carries schemas, so a query catalog should not re-infer per query.
+    * First read of a path infers once; every later read passes the
+    * schema and constructs jobless (asserted by DedupSpec's e03
+    * job-count case).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val known = schemaMemo.get(path)
+    if (known != null) spark.read.schema(known).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -80,6 +80,56 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("minhash broadcast cutoff follows spark.sql.autoBroadcastJoinThreshold (branch flip, identical pairs)") {
+    val docs = Tables.documents(spark, sfDir)
+    def pairs() = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sf0.001 signature table is ~tens of KB — well under the 10 MB
+    // default, so the default run takes the broadcast map-side-kill branch
+    val viaBroadcast = pairs()
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1 disables broadcasting entirely -> the dedup-first branch
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = pairs()
+      assert(viaShuffle == viaBroadcast,
+        "both sides of the sig-broadcast cutoff must emit identical verified pairs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // explicit knob overrides the conf in the other direction
+    val viaParam = Dedup.minhashLsh(docs, "doc_id", "text", sigBroadcastBytes = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaParam == viaBroadcast)
+  }
+
+  test("e03 construction launches no Spark job (bucket width from scan metadata)") {
+    // first-ever read of a path pays one schema-inference job (memoized
+    // in Tables); warm it so the measurement isolates e03's construction
+    Tables.embeddings(spark, sfDir)
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = queries.PipelineQueries.all.find(_.name == "e03_embedding_neardup").get
+      .run(spark, sfDir)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"embeddingNearDup auto-sizing must not run a job at construction time (saw ${after - before})")
+    // the derived width must equal the explicit metadata-count sizing
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(graft.sources.ScanStats
+      .exactRowCountNoJob(Tables.embeddings(spark, sfDir)).contains(n))
+    assert(df.count() > 0) // plan still executes green
+  }
+
+  test("non-metadata-derivable input requires explicit nBits") {
+    val em = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(em, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("nBits"))
+    // and the explicit path still works on the same input
+    assert(Dedup.embeddingNearDup(em, "vec_id", "embedding",
+      nBits = graft.operators.Dedup.autoBits(100)).columns.sameElements(Seq("id_a", "id_b", "cosine")))
+  }
+
   test("minhash LSH is deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     def run() = Dedup.minhashLsh(docs, "doc_id", "text").collect()
