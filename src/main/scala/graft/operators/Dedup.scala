@@ -331,13 +331,12 @@ object Dedup {
     val bits =
       if (nBits > 0) nBits
       else
-        graft.sources.ScanStats
-          .exactRowCountNoJob(embeddings)
-          .map(autoBits)
-          .getOrElse(throw new IllegalArgumentException(
-            "embeddingNearDup: corpus size is not derivable from scan metadata " +
-              "(input is not a projection/union over parquet scans or local relations); " +
-              "pass nBits explicitly — e.g. nBits = Dedup.autoBits(n) for a known corpus size n"))
+        graft.sources.ScanStats.exactRowCountNoJobOrReason(embeddings) match {
+          case Right(n) => autoBits(n)
+          case Left(reason) => throw new IllegalArgumentException(
+            s"embeddingNearDup: corpus size is not derivable from scan metadata ($reason); " +
+              "pass nBits explicitly — e.g. nBits = Dedup.autoBits(n) for a known corpus size n")
+        }
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval

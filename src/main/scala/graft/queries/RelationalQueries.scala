@@ -744,19 +744,26 @@ object RelationalQueries {
   // ---------------------------------------------------------------------
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    // ONE shared aggregate pass: exact + sketch measures over a single
-    // scan/shuffle. The single-distinct rewrite plans this as a two-level
-    // aggregate — partial on (status, custkey) carrying the percentile /
-    // sketch buffers, final merging them while counting distinct keys —
-    // so no Expand and no second scan of the fact.
-    o.groupBy($"o_orderstatus")
+    // Two clean hash-aggregate scans joined on the tiny group key. Mixing
+    // a DISTINCT (Expand) with typed-imperative percentile buffers in ONE
+    // aggregate plans a sort-based aggregate over the expanded relation —
+    // measured 18x slower here (BENCH_r05 q28 1.49s -> 26.77s) and worse
+    // with more groups. Do NOT re-merge these; PlanSpec pins the shape.
+    val exact = o
+      .groupBy($"o_orderstatus")
       .agg(
         countDistinct($"o_custkey").as("clients_exact"),
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("mediane_exacte"),
-        count(lit(1)).as("n_orders"),
+        count(lit(1)).as("n_orders")
+      )
+    val approx = o
+      .groupBy($"o_orderstatus")
+      .agg(
         approx_count_distinct($"o_custkey", 0.01).as("clients_approx"),
         expr("approx_percentile(o_totalprice, 0.5, 5000)").as("mediane_approx")
       )
+    exact
+      .join(approx, "o_orderstatus")
       .select(
         $"o_orderstatus",
         $"clients_exact",

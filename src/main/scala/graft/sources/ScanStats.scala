@@ -36,39 +36,63 @@ object ScanStats {
     * or a non-parquet source — callers should then require an explicit
     * size rather than silently running a job.
     */
-  def exactRowCountNoJob(df: DataFrame): Option[Long] = {
+  def exactRowCountNoJob(df: DataFrame): Option[Long] =
+    exactRowCountNoJobOrReason(df).toOption
+
+  /** Like [[exactRowCountNoJob]] but Left carries WHY the count is not
+    * derivable, so callers can distinguish "plan shape not derivable"
+    * from "footer read failed" in their error messages.
+    */
+  def exactRowCountNoJobOrReason(df: DataFrame): Either[String, Long] = {
     val plan = df.queryExecution.optimizedPlan
-    // CBO / ANALYZE'd tables carry an exact row count in catalyst stats
-    plan.stats.rowCount.map(_.toLong).orElse(structuralCount(plan, df))
+    // Catalyst stats rowCount is EXACT only on a bare leaf relation (an
+    // ANALYZE'd table). Under spark.sql.cbo.enabled it is also populated
+    // on Filter/Join/Aggregate nodes as an ESTIMATE — trusting it there
+    // would silently undersize callers (e.g. LSH bucket bits) and
+    // reintroduce the quadratic candidate blowup this gate prevents.
+    val leafExact = plan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        plan.stats.rowCount.map(_.toLong)
+      case _ => None
+    }
+    leafExact.map(Right(_)).getOrElse(structuralCount(plan, df))
   }
 
-  private def structuralCount(plan: LogicalPlan, df: DataFrame): Option[Long] = plan match {
+  private def structuralCount(plan: LogicalPlan, df: DataFrame): Either[String, Long] = plan match {
     case p: Project       => structuralCount(p.child, df)
     case s: SubqueryAlias => structuralCount(s.child, df)
     case u: Union =>
-      val counts = u.children.map(structuralCount(_, df))
-      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-    case l: LocalRelation => Some(l.data.length.toLong)
+      u.children.foldLeft(Right(0L): Either[String, Long]) { (acc, c) =>
+        acc.flatMap(sum => structuralCount(c, df).map(_ + sum))
+      }
+    case l: LocalRelation => Right(l.data.length.toLong)
     case r: LogicalRelation =>
       r.relation match {
         case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
           parquetRowCount(fs, df)
-        case _ => None
+        case other => Left(s"non-parquet source ${other.getClass.getSimpleName}")
       }
-    case _ => None
+    case other => Left(s"plan node ${other.nodeName} is not metadata-countable " +
+      "(filters/joins/aggregates change cardinality)")
   }
 
-  private def parquetRowCount(fs: HadoopFsRelation, df: DataFrame): Option[Long] = {
+  private def parquetRowCount(fs: HadoopFsRelation, df: DataFrame): Either[String, Long] = {
     val files = fs.location.inputFiles
-    if (files.isEmpty) return Some(0L)
-    if (files.length > MaxFooterReads) return None
+    if (files.isEmpty) return Right(0L)
+    if (files.length > MaxFooterReads)
+      return Left(s"${files.length} parquet files exceeds the $MaxFooterReads driver-side " +
+        "footer-read cap")
     val conf = df.sparkSession.sessionState.newHadoopConf()
     try {
-      Some(files.iterator.map { f =>
+      Right(files.iterator.map { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
         try reader.getRecordCount
         finally reader.close()
       }.sum)
-    } catch { case NonFatal(_) => None }
+    } catch {
+      // An IO failure here is an infrastructure error, not a plan-shape
+      // problem — say so instead of letting callers misdiagnose.
+      case NonFatal(e) => Left(s"parquet footer read failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
   }
 }

@@ -125,6 +125,17 @@ class PlanSpec extends SparkSpec {
         "(one task would buffer the entire hot-token partition)")
   }
 
+  test("q28: no sort-based aggregate (two hash-agg passes joined, never one mixed agg)") {
+    // Mixing countDistinct (Expand) with typed-imperative percentile buffers
+    // in one aggregate plans a SortAggregate over the expanded fact —
+    // measured 18x slower (BENCH_r05). The two-pass + join shape must hold.
+    val p = plan(SparkEntry.queries("q28_approx_kpis")(spark, sfDir))
+    assert(!p.contains("SortAggregate"),
+      s"q28 must never plan a sort-based aggregate over the fact:\n$p")
+    assert(!p.contains("Expand"),
+      s"q28 must not expand the fact for a mixed distinct aggregate:\n$p")
+  }
+
   test("brute-force kNN broadcasts the query side") {
     val em = Tables.embeddings(spark, sfDir)
     val p = plan(graft.operators.Similarity.bruteForceKnn(
