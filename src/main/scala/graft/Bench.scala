@@ -40,5 +40,20 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // Budget gate (BASELINE.md): a budget-busting bench must fail LOUDLY
+    // (exit 1) instead of shipping inside a green round — the q28
+    // regression in round 5 shipped exactly because nothing enforced
+    // this. Budgets are env-overridable for other SFs/machines.
+    val perQueryBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_QUERY", "6.0").toDouble
+    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_TOTAL", "80.0").toDouble
+    val violations =
+      results.collect { case (k, v, false) => s"FAILED $k" } ++
+        results.collect { case (k, v, true) if v > perQueryBudget =>
+          f"SLOW $k: $v%.2fs > $perQueryBudget%.1fs" } ++
+        (if (total > totalBudget) Seq(f"TOTAL $total%.1fs > $totalBudget%.1fs") else Nil)
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"BUDGET VIOLATION: $v"))
+      sys.exit(1)
+    }
   }
 }

@@ -92,6 +92,32 @@ object Mesures {
       .orderBy(col("ca").desc, col("nom_categorie"))
   }
 
+  /** Page-1 box-and-whisker (powerbi/film_powerbi.pdf p.1, SURVEY §2.10
+    * model artifacts): quartiles of DAILY CA by `dim_date.Jour_semaine`.
+    * Two hash aggregates — daily CA on the fact's date grain, then the
+    * five-number summary per weekday (never a per-payment percentile:
+    * the visual's population is days, not payments).
+    */
+  def caQuartilesJourSemaine(spark: SparkSession, f: DataFrame): DataFrame = {
+    val daily = f
+      .join(
+        broadcast(spark.table("dim_date").select(col("date_key"), col("jour_semaine"), col("nom_jour"))),
+        Seq("date_key"))
+      .groupBy(col("date_key"), col("jour_semaine"), col("nom_jour"))
+      .agg(sum(col("montant")).cast(DoubleType).as("ca_jour"))
+    daily
+      .groupBy(col("jour_semaine"), col("nom_jour"))
+      .agg(
+        count(lit(1)).as("n_jours"),
+        min(col("ca_jour")).as("ca_min"),
+        expr("percentile(ca_jour, 0.25)").as("q1"),
+        expr("percentile(ca_jour, 0.5)").as("mediane"),
+        expr("percentile(ca_jour, 0.75)").as("q3"),
+        max(col("ca_jour")).as("ca_max")
+      )
+      .orderBy(col("jour_semaine"))
+  }
+
   // -- top-1 label cards (W5) --------------------------------------------
 
   private def top1(df: DataFrame, label: Column, ca: Column): (String, BigDecimal) = {

@@ -37,6 +37,14 @@ object Warehouse {
         quarter(col("date")).as("trimestre"),
         month(col("date")).as("mois"),
         dayofmonth(col("date")).as("jour"),
+        // Jour_semaine: the pbix computed column behind the page-1
+        // box-and-whisker (quartiles of daily CA by weekday). ISO
+        // numbering (1=lundi..7=dimanche) + French label, locale-free.
+        (weekday(col("date")) + 1).as("jour_semaine"),
+        element_at(
+          array(Seq("lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche").map(lit): _*),
+          weekday(col("date")) + 1
+        ).as("nom_jour"),
         date_trunc("month", col("date")).cast(DateType).as("debut_mois"),
         date_trunc("quarter", col("date")).cast(DateType).as("debut_trimestre"),
         date_trunc("year", col("date")).cast(DateType).as("debut_annee")

@@ -794,6 +794,39 @@ object PipelineQueries {
   // or mutated). File-count and min/max-clustering assertions live in
   // CompactSpec; this gate covers the data-preservation contract.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // io04 — S4 remote scan, driver-gated: the reference's dblink extract
+  // (sql/datawarehouse/insertion_dataware.sql:7-10) as a REAL JDBC round
+  // trip. nation is staged into embedded Derby (standing in for the
+  // remote OLTP), pulled back through Tables.jdbc with partitionColumn
+  // range parallelism (4 range-predicate partitions — the dblink pull a
+  // 1000-executor ETL would fan out), then joined to the local region
+  // dim. The oracle checks the extracted values against the same parquet.
+  // ---------------------------------------------------------------------
+  private def io04(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graft_io04_${Integer.toHexString(dir.hashCode)};create=true"
+    Tables
+      .nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").format("jdbc").option("url", url)
+      .option("dbtable", "nation_remote").save()
+    val remote = Tables
+      .jdbc(spark, url, "nation_remote", partitionColumn = Some(("N_NATIONKEY", 0L, 25L, 4)))
+      .select( // Derby uppercases identifiers; restore source names/types
+        col("N_NATIONKEY").cast(IntegerType).as("n_nationkey"),
+        col("N_NAME").as("n_name"),
+        col("N_REGIONKEY").cast(IntegerType).as("n_regionkey")
+      )
+    remote
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+  private val io04Sql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
   private def io03(spark: SparkSession, dir: String): DataFrame = {
     val dst =
       s"${System.getProperty("java.io.tmpdir")}/graft_io03_${Integer.toHexString(dir.hashCode)}"
@@ -989,6 +1022,7 @@ object PipelineQueries {
              |ORDER BY o_orderstatus""".stripMargin)),
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("io03_compact_roundtrip", "range-clustered small-file compaction (§2.9)", io03, Some(io03Sql)),
+    Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),
     Q("s04_stream_dedup", "watermarked streaming dedup of a doubled feed", s04, Some(s04Sql))

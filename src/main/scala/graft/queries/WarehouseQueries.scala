@@ -242,6 +242,78 @@ object WarehouseQueries {
        |ORDER BY nation""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q30 — weekday box-and-whisker (§2.10 model artifacts, the pbix
+  // dim_date.Jour_semaine computed column + page-1 visual): quartiles of
+  // DAILY revenue by ISO weekday. Two hash aggregates — the percentile
+  // population is days (~hundreds per weekday regardless of fact size),
+  // so the second aggregate is O(days), never O(orders).
+  // ---------------------------------------------------------------------
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("jour"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("ca_jour"))
+    daily
+      .groupBy((weekday(col("jour")) + 1).cast(LongType).as("jour_semaine"))
+      .agg(
+        count(lit(1)).as("n_jours"),
+        min(col("ca_jour")).as("ca_min"),
+        expr("percentile(ca_jour, 0.25)").as("q1"),
+        expr("percentile(ca_jour, 0.5)").as("mediane"),
+        expr("percentile(ca_jour, 0.75)").as("q3"),
+        max(col("ca_jour")).as("ca_max")
+      )
+      .orderBy(col("jour_semaine"))
+  }
+  // ---------------------------------------------------------------------
+  // q31 — visual-level measure filter (§2.2 P12, the pbix "[CA Total] >
+  // x" filters): per-nation CA through the measure layer, keeping only
+  // groups whose MEASURE clears a share-of-total threshold — applied
+  // after aggregation, unlike slicers. The 1-row grand total broadcasts.
+  // ---------------------------------------------------------------------
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val dimClient = Star.dimCustomer(
+      Tables.customer(spark, dir),
+      Tables.nation(spark, dir),
+      Tables.region(spark, dir)
+    )
+    val fact = Star.factOrders(Tables.orders(spark, dir), dimClient)
+    Measures.caParGroupe(fact, dimClient, "client_key", "nation", minShare = Some(0.041))
+  }
+  private val q31Sql =
+    s"""WITH agg AS (
+       |  SELECT ${initcapDuck.format("n_name")} AS nation,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca,
+       |    COUNT(*) AS n
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca_tot FROM orders
+       |)
+       |SELECT nation, ca, n
+       |FROM agg, tot WHERE ca > ca_tot * 0.041
+       |ORDER BY nation""".stripMargin
+
+  private val q30Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS jour,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca_jour
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT isodow(jour) AS jour_semaine,
+      |  COUNT(*) AS n_jours,
+      |  MIN(ca_jour) AS ca_min,
+      |  quantile_cont(ca_jour, 0.25) AS q1,
+      |  quantile_cont(ca_jour, 0.5)  AS mediane,
+      |  quantile_cont(ca_jour, 0.75) AS q3,
+      |  MAX(ca_jour) AS ca_max
+      |FROM daily
+      |GROUP BY 1
+      |ORDER BY jour_semaine""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s02 — custom-state streaming sessionization (mapGroupsWithState):
   // the streaming twin of q24, asserted equal in StreamingSpec and
   // against the q24-derived oracle here.
@@ -385,6 +457,8 @@ object WarehouseQueries {
     Q("etl05_constraint_report", "ETL constraint validation: CHECK/domain/NOT NULL/PK/FK (§1.2)", etl05, Some(etl05Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
+    Q("q30_weekday_quartiles", "weekday box-whisker: quartiles of daily CA (§2.10)", q30, Some(q30Sql)),
+    Q("q31_measure_filter", "visual-level measure threshold after aggregation (P12)", q31, Some(q31Sql)),
     Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql)),
     Q("s05_stream_sessions_flat", "flatMapGroupsWithState per-session emission (§2.9)", s05, Some(s05Sql))
   )

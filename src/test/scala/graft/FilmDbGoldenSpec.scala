@@ -55,6 +55,34 @@ class FilmDbGoldenSpec extends SparkSpec {
     assert(monthly.length == 7, "7 monthly partitions -> 7 months")
   }
 
+  test("weekday box-whisker: quartiles of daily CA by Jour_semaine (pdf p.1)") {
+    // Golden computed INDEPENDENTLY from the pg_dump COPY rows (python:
+    // daily sums over the Paris-local date, percentile_cont quartiles) —
+    // not from this engine. 186 days, total cross-checked to 67 416,51.
+    graft.filmdb.Warehouse.build(spark)
+    val got = graft.filmdb.Mesures
+      .caQuartilesJourSemaine(spark, spark.table("fact_paiement"))
+      .collect()
+      .map(r => r.getInt(0) -> r)
+      .toMap
+    assert(got.keySet == (1 to 7).toSet)
+    assert(got(1).getString(1) == "lundi" && got(7).getString(1) == "dimanche")
+    assert(got.values.map(_.getLong(2)).sum == 186L, "186 distinct payment days")
+    // five-number summary, spot-pinned per weekday (2-decimal exact ends,
+    // interpolated quartiles to 1e-4)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-4
+    assert(close(got(1).getDouble(3), 270.30) && close(got(1).getDouble(7), 418.96))
+    assert(close(got(1).getDouble(4), 331.2050) && close(got(1).getDouble(5), 364.13) &&
+      close(got(1).getDouble(6), 395.0550), "lundi q1/med/q3")
+    assert(close(got(3).getDouble(5), 344.24), "mercredi median")
+    assert(close(got(4).getDouble(4), 333.6975) && close(got(4).getDouble(6), 397.3325),
+      "jeudi interpolated quartiles (n=26)")
+    assert(close(got(5).getDouble(3), 309.32) && close(got(5).getDouble(7), 509.98),
+      "vendredi min/max")
+    assert(close(got(7).getDouble(3), 160.61) && close(got(7).getDouble(5), 348.08),
+      "dimanche min/median")
+  }
+
   test("top film: TELEGRAPH VOYAGE = 231,73") {
     val top = payment
       .join(t("rental").select(col("rental_id"), col("inventory_id")), Seq("rental_id"))

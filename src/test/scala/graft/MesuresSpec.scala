@@ -61,4 +61,59 @@ class MesuresSpec extends SparkSpec {
     assert(Mesures.nbPaiements(sportsMars) > 0)
     assert(Mesures.caTotal(sportsMars) < BigDecimal("11413.88"))
   }
+
+  // -- drill hierarchies (§2.10 model artifacts) --------------------------
+
+  import graft.measures.{Hierarchy, Measures}
+  import org.apache.spark.sql.functions.{col, sum}
+
+  private def hierarchies = {
+    ready
+    Seq(
+      "HiérarchieMois" -> Hierarchy(spark.table("dim_date"), "date_key",
+        Seq("annee", "trimestre", "mois")),
+      "Localisation client" -> Hierarchy(spark.table("dim_client"), "client_key",
+        Seq("pays", "ville", "nom_client")),
+      "Territoire" -> Hierarchy(spark.table("dim_magasin"), "magasin_key",
+        Seq("pays", "ville"))
+    )
+  }
+
+  test("drill: children sum to parent at every level of all three pbix hierarchies") {
+    for ((name, h) <- hierarchies; d <- 1 until h.depth) {
+      val parent = Measures.drill(f(), h, d).collect()
+        .map(r => r.toSeq.take(d) -> (r.getDouble(d), r.getLong(d + 1))).toMap
+      val rolled = Measures.drill(f(), h, d + 1)
+        .groupBy(h.levels.take(d).map(col): _*)
+        .agg(sum(col("ca")).as("ca"), sum(col("n")).as("n"))
+        .collect()
+        .map(r => r.toSeq.take(d) -> (r.getDouble(d), r.getLong(d + 1))).toMap
+      assert(rolled.keySet == parent.keySet, s"$name level $d key sets")
+      for ((k, (ca, n)) <- parent) {
+        assert(math.abs(rolled(k)._1 - ca) < 1e-6, s"$name level $d CA at $k")
+        assert(rolled(k)._2 == n, s"$name level $d count at $k")
+      }
+    }
+  }
+
+  test("drill: level-1 totals equal the CA Total card for every hierarchy") {
+    for ((name, h) <- hierarchies) {
+      val l1 = Measures.drill(f(), h, 1).collect()
+      assert(math.abs(l1.map(_.getDouble(1)).sum - 67416.51) < 1e-6, s"$name total CA")
+      assert(l1.map(_.getLong(2)).sum == 16049L, s"$name total payments")
+    }
+  }
+
+  test("drillAll: ROLLUP tree has a 67 416,51 grand total and per-level row counts match drill()") {
+    for ((name, h) <- hierarchies) {
+      val all = Measures.drillAll(f(), h).collect()
+      val grand = all.filter(_.getInt(0) == 0)
+      assert(grand.length == 1, s"$name grand total row")
+      assert(math.abs(grand.head.getDouble(1 + h.depth) - 67416.51) < 1e-6, s"$name grand CA")
+      for (d <- 1 to h.depth) {
+        val n = all.count(_.getInt(0) == d)
+        assert(n == Measures.drill(f(), h, d).count(), s"$name level $d row count")
+      }
+    }
+  }
 }

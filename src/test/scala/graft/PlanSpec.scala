@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
   test("catalog-wide: no cartesian product in ANY query; nested-loop only at intentional sites") {
     // BNLJ is legitimate only for 1-row scalar-bounds joins and the
     // broadcast-query-side kNN
-    val allowedBnlj = Set("q06_bounds_between", "q07_revenue_share", "q14_zscore_daily", "e01_knn_brute")
+    val allowedBnlj = Set("q06_bounds_between", "q07_revenue_share", "q14_zscore_daily", "e01_knn_brute",
+      "q31_measure_filter") // 1-row grand-total broadcast for the P12 measure threshold
     // these run jobs at construction (writes, streaming, iteration) —
     // their plan shapes are covered by dedicated tests above
     val skip = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
