@@ -40,14 +40,56 @@ object Dev {
         names.foreach { name =>
           (1 to reps).foreach { r =>
             val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-            println(f"[dev] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            val rows = SparkEntry.queries(name)(spark, dir).count()
+            println(f"[dev] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
           }
         }
       }
       spark.stop()
+    // LSH knob experiments against an arbitrary fixture dir:
+    //   Dev lsh <dir> <maxBucket> — minhashLsh pairs: time + row count
+    //   Dev elsh <dir> <nBits>    — embeddingNearDup: time + row count
+    case Some(cmd @ ("lsh" | "elsh")) =>
+      require(args.length >= 3, s"usage: Dev $cmd <dir> <knob>")
+      val dir = args(1); val knob = args(2).toInt
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val t0 = System.nanoTime()
+      val rows =
+        if (cmd == "lsh")
+          operators.Dedup.minhashLsh(
+            sources.Tables.documents(spark, dir), "doc_id", "text", maxBucket = knob).count()
+        else
+          operators.Dedup.embeddingNearDup(
+            sources.Tables.embeddings(spark, dir), "vec_id", "embedding", nBits = knob).count()
+      println(f"[dev] $cmd knob=$knob: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
+      spark.stop()
+    // Diagnostic: Hamming distribution of known-true e03 pairs (each
+    // original vs its jittered twin) under the packed sign-bit sketch.
+    case Some("ham") =>
+      val dir = args(1); val bits = args(2).toInt; val nTables = 8
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.graft.VectorExpr
+      val em = sources.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val jit = em.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast(DoubleType) * (lit(1.0) + (pmod(col("vec_id") * 31 + j.cast(LongType) * 7, lit(100L)).cast(DoubleType) / 100.0 - 0.5) * 0.04)).cast(FloatType)
+        ).as("embedding"))
+      val all = em.unionByName(jit)
+      val packed = all.select(col("vec_id"),
+        VectorExpr.packSignBits(
+          VectorExpr.randomProjections(col("embedding").cast(ArrayType(DoubleType)), bits * nTables)).as("pb"))
+      val pairs = packed.select(col("vec_id").as("id_a"), col("pb").as("pa"))
+        .join(packed.select((col("vec_id") - 1000000L).as("id_a"), col("pb").as("pb2")), Seq("id_a"))
+        .select(VectorExpr.packedHamming(col("pa"), col("pb2")).as("d"))
+      pairs.groupBy(col("d")).count().orderBy(col("d")).show(40)
+      spark.stop()
     case Some(other) =>
-      sys.error(s"unknown Dev command '$other' (expected: plan | bench)")
+      sys.error(s"unknown Dev command '$other' (expected: plan | bench | lsh | elsh)")
     case None =>
       val spark = graft.engine.Session.local(8)
       spark.sparkContext.setLogLevel("WARN")

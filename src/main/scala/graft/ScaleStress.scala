@@ -41,39 +41,47 @@ object ScaleStress {
   private def docTokens(id: Long, nTok: Int): Array[String] =
     Array.tabulate(nTok)(i => unigrams(math.floorMod(mix(id * 1000003L + i), unigrams.length).toInt))
 
+  // Generation is DISTRIBUTED (spark.range → mapPartitions): the 100×
+  // tier is 500 k docs / 200 k vectors, which must never materialize on
+  // the driver. Per-id logic is a pure function of the id, so every tier
+  // reproduces the same prefix (the 1×/10× fixtures are unchanged).
   private def genDocs(spark: SparkSession, n: Int, dir: String): Unit = {
-    val rows = (0 until n).map { i =>
-      val id = i.toLong
-      val base = if (i % 50 == 0 && i > 0) (i - 1).toLong else id
-      val toks = docTokens(base, 55 + math.floorMod(mix(base), 11).toInt)
-      if (base != id) { // near-dup: swap the last two tokens for fresh ones
-        toks(toks.length - 1) = unigrams(math.floorMod(mix(id + 7L), unigrams.length).toInt)
-        toks(toks.length - 2) = unigrams(math.floorMod(mix(id + 13L), unigrams.length).toInt)
-      }
-      (id, toks.mkString(" "), "en", s"src${i % 20}")
-    }
     import spark.implicits._
-    rows.toDF("doc_id", "text", "lang", "source")
+    spark
+      .range(0, n, 1, 32)
+      .map { idL =>
+        val i = idL.toInt
+        val id = idL.toLong
+        val base = if (i % 50 == 0 && i > 0) (i - 1).toLong else id
+        val toks = docTokens(base, 55 + math.floorMod(mix(base), 11).toInt)
+        if (base != id) { // near-dup: swap the last two tokens for fresh ones
+          toks(toks.length - 1) = unigrams(math.floorMod(mix(id + 7L), unigrams.length).toInt)
+          toks(toks.length - 2) = unigrams(math.floorMod(mix(id + 13L), unigrams.length).toInt)
+        }
+        (id, toks.mkString(" "), "en", s"src${i % 20}")
+      }
+      .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
-      .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
   private def genEmbeddings(spark: SparkSession, n: Int, dim: Int, dir: String): Unit = {
-    val rows = (0 until n).map { i =>
-      val id = i.toLong
-      val base = if (i % 40 == 0 && i > 0) (i - 1).toLong else id
-      val v = Array.tabulate(dim) { j =>
-        val b = mix(base * 7919L + j).toDouble / Long.MaxValue.toDouble
-        val noise =
-          if (base != id) 0.01 * (mix(id * 31L + j).toDouble / Long.MaxValue.toDouble) else 0.0
-        (b + noise).toFloat
-      }
-      (id, v, (math.floorMod(mix(base), 10)).toInt)
-    }
     import spark.implicits._
-    rows.toDF("vec_id", "embedding", "label")
-      .repartition(32)
+    spark
+      .range(0, n, 1, 32)
+      .map { idL =>
+        val i = idL.toInt
+        val id = idL.toLong
+        val base = if (i % 40 == 0 && i > 0) (i - 1).toLong else id
+        val v = Array.tabulate(dim) { j =>
+          val b = mix(base * 7919L + j).toDouble / Long.MaxValue.toDouble
+          val noise =
+            if (base != id) 0.01 * (mix(id * 31L + j).toDouble / Long.MaxValue.toDouble) else 0.0
+          (b + noise).toFloat
+        }
+        (id, v, (math.floorMod(mix(base), 10)).toInt)
+      }
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
@@ -95,28 +103,43 @@ object ScaleStress {
       val rows = df.count()
       // count() is fine here: growth factors need row counts, and every
       // query's work is dominated by its joins/aggs, not final projection
-      name -> (((System.nanoTime() - t0) / 1e9, rows))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows")
+      name -> ((sec, rows))
     }.toMap
   }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")
+    // optional 2nd arg: comma-separated tier list, default all three
+    val tiers = args.drop(1).headOption.getOrElse("1,10,100").split(",").map(_.trim.toInt).toSeq
     val spark = graft.engine.Session.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    val d1 = s"$base/x1"
-    val d10x = s"$base/x10"
-    println("[scale] generating fixtures (1x: 5k docs/2k vecs; 10x: 50k/20k)")
-    genDocs(spark, 5000, d1); genEmbeddings(spark, 2000, 64, d1)
-    genDocs(spark, 50000, d10x); genEmbeddings(spark, 20000, 64, d10x)
-    println("[scale] warmup at 1x"); run(spark, d1)
-    println("[scale] timed 1x"); val r1 = run(spark, d1)
-    println("[scale] timed 10x"); val r10 = run(spark, d10x)
-    println(f"| query | 1x sec | 1x rows | 10x sec | 10x rows | time growth | row growth |")
-    println("|---|---|---|---|---|---|---|")
+    val dirs = tiers.map(t => t -> s"$base/x$t").toMap
+    tiers.foreach { t =>
+      println(s"[scale] generating x$t fixture (${5000 * t} docs / ${2000 * t} vecs)")
+      genDocs(spark, 5000 * t, dirs(t)); genEmbeddings(spark, 2000 * t, 64, dirs(t))
+    }
+    println("[scale] warmup at smallest tier"); run(spark, dirs(tiers.min))
+    val results = tiers.map { t =>
+      println(s"[scale] timed x$t")
+      t -> run(spark, dirs(t))
+    }.toMap
+    val header = tiers.map(t => s"${t}x sec | ${t}x rows").mkString("| query | ", " | ", " | growth/decade |")
+    println(header)
+    println("|---" * (2 * tiers.length + 2) + "|")
     names.foreach { n =>
-      val (t1, c1) = r1(n); val (t10, c10) = r10(n)
-      println(f"| $n | $t1%.2f | $c1 | $t10%.2f | $c10 | ${t10 / t1}%.1fx | ${
-        if (c1 > 0) f"${c10.toDouble / c1}%.1fx" else "-"} |")
+      val cells = tiers.map { t =>
+        val (sec, rows) = results(t)(n); f"$sec%.2f | $rows"
+      }.mkString("| " + n + " | ", " | ", " | ")
+      // per-decade time growth between consecutive tiers
+      val growth = tiers.sliding(2).map {
+        case Seq(a, b) =>
+          val g = results(b)(n)._1 / results(a)(n)._1
+          f"$g%.1fx"
+        case _ => "-"
+      }.mkString("/")
+      println(cells + growth + " |")
     }
     spark.stop()
   }

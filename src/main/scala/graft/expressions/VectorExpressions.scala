@@ -41,6 +41,19 @@ object VectorExpr {
     * table·nBits+i. Compiled — the transform+aggregate fold ran
     * nTables·nBits interpreted lambda steps per corpus row.
     */
+  /** Sign bits of a projection array packed into array<long> (64/word).
+    * The packed row is a compact LSH sketch: broadcastable at corpus
+    * scale (2 longs for 112 projections vs dim-wide doubles), feeding
+    * the map-side Hamming kill in embedding near-dup.
+    */
+  def packSignBits(proj: Column): Column = col(PackSignBits(expr(proj)))
+
+  /** Hamming distance between two packed sign-bit arrays (codegen'd
+    * xor+popcount per word). Zero padding beyond the projection count
+    * cancels in the xor, so no bit-length bookkeeping is needed.
+    */
+  def packedHamming(a: Column, b: Column): Column = col(PackedHamming(expr(a), expr(b)))
+
   def packBuckets(proj: Column, nBits: Int, nTables: Int): Column =
     col(PackBuckets(expr(proj), nBits, nTables))
 
@@ -101,6 +114,25 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  def packSignBits(proj: ArrayData): ArrayData = {
+    val n = proj.numElements()
+    val out = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (proj.getDouble(i) >= 0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def packedHamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    d
+  }
 }
 
 /** Sign-bit LSH bucket packing (compiled loop). */
@@ -124,6 +156,44 @@ case class PackBuckets(child: Expression, nBits: Int, nTables: Int)
 
   override protected def withNewChildInternal(newChild: Expression): PackBuckets =
     copy(child = newChild)
+}
+
+/** Projection sign bits packed into array<long> (compiled loop). */
+case class PackSignBits(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pack_sign_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.packSignBits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.VectorKernels.packSignBits($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackSignBits =
+    copy(child = newChild)
+}
+
+/** Hamming distance of two packed sign-bit arrays (xor + popcount). */
+case class PackedHamming(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_packed_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.packedHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"org.apache.spark.sql.graft.VectorKernels.packedHamming($x, $y)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PackedHamming =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Dot product of two array<double> columns. */

@@ -49,15 +49,28 @@ object Dedup {
     * negligible: a pair at J ≥ threshold+ε collides in ~b·J^r bands
     * (~8 of 32 at J = 0.5), and losing a pair requires EVERY one of
     * its colliding buckets to be degenerate — probability
-    * (capped-fraction)^(b·J^r), ~1e-44 at the 2 % capped-row fraction
-    * the adversarial SCALE.md stress produces (which still finds 100 %
-    * of planted pairs with the cap active).
+    * (capped-fraction)^(b·J^r). The 512 default comes from the 100×
+    * stress (500 k docs, adversarial 27-word vocab): enumeration cost
+    * is bounded by cap·n·bands, and caps 4096/1024/512/256 measured
+    * 206/38/28/30 s with IDENTICAL output (9999 pairs — 100 % planted
+    * recall at every cap, all three tiers); 512 sits at the flat bottom
+    * of that curve, and on boilerplate-light corpora the cap simply
+    * never binds.
     *
     * `sigBroadcastBytes` bounds the signature-table broadcast that
-    * enables the map-side estimate kill; < 0 (default) reads the
-    * session's `spark.sql.autoBroadcastJoinThreshold` — the hinted
-    * broadcast bypasses the planner's auto check, so the same conf is
-    * applied to the same decision here. Dedup-heavy pipelines on large
+    * enables the map-side estimate kill; < 0 (default) reads
+    * `spark.graft.dedup.sigBroadcastBytes` (default 512 MB — covers
+    * ~1 M docs at k = 64). This is deliberately NOT the generic
+    * `spark.sql.autoBroadcastJoinThreshold`: that conf prices a
+    * broadcast against a SHUFFLE OF THE SAME RELATION, while here the
+    * broadcast replaces shuffling the raw band-pair relation, which is
+    * orders of magnitude larger (measured on the adversarial 10× stress
+    * fixture: a 27 MB sig broadcast vs 141 s through the shuffle path —
+    * 10× the fast path; tying this to the 10 MB generic threshold
+    * silently fell off the cliff at the second decade). Past the budget
+    * the operator degrades to dedup-first + shuffled sig joins — the
+    * honest behavior once the sig table outgrows executor memory.
+    * Dedup-heavy pipelines on large
     * corpora should raise the conf (or pass the knob): the broadcast is
     * n·(8k+32) bytes and replaces shuffling the raw band-pair relation,
     * which is orders of magnitude larger on boilerplate-heavy data.
@@ -70,7 +83,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5,
-      maxBucket: Int = 4096,
+      maxBucket: Int = 512,
       sigBroadcastBytes: Long = -1L
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -139,7 +152,10 @@ object Dedup {
     val nDocs = withSig.count() // materializes the cache (reused by every branch)
     val broadcastCutoff =
       if (sigBroadcastBytes >= 0) sigBroadcastBytes
-      else docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      else docs.sparkSession.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(_.toLong)
+        .getOrElse(512L * 1024 * 1024)
     val sigBroadcastable = broadcastCutoff > 0 && nDocs * (k * 8L + 32L) <= broadcastCutoff
     val candidates = (if (sigBroadcastable)
       rawPairs
@@ -340,18 +356,54 @@ object Dedup {
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval
-    val v = base
+    val projected = base
       .select(col("vec_id"), VectorExpr.randomProjections(col("v"), bits * nTables).as("proj"))
+    val v = projected
       .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), bits, nTables)).as("tb"))
     val a = v.select(col("vec_id").as("id_a"), col("tb"))
     val b = v.select(col("vec_id").as("id_b"), col("tb"))
-    // candidate ids dedup BEFORE pulling vectors back in: the distinct
-    // shuffles narrow (id, id) rows, not dim-wide arrays
-    val candidates = a
+    val rawCand = a
       .join(b, Seq("tb"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    // Map-side Hamming kill (the d06 estimate-kill pattern for vectors):
+    // agreement fraction over ALL bits·nTables sign bits estimates the
+    // pair's angle — P(bit agrees) = 1 − θ/π (Goemans–Williamson). A
+    // pair at cosine ≥ threshold has p ≥ pThresh, so requiring
+    // Hamming ≤ (1 − (pThresh − 4σ))·N keeps true pairs with
+    // P(false drop) < 3e-5 per pair while killing the low-cosine bulk
+    // of bucket candidates BEFORE the distinct shuffle and the dim-wide
+    // vector joins. The packed sketch (N/64 longs per row) broadcasts at
+    // corpus sizes where dim-wide vectors never could.
+    val nBitsTotal = bits * nTables
+    val pThresh = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val hamSigma = math.sqrt(pThresh * (1 - pThresh) / nBitsTotal)
+    val maxDist = math.floor((1.0 - (pThresh - 4 * hamSigma)) * nBitsTotal).toInt
+    val packedFor = (alias: String) =>
+      projected.select(col("vec_id").as(alias), VectorExpr.packSignBits(col("proj")).as(s"pb_$alias"))
+    // same broadcast budget as the minhash sig kill: the sketch table is
+    // n·((N/64)·8+32) bytes; past the budget fall back to dedup-first
+    // (the kill then runs post-shuffle on the narrow distinct output)
+    val sketchBudget = embeddings.sparkSession.conf
+      .getOption("spark.graft.dedup.sigBroadcastBytes")
+      .map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val nVecs = graft.sources.ScanStats.exactRowCountNoJob(embeddings).getOrElse(Long.MaxValue)
+    val sketchBroadcastable = nVecs * ((nBitsTotal / 64 + 1) * 8L + 32L) <= sketchBudget
+    val candidates = (if (sketchBroadcastable)
+      rawCand
+        .join(broadcast(packedFor("id_a")), Seq("id_a"))
+        .join(broadcast(packedFor("id_b")), Seq("id_b"))
+        .filter(VectorExpr.packedHamming(col("pb_id_a"), col("pb_id_b")) <= maxDist)
+        .select("id_a", "id_b")
+        .distinct()
+    else
+      rawCand
+        .distinct()
+        .join(packedFor("id_a"), Seq("id_a"))
+        .join(packedFor("id_b"), Seq("id_b"))
+        .filter(VectorExpr.packedHamming(col("pb_id_a"), col("pb_id_b")) <= maxDist)
+        .select("id_a", "id_b"))
     val vecs = base
     candidates
       .join(vecs.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))

@@ -869,15 +869,31 @@ object PipelineQueries {
   // TakeOrdered top-k — the vocabulary-building shape, no full sort at
   // any corpus size.
   // ---------------------------------------------------------------------
-  private def d11(spark: SparkSession, dir: String): DataFrame =
-    Tables
+  private def d11(spark: SparkSession, dir: String): DataFrame = {
+    // Two separate hash aggregates, NOT one agg mixing count with
+    // countDistinct: the mixed form plans an Expand over every exploded
+    // bigram with a (bigramme, doc_id)-wide distinct key space —
+    // measured 31x/decade at the 100x stress (51 s at 28.5M bigrams).
+    // Decomposed, the doc-frequency side dedups IN-ROW (array_distinct
+    // over ≤ tokens-per-doc elements), so BOTH aggregates carry |vocab|
+    // keys, map-side combine does almost all the work, and the join is
+    // a |vocab|-row broadcast. Scales linearly at any corpus size.
+    val toks = Tables
       .documents(spark, dir)
       .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(Text.ngramsAll(col("toks"), 2)).as("bigramme"))
+    val occ = toks
+      .select(explode(Text.ngramsAll(col("toks"), 2)).as("bigramme"))
       .groupBy(col("bigramme"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n"))
+    val docFreq = toks
+      .select(explode(array_distinct(Text.ngramsAll(col("toks"), 2))).as("bigramme"))
+      .groupBy(col("bigramme"))
+      .agg(count(lit(1)).as("n_docs"))
+    occ
+      .join(docFreq, Seq("bigramme"))
       .orderBy(col("n").desc, col("bigramme"))
       .limit(20)
+  }
   private val d11Sql =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a

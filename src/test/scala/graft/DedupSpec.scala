@@ -84,17 +84,16 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     def pairs() = Dedup.minhashLsh(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // sf0.001 signature table is ~tens of KB — well under the 10 MB
+    // sf0.001 signature table is ~tens of KB — well under the 512 MB
     // default, so the default run takes the broadcast map-side-kill branch
     val viaBroadcast = pairs()
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      // -1 disables broadcasting entirely -> the dedup-first branch
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 0-byte budget disables the sig broadcast -> the dedup-first branch
+      spark.conf.set("spark.graft.dedup.sigBroadcastBytes", "0")
       val viaShuffle = pairs()
       assert(viaShuffle == viaBroadcast,
         "both sides of the sig-broadcast cutoff must emit identical verified pairs")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally spark.conf.unset("spark.graft.dedup.sigBroadcastBytes")
     // explicit knob overrides the conf in the other direction
     val viaParam = Dedup.minhashLsh(docs, "doc_id", "text", sigBroadcastBytes = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
