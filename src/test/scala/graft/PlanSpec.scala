@@ -137,6 +137,36 @@ class PlanSpec extends SparkSpec {
       s"q28 must not expand the fact for a mixed distinct aggregate:\n$p")
   }
 
+  test("d11: no Expand (decomposed aggregates, never one mixed count+countDistinct)") {
+    // The mixed aggregate expands every exploded bigram with a
+    // (bigramme, doc_id)-wide distinct key space — measured 31x/decade
+    // at the 100x stress (SCALE.md round 7). Both aggregates must stay
+    // map-side-combinable with |vocab| keys.
+    val p = plan(SparkEntry.queries("d11_vocab_bigrams")(spark, sfDir))
+    assert(!p.contains("Expand"),
+      s"d11 must not expand the exploded bigrams for a mixed distinct aggregate:\n$p")
+  }
+
+  test("e03: map-side Hamming kill present before the candidate distinct") {
+    // The packed-sign-bit kill (graft_packed_hamming over broadcast
+    // sketches) removes low-cosine bucket candidates BEFORE any shuffle
+    // — 100s -> 7.5s at the 100x stress (SCALE.md round 7). Its absence
+    // means the candidate volume reaches the distinct + vector joins.
+    val p = plan(SparkEntry.queries("e03_embedding_neardup")(spark, sfDir))
+    assert(p.contains("graft_packed_hamming"),
+      s"e03 must filter candidates through the packed Hamming kill:\n$p")
+    assert(p.contains("graft_pack_sign_bits"),
+      s"e03 must broadcast packed sign-bit sketches for the kill:\n$p")
+  }
+
+  test("q30: daily pre-aggregation feeds the weekday quartiles (O(days) percentile population)") {
+    val p = plan(SparkEntry.queries("q30_weekday_quartiles")(spark, sfDir))
+    // two aggregation levels: daily CA first, then the five-number summary
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 3,
+      s"q30 must aggregate daily revenue before computing weekday percentiles:\n$p")
+    assert(!p.contains("Expand"), s"q30 must not expand the fact:\n$p")
+  }
+
   test("brute-force kNN broadcasts the query side") {
     val em = Tables.embeddings(spark, sfDir)
     val p = plan(graft.operators.Similarity.bruteForceKnn(

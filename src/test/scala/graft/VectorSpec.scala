@@ -90,4 +90,37 @@ class VectorSpec extends SparkSpec {
       tables.foreach(t => assert(t.getLong(1) >= 0 && t.getLong(1) < 256))
     }
   }
+
+  test("packSignBits: bit i equals sign of projection i (parity with a scala fold)") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(10)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("proj", VectorExpr.randomProjections($"v", 100)) // 100 -> 2 words, 28 pad bits
+    val rows = em.select($"proj", VectorExpr.packSignBits($"proj").as("pb")).collect()
+    rows.foreach { r =>
+      val proj = r.getSeq[Double](0)
+      val packed = r.getSeq[Long](1)
+      assert(packed.length == 2, "100 bits pack into 2 words")
+      val expected = Array.ofDim[Long](2)
+      proj.zipWithIndex.foreach { case (p, i) => if (p >= 0) expected(i >>> 6) |= (1L << (i & 63)) }
+      assert(packed == expected.toSeq)
+    }
+  }
+
+  test("packedHamming: distance matches an unpacked bit count, pads cancel") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(8)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("pb", VectorExpr.packSignBits(VectorExpr.randomProjections($"v", 100)))
+    val rows = em.as("a").crossJoin(em.as("b"))
+      .select($"a.pb".as("pa"), $"b.pb".as("pb2"),
+        VectorExpr.packedHamming($"a.pb", $"b.pb").as("d"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      val expected = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(r.getInt(2) == expected)
+      assert(r.getInt(2) <= 100, "pad bits beyond the projection count never differ")
+    }
+    // distance 0 on the diagonal
+    assert(rows.count(_.getInt(2) == 0) >= 8)
+  }
 }
