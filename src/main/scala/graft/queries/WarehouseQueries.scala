@@ -296,6 +296,37 @@ object WarehouseQueries {
        |FROM agg, tot WHERE ca > ca_tot * 0.041
        |ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q32 — drill hierarchy as a ROLLUP tree (§2.10 model artifacts, the
+  // pbix geo drill): Measures.drillAll over region→nation, niveau =
+  // grouped-column count via grouping() (rollup-subtotal NULLs are
+  // distinguished from data NULLs). One shuffle for every drill level.
+  // ---------------------------------------------------------------------
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val dimClient = Star.dimCustomer(
+      Tables.customer(spark, dir),
+      Tables.nation(spark, dir),
+      Tables.region(spark, dir)
+    )
+    val fact = Star.factOrders(Tables.orders(spark, dir), dimClient)
+    Measures.drillAll(
+      fact,
+      graft.measures.Hierarchy(dimClient, "client_key", Seq("region", "nation")))
+  }
+  private val q32Sql =
+    s"""SELECT
+       |  CAST(2 - GROUPING(${initcapDuck.format("r_name")}) - GROUPING(${initcapDuck.format("n_name")}) AS INTEGER) AS niveau,
+       |  ${initcapDuck.format("r_name")} AS region,
+       |  ${initcapDuck.format("n_name")} AS nation,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ca,
+       |  COUNT(*) AS n
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(${initcapDuck.format("r_name")}, ${initcapDuck.format("n_name")})
+       |ORDER BY niveau, region, nation""".stripMargin
+
   private val q30Sql =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS jour,
@@ -459,6 +490,7 @@ object WarehouseQueries {
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
     Q("q30_weekday_quartiles", "weekday box-whisker: quartiles of daily CA (§2.10)", q30, Some(q30Sql)),
     Q("q31_measure_filter", "visual-level measure threshold after aggregation (P12)", q31, Some(q31Sql)),
+    Q("q32_drill_rollup", "drill hierarchy as ROLLUP tree with grouping() levels (§2.10)", q32, Some(q32Sql)),
     Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql)),
     Q("s05_stream_sessions_flat", "flatMapGroupsWithState per-session emission (§2.9)", s05, Some(s05Sql))
   )
