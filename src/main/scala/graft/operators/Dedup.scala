@@ -204,6 +204,99 @@ object Dedup {
     verified
   }
 
+  /** Incremental near-dup: which docs in `batch` duplicate (Jaccard ≥
+    * threshold) anything already in `corpus` — the 100 TB ingestion
+    * flow, where each arriving batch is screened against the standing
+    * corpus instead of re-running all-pairs dedup over everything.
+    *
+    * Asymmetric by design: the batch is the SMALL side by contract
+    * (a day's crawl vs the corpus). Corpus signatures/bands are a pure
+    * map over the corpus (in production they'd be computed once at
+    * ingest and stored columnar beside the text — this operator only
+    * needs (id, sig)); the batch's band table broadcasts into the probe
+    * join, so the corpus is never shuffled — it streams through one
+    * map-side join pass. The corpus-side `maxBucket` cap drops
+    * boilerplate mega-buckets exactly as [[minhashLsh]] does, and the
+    * batch-sig broadcast estimate kill removes band noise before the
+    * distinct. Verification builds shingle sets only for candidate docs
+    * on both sides.
+    *
+    * Returns (id_batch, id_corpus, jaccard).
+    */
+  def minhashLshAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucket: Int = 512
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def sigOf(df: DataFrame, idAs: String, sigAs: String) = df
+      .select(
+        col(idCol).as(idAs),
+        org.apache.spark.sql.graft.TextExpr
+          .minhashSig(Text.tokens(col(textCol)), shingleN, k)
+          .as(sigAs))
+      .filter(col(sigAs).isNotNull)
+    def bandsOf(sig: DataFrame, idName: String, sigName: String) = sig.select(
+      col(idName),
+      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col(sigName), bands, r)).as("bb"))
+
+    val sigB = sigOf(batch, "id_batch", "sig_b").cache()
+    val sigC = sigOf(corpus, "id_corpus", "sig_c")
+    val bandsB = bandsOf(sigB, "id_batch", "sig_b")
+    // corpus bands CARRY sig_c: the column is wide in flight but these
+    // rows are never shuffled — every step below down to the estimate
+    // kill is map-side, so only kill survivors reach an exchange
+    val bandsC = sigC.select(
+      col("id_corpus"),
+      col("sig_c"),
+      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_c"), bands, r)).as("bb"))
+    // cap degenerate corpus buckets (the corpus carries the boilerplate);
+    // the hot list is tiny → broadcast anti join, same as minhashLsh
+    val hot = bandsC.select("id_corpus", "bb").groupBy(col("bb")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxBucket).select("bb")
+    val prunedC = bandsC.join(broadcast(hot), Seq("bb"), "left_anti")
+    val sigma = math.sqrt(threshold * (1 - threshold) / k)
+    val cut = math.max(0.0, threshold - 3 * sigma)
+    val est = org.apache.spark.sql.graft.TextExpr
+      .sigMatchCount(col("sig_b"), col("sig_c"))
+      .cast("double") / k
+    // ONE map-side pass over the corpus: band probe against the
+    // broadcast batch bands, then the estimate kill against the
+    // broadcast batch sigs — raw band collisions die in place; the only
+    // exchange in candidate generation is the distinct over survivors
+    val candidates = prunedC
+      .join(broadcast(bandsB.select("id_batch", "bb")), Seq("bb"))
+      .join(broadcast(sigB), Seq("id_batch"))
+      .withColumn("e", est)
+      .filter(col("e") >= cut)
+      .select("id_batch", "id_corpus")
+      .distinct()
+      .cache()
+    def shingleSide(docs0: DataFrame, cand: DataFrame, idAs: String, shAs: String) = docs0
+      .select(col(idCol).as(idAs), col(textCol).as("text"))
+      .join(cand, Seq(idAs), "left_semi")
+      .select(col(idAs), Text.shingles(col("text"), shingleN).as(shAs))
+    val shB = shingleSide(batch, candidates.select("id_batch"), "id_batch", "sh_b")
+    val shC = shingleSide(corpus, candidates.select("id_corpus"), "id_corpus", "sh_c")
+    val verified = candidates
+      .join(shB, Seq("id_batch"))
+      .join(shC, Seq("id_corpus"))
+      .withColumn("jaccard", round(Text.jaccard(col("sh_b"), col("sh_c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_batch"), col("id_corpus"), col("jaccard"))
+      .localCheckpoint(true)
+    sigB.unpersist()
+    candidates.unpersist()
+    verified
+  }
+
   /** SimHash near-duplicate pairs at Hamming distance ≤ maxDist.
     *
     * Pigeonhole blocking: the 64-bit fingerprint splits into maxDist+1

@@ -795,6 +795,41 @@ object PipelineQueries {
   // CompactSpec; this gate covers the data-preservation contract.
   // ---------------------------------------------------------------------
   // ---------------------------------------------------------------------
+  // d14 — incremental dedup: screen an arriving batch against the
+  // standing corpus (Dedup.minhashLshAgainst) — the 100 TB ingestion
+  // flow. Batch = every 50th doc (the planted near-dup copies), corpus
+  // = the rest; the oracle is the exhaustive cross-split Jaccard.
+  // ---------------------------------------------------------------------
+  private def d14(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") > 0)
+    val corpus = docs.filter(!(col("doc_id") % 50 === 0 && col("doc_id") > 0))
+    Dedup
+      .minhashLshAgainst(batch, corpus, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy(col("id_batch"), col("id_corpus"))
+  }
+  private val d14Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+      |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+2])) AS s
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+      |)
+      |SELECT a.doc_id AS id_batch, b.doc_id AS id_corpus,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON (a.doc_id % 50 = 0 AND a.doc_id > 0)
+      | AND NOT (b.doc_id % 50 = 0 AND b.doc_id > 0)
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |ORDER BY id_batch, id_corpus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // io04 — S4 remote scan, driver-gated: the reference's dblink extract
   // (sql/datawarehouse/insertion_dataware.sql:7-10) as a REAL JDBC round
   // trip. nation is staged into embedded Derby (standing in for the
@@ -1018,6 +1053,7 @@ object PipelineQueries {
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),
     Q("d12_text_scrub", "PII-style redaction with match counts", d12, Some(d12Sql)),
     Q("d13_split_assign", "deterministic md5 train/val/test split", d13, Some(d13Sql)),
+    Q("d14_incremental_dedup", "batch-vs-corpus incremental near-dup screen", d14, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),

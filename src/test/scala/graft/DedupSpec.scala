@@ -21,6 +21,34 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 1L, 1L -> 1L))
   }
 
+  test("minhashLshAgainst == full-corpus LSH restricted to the batch/corpus split") {
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val inc = Dedup
+      .minhashLshAgainst(docs.filter(isBatch), docs.filter(!isBatch), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // every emitted pair crosses the split in the declared direction
+    inc.keys.foreach { case (b, c) =>
+      assert(b % 50 == 0 && b > 0, s"id_batch $b must be a batch doc")
+      assert(!(c % 50 == 0 && c > 0), s"id_corpus $c must be a corpus doc")
+    }
+    // equality with the full-corpus pass, restricted to cross-split pairs
+    val full = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) =>
+        (a % 50 == 0 && a > 0) != (b % 50 == 0 && b > 0)
+      }
+      .map { case ((a, b), j) => // orient as (batch, corpus)
+        if (a % 50 == 0 && a > 0) (a, b) -> j else (b, a) -> j
+      }
+      .toMap
+    assert(inc == full,
+      "incremental screen must find the same cross-split pairs at the same jaccard")
+    assert(inc.nonEmpty, "the planted every-50th near-dups straddle the split")
+  }
+
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs on sf0.001 docs") {
     val docs = Tables.documents(spark, sfDir)
     val got = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
