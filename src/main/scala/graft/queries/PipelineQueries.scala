@@ -830,6 +830,18 @@ object PipelineQueries {
       |ORDER BY id_batch, id_corpus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s06 — streaming ingestion screen (§2.9 × dedup tier): the d14
+  // batch-vs-corpus screen run as a Structured Streaming feed — 4
+  // micro-batches through foreachBatch, pairs appended per batch. The
+  // drained log must equal the one-shot screen (same oracle as d14).
+  // ---------------------------------------------------------------------
+  private def s06(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestDedup
+      .run(spark, dir,
+        s"${System.getProperty("java.io.tmpdir")}/graft_s06_${Integer.toHexString(dir.hashCode)}")
+      .orderBy(col("id_batch"), col("id_corpus"))
+
+  // ---------------------------------------------------------------------
   // io04 — S4 remote scan, driver-gated: the reference's dblink extract
   // (sql/datawarehouse/insertion_dataware.sql:7-10) as a REAL JDBC round
   // trip. nation is staged into embedded Derby (standing in for the
@@ -1054,6 +1066,7 @@ object PipelineQueries {
     Q("d12_text_scrub", "PII-style redaction with match counts", d12, Some(d12Sql)),
     Q("d13_split_assign", "deterministic md5 train/val/test split", d13, Some(d13Sql)),
     Q("d14_incremental_dedup", "batch-vs-corpus incremental near-dup screen", d14, Some(d14Sql)),
+    Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),

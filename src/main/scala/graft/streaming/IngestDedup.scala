@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** Streaming ingestion screen (SURVEY §2.9 composed with the dedup
+  * tier): arriving document micro-batches are screened against the
+  * standing corpus with [[Dedup.minhashLshAgainst]] inside foreachBatch,
+  * and flagged near-dup pairs append to a parquet log — the continuous
+  * form of the one-shot d14 screen, and the shape a training-data
+  * pipeline actually runs: the corpus only ever streams map-side (batch
+  * bands/sigs broadcast), so each micro-batch costs one corpus pass and
+  * the stream state is empty (no watermark needed — the screen carries
+  * no cross-batch aggregation; cross-batch duplicates WITHIN the feed
+  * are s04's watermarked-dedup job, not this one's).
+  *
+  * The drained log must equal the one-shot screen over the whole feed —
+  * asserted in StreamingSpec and by the d15 oracle gate.
+  */
+object IngestDedup {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Stage the arriving feed as several files so the file source forms
+    * real micro-batches (maxFilesPerTrigger=1), then screen each batch
+    * against the corpus and append flagged pairs. Returns the drained
+    * pair log.
+    */
+  def run(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+    val docs = spark.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+    val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val corpus = docs.filter(!isBatch)
+    val feedDir = s"$workDir/feed"
+    val outDir = s"$workDir/pairs"
+    // the feed arrives as 4 files → 4 micro-batches
+    docs.filter(isBatch)
+      .repartition(4, pmod(col("doc_id"), lit(4)))
+      .write.mode("overwrite").parquet(feedDir)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("id_batch", LongType),
+          StructField("id_corpus", LongType),
+          StructField("jaccard", DoubleType))))
+      .write.mode("overwrite").parquet(outDir)
+
+    val q = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Dedup
+            .minhashLshAgainst(batch, corpus, "doc_id", "text")
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+}

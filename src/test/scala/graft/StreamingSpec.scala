@@ -38,6 +38,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming ingestion screen equals the one-shot batch-vs-corpus dedup") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val oneShot = graft.operators.Dedup
+      .minhashLshAgainst(docs.filter(isBatch), docs.filter(!isBatch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.IngestDedup
+      .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s06_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot, "micro-batched screen must emit exactly the one-shot pairs")
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late events: out-of-order feed across micro-batches (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
