@@ -26,6 +26,56 @@ object Dedup {
       .groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Chunk-level dedup signals (the paragraph-dedup pass of CCNet-style
+    * pipelines, over fixed token windows since the corpus has no
+    * structural separators): each doc is cut into non-overlapping
+    * `chunkTokens`-token chunks; a chunk is DUPLICATED when its md5
+    * fingerprint occurs ≥ 2 times anywhere in the corpus (within-doc
+    * repeats count — they are boilerplate too). Returns every doc with
+    * its chunk count, duplicated-chunk count, and duplicated fraction.
+    *
+    * Scale design: chunking is pure map (compiled tokenization + a
+    * per-doc transform); corpus-wide chunk frequency is ONE groupBy on
+    * the 16-byte fingerprint (uniformly distributed — no skew), and the
+    * frequency table joins back on the same key. The per-doc rollup
+    * reuses the doc_id shuffle. No step is quadratic; hot boilerplate
+    * chunks concentrate rows but AQE skew-splits both exchanges.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 16
+  ): DataFrame = {
+    val chunks = docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(Text.chunks(Text.tokens(col(textCol)), chunkTokens)).as("chunk")
+      )
+      .select(col("doc_id"), substring(md5(col("chunk")), 1, 16).as("h"))
+    val freq = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = chunks
+      .join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_chunks_dupliques")
+      )
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_chunks_dupliques"), lit(0L)).as("n_chunks_dupliques"),
+        round(
+          coalesce(col("n_chunks_dupliques"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)).cast("double"),
+          6
+        ).as("ratio_duplique")
+      )
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n) → k-signature (custom MinHashSig expression, pure map) →
