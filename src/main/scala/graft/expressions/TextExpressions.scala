@@ -94,6 +94,12 @@ object TextExpr {
     */
   def sigMatchCount(a: Column, b: Column): Column =
     col(SigMatchCount(expr(a), expr(b)))
+
+  /** Six stopword/CJK/punctuation counters in ONE text scan — replaces
+    * the six regexp_extract_all passes of the language-ID + quality
+    * heuristics (each pass re-walked the whole document).
+    */
+  def langQualityCounts(text: Column): Column = col(LangQualityCounts(expr(text)))
 }
 
 /** Static JIT-friendly kernels shared by interpreted eval and generated
@@ -288,6 +294,73 @@ object TextKernels {
     var p = 0
     while (p < 64) { if (weights(p) > 0) fp |= (1L << p); p += 1 }
     fp
+  }
+
+  /** word → language-membership bitmask for [[langQualityCounts]]
+    * (bit 0 en, 1 fr, 2 de, 3 es). Built once; words are the exact
+    * case-sensitive stopword alternatives of the regex formulation.
+    */
+  private val stopMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def add(words: Seq[String], bit: Int): Unit = words.foreach { w =>
+      val prev = m.get(w)
+      m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << bit)))
+    }
+    add(Seq("the", "a", "of", "to", "in", "and", "is", "it", "that", "for"), 0)
+    add(Seq("le", "la", "les", "de", "des", "un", "une", "et", "est", "que"), 1)
+    add(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf"), 2)
+    add(Seq("el", "la", "los", "las", "de", "un", "una", "y", "es", "que"), 3)
+    m
+  }
+
+  /** Word char for \b purposes. Java's \b is UNICODE-aware even without
+    * UNICODE_CHARACTER_CLASS (unlike \w, which stays ASCII): "idées"
+    * is ONE word, so \bes\b does not match its tail — the kernel must
+    * agree with the regexp_extract_all formulation it replaces.
+    */
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** One pass over the raw text replacing SIX regexp_extract_all scans:
+    * counts[0..3] = en/fr/de/es stopword hits (the \b(...)\b regex
+    * semantics: a maximal word-char run equal to a stopword — inside a
+    * run there are no word boundaries, so run-membership and the
+    * non-overlapping regex count coincide exactly), counts[4] = CJK
+    * chars in U+4E00..U+9FFF, counts[5] = [.,!?;:] punctuation chars.
+    */
+  def langQualityCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](6)
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isWordChar(c)) {
+        var j = i
+        while (j < n && isWordChar(str.charAt(j))) {
+          val cj = str.charAt(j)
+          if (cj >= 0x4e00 && cj <= 0x9fff) counts(4) += 1L
+          j += 1
+        }
+        // longest stopword is 5 chars — longer runs never hit, so skip
+        // the substring allocation for them
+        val mask = if (j - i <= 5) stopMask.get(str.substring(i, j)) else null
+        if (mask != null) {
+          val m = mask.intValue()
+          if ((m & 1) != 0) counts(0) += 1L
+          if ((m & 2) != 0) counts(1) += 1L
+          if ((m & 4) != 0) counts(2) += 1L
+          if ((m & 8) != 0) counts(3) += 1L
+        }
+        i = j
+      } else {
+        if (c >= 0x4e00 && c <= 0x9fff) counts(4) += 1L
+        else if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':')
+          counts(5) += 1L
+        i += 1
+      }
+    }
+    new GenericArrayData(counts)
   }
 }
 
@@ -490,5 +563,23 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.simhash64($x)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+case class LangQualityCounts(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lang_quality_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langQualityCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.langQualityCounts($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangQualityCounts =
     copy(child = newChild)
 }

@@ -113,20 +113,25 @@ object Text {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  private val enStop = "\\b(the|a|of|to|in|and|is|it|that|for)\\b"
-  private val frStop = "\\b(le|la|les|de|des|un|une|et|est|que)\\b"
-  private val deStop = "\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b"
-  private val esStop = "\\b(el|la|los|las|de|un|una|y|es|que)\\b"
+  /** The six counters of [[langScores]]/[[qualityScore]] in ONE compiled
+    * text scan (en/fr/de/es stopword hits, CJK chars, punctuation) —
+    * regex-equivalent by construction; the five separate
+    * regexp_extract_all passes it replaces each re-walked the document
+    * (2.9×/decade at the 100× stress).
+    */
+  private def langCounts(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpr.langQualityCounts(text)
 
   /** Per-language stopword-density scores; CJK by unicode-range density. */
   def langScores(text: Column): Column = {
+    val k = langCounts(text)
     val nTok = greatest(tokenCount(text), lit(1)).cast("double")
     struct(
-      (matchCount(text, enStop).cast("double") / nTok).as("en"),
-      (matchCount(text, frStop).cast("double") / nTok).as("fr"),
-      (matchCount(text, deStop).cast("double") / nTok).as("de"),
-      (matchCount(text, esStop).cast("double") / nTok).as("es"),
-      (matchCount(text, "[一-鿿]").cast("double") /
+      (element_at(k, 1).cast("double") / nTok).as("en"),
+      (element_at(k, 2).cast("double") / nTok).as("fr"),
+      (element_at(k, 3).cast("double") / nTok).as("de"),
+      (element_at(k, 4).cast("double") / nTok).as("es"),
+      (element_at(k, 5).cast("double") /
         greatest(length(text), lit(1)).cast("double")).as("zh")
     )
   }
@@ -150,11 +155,12 @@ object Text {
     * pre-training corpus filters (Gopher-style rules).
     */
   def qualityScore(text: Column): Column = {
+    val k = langCounts(text)
     val nChar = length(text).cast("double")
     val nTok = tokenCount(text).cast("double")
     val meanTokLen = when(nTok > 0, (nChar - (nTok - 1)) / nTok).otherwise(lit(0.0))
-    val punctRatio = matchCount(text, "[.,!?;:]").cast("double") / greatest(nChar, lit(1.0))
-    val stopRatio = matchCount(text, enStop).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = element_at(k, 6).cast("double") / greatest(nChar, lit(1.0))
+    val stopRatio = element_at(k, 1).cast("double") / greatest(nTok, lit(1.0))
     val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
     val tokLenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))

@@ -15,8 +15,10 @@ import graft.functions.Text
   * through ONE map-side semi-join pass — the corpus is never shuffled on
   * the gram key. Gram extraction is the compiled ShinglesOf kernel (pure
   * map). The only exchange is the per-doc overlap count, a groupBy on
-  * doc id whose input is the (rare) collision rows only. Past broadcast
-  * size the join degrades to a shuffled semi-join on the gram hash —
+  * doc id whose input is the (rare) collision rows only. The broadcast
+  * is SIZED before it is forced: one aggregate over the (small) eval
+  * side measures the distinct-gram payload against the budget, and past
+  * it the screen degrades to a shuffled semi-join on the gram value —
   * still O(collisions) wide rows, never all-pairs.
   */
 object Decontaminate {
@@ -28,13 +30,20 @@ object Decontaminate {
     * and the contamination flag (any overlap). Grams are DISTINCT per
     * doc on both sides — overlap is set intersection, so a boilerplate
     * gram repeated 100× in one doc counts once.
+    *
+    * `gramBroadcastBytes` bounds the eval-gram broadcast; < 0 (default)
+    * reads `spark.graft.decontaminate.gramBroadcastBytes` (default
+    * 512 MB — hundreds of benchmarks' worth of 5-gram vocabulary).
+    * Sizing runs one aggregate over the eval side only (small by
+    * contract); the 100 TB train side is never touched to decide.
     */
   def ngramOverlap(
       train: DataFrame,
       eval: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 5
+      n: Int = 5,
+      gramBroadcastBytes: Long = -1L
   ): DataFrame = {
     def grams(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),
@@ -43,8 +52,21 @@ object Decontaminate {
     // distinct gram VALUES only — the broadcast payload is the benchmark
     // vocabulary, not the benchmark corpus
     val evalGrams = grams(eval).select("g").distinct()
+    val budget =
+      if (gramBroadcastBytes >= 0) gramBroadcastBytes
+      else train.sparkSession.conf
+        .getOption("spark.graft.decontaminate.gramBroadcastBytes")
+        .map(_.toLong)
+        .getOrElse(512L * 1024 * 1024)
+    // UTF-8 payload + per-row object overhead, same accounting as the
+    // minhashLsh sig budget; the agg re-derives evalGrams once more but
+    // the eval side is the small one
+    val Array(gramBytes) = evalGrams
+      .agg(coalesce(sum(octet_length(col("g")) + lit(48L)), lit(0L)))
+      .collect().map(_.getLong(0))
+    val evalSide = if (budget > 0 && gramBytes <= budget) broadcast(evalGrams) else evalGrams
     val shared = grams(train)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .join(evalSide, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_partages"))
     train

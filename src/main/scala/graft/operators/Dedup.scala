@@ -35,11 +35,16 @@ object Dedup {
     * its chunk count, duplicated-chunk count, and duplicated fraction.
     *
     * Scale design: chunking is pure map (compiled tokenization + a
-    * per-doc transform); corpus-wide chunk frequency is ONE groupBy on
-    * the 16-byte fingerprint (uniformly distributed — no skew), and the
-    * frequency table joins back on the same key. The per-doc rollup
-    * reuses the doc_id shuffle. No step is quadratic; hot boilerplate
-    * chunks concentrate rows but AQE skew-splits both exchanges.
+    * per-doc transform), and the whole corpus-wide frequency pass is a
+    * COUNT window over ONE exchange on the full 128-bit md5 fingerprint
+    * (uniformly distributed — no skew; collision-free at any corpus
+    * size, unlike a 64-bit truncation whose birthday bound is reached
+    * by ~10^10 chunks). The window formulation computes every chunk
+    * row's global occurrence count without re-deriving the chunk
+    * subplan for a join-back, so the tokenize+chunk map pass runs ONCE
+    * over the corpus. The per-doc rollup is the only other exchange.
+    * No step is quadratic; hot boilerplate chunks concentrate rows in
+    * one window partition, bounded by the duplication itself.
     */
   def chunkDedup(
       docs: DataFrame,
@@ -52,10 +57,9 @@ object Dedup {
         col(idCol).as("doc_id"),
         explode(Text.chunks(Text.tokens(col(textCol)), chunkTokens)).as("chunk")
       )
-      .select(col("doc_id"), substring(md5(col("chunk")), 1, 16).as("h"))
-    val freq = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
     val perDoc = chunks
-      .join(freq, Seq("h"))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -261,11 +265,13 @@ object Dedup {
     *
     * Asymmetric by design: the batch is the SMALL side by contract
     * (a day's crawl vs the corpus). Corpus signatures/bands are a pure
-    * map over the corpus (in production they'd be computed once at
-    * ingest and stored columnar beside the text — this operator only
-    * needs (id, sig)); the batch's band table broadcasts into the probe
-    * join, so the corpus is never shuffled — it streams through one
-    * map-side join pass. The corpus-side `maxBucket` cap drops
+    * map over the corpus — or, the production path, read PRECOMPUTED
+    * from `corpusSigs` (an (idCol, sig) frame built once at ingest by
+    * [[signatures]] and stored columnar beside the text), so repeated
+    * screens never re-tokenize the corpus; the batch's band table
+    * broadcasts into the probe join, so the corpus is never shuffled —
+    * it streams through one map-side join pass (narrow sig columns
+    * only when sigs are stored). The corpus-side `maxBucket` cap drops
     * boilerplate mega-buckets exactly as [[minhashLsh]] does, and the
     * batch-sig broadcast estimate kill removes band noise before the
     * distinct. Verification builds shingle sets only for candidate docs
@@ -273,6 +279,26 @@ object Dedup {
     *
     * Returns (id_batch, id_corpus, jaccard).
     */
+  /** The stored-signature contract: the (idCol, sig) frame a 100 TB
+    * pipeline computes ONCE at ingest and persists columnar beside the
+    * text, so every later screen ([[minhashLshAgainst]] with
+    * `corpusSigs`) reads narrow sig columns instead of re-tokenizing
+    * the corpus. Pure map, no shuffle.
+    */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64
+  ): DataFrame = docs
+    .select(
+      col(idCol),
+      org.apache.spark.sql.graft.TextExpr
+        .minhashSig(Text.tokens(col(textCol)), shingleN, k)
+        .as("sig"))
+    .filter(col("sig").isNotNull)
+
   def minhashLshAgainst(
       batch: DataFrame,
       corpus: DataFrame,
@@ -282,7 +308,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5,
-      maxBucket: Int = 512
+      maxBucket: Int = 512,
+      corpusSigs: Option[DataFrame] = None
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -298,7 +325,9 @@ object Dedup {
       explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col(sigName), bands, r)).as("bb"))
 
     val sigB = sigOf(batch, "id_batch", "sig_b").cache()
-    val sigC = sigOf(corpus, "id_corpus", "sig_c")
+    val sigC = corpusSigs
+      .map(_.select(col(idCol).as("id_corpus"), col("sig").as("sig_c")))
+      .getOrElse(sigOf(corpus, "id_corpus", "sig_c"))
     val bandsB = bandsOf(sigB, "id_batch", "sig_b")
     // corpus bands CARRY sig_c: the column is wide in flight but these
     // rows are never shuffled — every step below down to the estimate

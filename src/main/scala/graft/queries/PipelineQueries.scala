@@ -842,6 +842,190 @@ object PipelineQueries {
       .orderBy(col("id_batch"), col("id_corpus"))
 
   // ---------------------------------------------------------------------
+  // d15 — chunk-level (paragraph) dedup: every doc scored by how much of
+  // it is made of 16-token chunks that occur ≥ 2 times anywhere in the
+  // corpus (CCNet-style boilerplate fraction). Oracle recomputes the
+  // chunking + corpus frequency + join-back in DuckDB.
+  // ---------------------------------------------------------------------
+  private def d15(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .chunkDedup(Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 16)
+      .orderBy(col("doc_id"))
+  private val d15Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 16 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(toks) // 16),
+      |             i -> md5(array_to_string(list_slice(toks, i*16 + 1, i*16 + 16), ' ')))
+      |      END) AS h
+      |  FROM t
+      |),
+      |f AS (SELECT h, COUNT(*) AS n_occ FROM c GROUP BY h),
+      |p AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_dupliques
+      |  FROM c JOIN f USING (h) GROUP BY c.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_chunks, 0) AS n_chunks,
+      |  COALESCE(p.n_chunks_dupliques, 0) AS n_chunks_dupliques,
+      |  ROUND(CAST(COALESCE(p.n_chunks_dupliques, 0) AS DOUBLE)
+      |        / CAST(GREATEST(COALESCE(p.n_chunks, 0), 1) AS DOUBLE), 6) AS ratio_duplique
+      |FROM documents d LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d16 — benchmark decontamination: the corpus screened against a held
+  // eval slice (the planted every-50th near-dup copies stand in for a
+  // benchmark that leaked into the crawl) on shared token 3-grams.
+  // Oracle recomputes the distinct-gram intersection in DuckDB.
+  // ---------------------------------------------------------------------
+  private def d16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    graft.operators.Decontaminate
+      .ngramOverlap(docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+  private val d16Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0
+      |           OR len(regexp_split_to_array(trim(text), '\s+')) < 3
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(
+      |           range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+      |           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |                regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |                regexp_split_to_array(trim(text), '\s+')[i+2]))
+      |    END AS s
+      |  FROM documents
+      |),
+      |ev AS (
+      |  SELECT DISTINCT unnest(s) AS g FROM sh
+      |  WHERE doc_id % 50 = 0 AND doc_id > 0
+      |),
+      |tr AS (SELECT doc_id, s FROM sh WHERE NOT (doc_id % 50 = 0 AND doc_id > 0)),
+      |shared AS (
+      |  SELECT doc_id, COUNT(*) AS n_partages
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM tr) x
+      |  JOIN ev USING (g)
+      |  GROUP BY doc_id
+      |)
+      |SELECT tr.doc_id,
+      |  len(tr.s) AS n_grams,
+      |  COALESCE(shared.n_partages, 0) AS n_partages,
+      |  COALESCE(shared.n_partages, 0) > 0 AS contamine
+      |FROM tr LEFT JOIN shared USING (doc_id)
+      |ORDER BY tr.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p01 — the composed training-data pipeline: language-ID + quality
+  // screen + chunk-level boilerplate fraction + deterministic split, one
+  // retention verdict per document — the end-to-end shape the dedup /
+  // text-analysis tier exists for, gated as one query so the COMPOSITION
+  // (not just each stage) is oracle-checked.
+  //
+  // Scale shape: langue/qualite/slot/split are ONE pure-map select over
+  // the corpus (the compiled langQualityCounts kernel + md5 slot); the
+  // only exchanges are chunkDedup's two (fingerprint window + per-doc
+  // rollup) and the final doc_id join of the two per-doc tables.
+  // ---------------------------------------------------------------------
+  private def p01(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slot = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType)
+    val scored = docs.select(
+      col("doc_id"),
+      Text.langGuess(col("text")).as("langue"),
+      Text.qualityScore(col("text")).as("qualite"),
+      when(pmod(slot, lit(10)) <= 7, lit("train"))
+        .when(pmod(slot, lit(10)) === 8, lit("val"))
+        .otherwise(lit("test")).as("split")
+    )
+    val chunk = Dedup
+      .chunkDedup(docs, "doc_id", "text", chunkTokens = 16)
+      .select(col("doc_id"), col("ratio_duplique"))
+    scored
+      .join(chunk, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("langue"), col("qualite"), col("ratio_duplique"), col("split"),
+        (col("qualite") >= 0.75 && col("ratio_duplique") < 0.5 && col("langue") =!= "und")
+          .as("retenu")
+      )
+      .orderBy(col("doc_id"))
+  }
+  private val p01Sql = {
+    val nTok = """len(regexp_split_to_array(trim(text), '\s+'))"""
+    val stop = """len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is|it|that|for)\b'))"""
+    val punct = """len(regexp_extract_all(text, '[.,!?;:]'))"""
+    val nTokG = s"greatest($nTok, 1)"
+    def sc(p: String) = s"""CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) / $nTokG"""
+    val en = sc("\\b(the|a|of|to|in|and|is|it|that|for)\\b")
+    val fr = sc("\\b(le|la|les|de|des|un|une|et|est|que)\\b")
+    val de = sc("\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b")
+    val es = sc("\\b(el|la|los|las|de|un|una|y|es|que)\\b")
+    val zh =
+      s"""CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)"""
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest($en, $fr, $de, $es, $zh) = 0 THEN 'und'
+       |         WHEN $en = greatest($en, $fr, $de, $es, $zh) THEN 'en'
+       |         WHEN $fr = greatest($en, $fr, $de, $es, $zh) THEN 'fr'
+       |         WHEN $de = greatest($en, $fr, $de, $es, $zh) THEN 'de'
+       |         WHEN $es = greatest($en, $fr, $de, $es, $zh) THEN 'es'
+       |         ELSE 'zh' END AS langue,
+       |    ROUND((
+       |      (CASE WHEN $nTok >= 10 AND $nTok <= 100000 THEN 1.0 ELSE 0.0 END)
+       |      + (CASE WHEN (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok >= 2
+       |              AND (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok <= 12 THEN 1.0 ELSE 0.0 END)
+       |      + (CASE WHEN CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+       |      + (CASE WHEN CAST($stop AS DOUBLE) / greatest(CAST($nTokG AS DOUBLE), 1.0) > 0 THEN 1.0 ELSE 0.0 END)
+       |    ) / 4.0, 6) AS qualite,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10 <= 7 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) < 16 THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range(0, len(toks) // 16),
+       |             i -> md5(array_to_string(list_slice(toks, i*16 + 1, i*16 + 16), ' ')))
+       |      END) AS h
+       |  FROM t
+       |),
+       |f AS (SELECT h, COUNT(*) AS n_occ FROM c GROUP BY h),
+       |p AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM c JOIN f USING (h) GROUP BY c.doc_id
+       |),
+       |ratios AS (
+       |  SELECT d.doc_id,
+       |    ROUND(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+       |          / CAST(GREATEST(COALESCE(p.n_chunks, 0), 1) AS DOUBLE), 6) AS ratio_duplique
+       |  FROM documents d LEFT JOIN p USING (doc_id)
+       |)
+       |SELECT s.doc_id, s.langue, s.qualite, r.ratio_duplique, s.split,
+       |  (s.qualite >= 0.75 AND r.ratio_duplique < 0.5 AND s.langue <> 'und') AS retenu
+       |FROM scored s JOIN ratios r USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // io04 — S4 remote scan, driver-gated: the reference's dblink extract
   // (sql/datawarehouse/insertion_dataware.sql:7-10) as a REAL JDBC round
   // trip. nation is staged into embedded Derby (standing in for the
@@ -921,25 +1105,33 @@ object PipelineQueries {
     // countDistinct: the mixed form plans an Expand over every exploded
     // bigram with a (bigramme, doc_id)-wide distinct key space —
     // measured 31x/decade at the 100x stress (51 s at 28.5M bigrams).
-    // Decomposed, the doc-frequency side dedups IN-ROW (array_distinct
-    // over ≤ tokens-per-doc elements), so BOTH aggregates carry |vocab|
-    // keys, map-side combine does almost all the work, and the join is
-    // a |vocab|-row broadcast. Scales linearly at any corpus size.
+    // The occurrence count is irreducible for an EXACT top-k by
+    // frequency (map-side partial combine bounds its exchange to
+    // |vocab per partition| rows); the top-20 winners are then taken
+    // FIRST (TakeOrdered, eagerly materialized — 20 rows), and only
+    // they flow into the doc-frequency pass: the second corpus scan's
+    // exploded bigrams die map-side against the broadcast 20-gram
+    // list, so the DF aggregate and the final join carry 20 keys
+    // instead of |vocab| — the vocab-wide agg⋈agg join this replaces
+    // was the 8.1×/decade growth driver in the 100× stress.
     val toks = Tables
       .documents(spark, dir)
       .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
-    val occ = toks
+    val top = toks
       .select(explode(Text.ngramsAll(col("toks"), 2)).as("bigramme"))
       .groupBy(col("bigramme"))
       .agg(count(lit(1)).as("n"))
-    val docFreq = toks
-      .select(explode(array_distinct(Text.ngramsAll(col("toks"), 2))).as("bigramme"))
-      .groupBy(col("bigramme"))
-      .agg(count(lit(1)).as("n_docs"))
-    occ
-      .join(docFreq, Seq("bigramme"))
       .orderBy(col("n").desc, col("bigramme"))
       .limit(20)
+      .localCheckpoint(true)
+    val docFreq = toks
+      .select(explode(array_distinct(Text.ngramsAll(col("toks"), 2))).as("bigramme"))
+      .join(broadcast(top.select("bigramme")), Seq("bigramme"))
+      .groupBy(col("bigramme"))
+      .agg(count(lit(1)).as("n_docs"))
+    top
+      .join(broadcast(docFreq), Seq("bigramme"))
+      .orderBy(col("n").desc, col("bigramme"))
   }
   private val d11Sql =
     """WITH t AS (
@@ -1066,6 +1258,9 @@ object PipelineQueries {
     Q("d12_text_scrub", "PII-style redaction with match counts", d12, Some(d12Sql)),
     Q("d13_split_assign", "deterministic md5 train/val/test split", d13, Some(d13Sql)),
     Q("d14_incremental_dedup", "batch-vs-corpus incremental near-dup screen", d14, Some(d14Sql)),
+    Q("d15_chunk_dedup", "chunk-level boilerplate fraction (CCNet-style)", d15, Some(d15Sql)),
+    Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
+    Q("p01_pipeline_composed", "end-to-end screen→score→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),

@@ -10,11 +10,16 @@ import graft.operators.Dedup
   * standing corpus with [[Dedup.minhashLshAgainst]] inside foreachBatch,
   * and flagged near-dup pairs append to a parquet log — the continuous
   * form of the one-shot d14 screen, and the shape a training-data
-  * pipeline actually runs: the corpus only ever streams map-side (batch
-  * bands/sigs broadcast), so each micro-batch costs one corpus pass and
-  * the stream state is empty (no watermark needed — the screen carries
-  * no cross-batch aggregation; cross-batch duplicates WITHIN the feed
-  * are s04's watermarked-dedup job, not this one's).
+  * pipeline actually runs: corpus MinHash signatures are computed ONCE
+  * before the stream starts and persisted columnar beside the corpus
+  * ([[graft.operators.Dedup.signatures]]), so each micro-batch scans
+  * the narrow (id, sig) table map-side (batch bands/sigs broadcast)
+  * instead of re-tokenizing the full corpus text — at 100 TB the
+  * re-tokenization would dominate every micro-batch; only verification
+  * touches corpus text, and only for candidate docs. Stream state is
+  * empty (no watermark needed — the screen carries no cross-batch
+  * aggregation; cross-batch duplicates WITHIN the feed are s04's
+  * watermarked-dedup job, not this one's).
   *
   * The drained log must equal the one-shot screen over the whole feed —
   * asserted in StreamingSpec and by the d15 oracle gate.
@@ -40,10 +45,15 @@ object IngestDedup {
     val corpus = docs.filter(!isBatch)
     val feedDir = s"$workDir/feed"
     val outDir = s"$workDir/pairs"
+    val sigDir = s"$workDir/corpus_sigs"
     // the feed arrives as 4 files → 4 micro-batches
     docs.filter(isBatch)
       .repartition(4, pmod(col("doc_id"), lit(4)))
       .write.mode("overwrite").parquet(feedDir)
+    // ingest-time signature store: computed once, read by every batch
+    Dedup.signatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val corpusSigs = spark.read.parquet(sigDir)
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -61,7 +71,7 @@ object IngestDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           Dedup
-            .minhashLshAgainst(batch, corpus, "doc_id", "text")
+            .minhashLshAgainst(batch, corpus, "doc_id", "text", corpusSigs = Some(corpusSigs))
             .write.mode("append").parquet(outDir)
         }
         ()

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+/** Benchmark decontamination: planted contamination is flagged with the
+  * right distinct-gram overlap counts, clean docs stay clean, and the
+  * past-budget shuffled fallback returns the identical screen.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "alpha beta gamma delta"),            // shares "alpha beta gamma" with eval
+    (2L, "one two three four"),                // zero-overlap control
+    (3L, ""),                                  // blank: zero grams, never contaminated
+    (4L, "alpha beta gamma alpha beta gamma"), // within-doc repeats count once
+    (5L, "tiny doc")                           // shorter than the gram width
+  ).toDF("doc_id", "text")
+  private val eval = Seq(
+    (100L, "alpha beta gamma zzz")
+  ).toDF("doc_id", "text")
+
+  private val expected = Map(
+    1L -> ((2, 1L, true)),
+    2L -> ((2, 0L, false)),
+    3L -> ((0, 0L, false)),
+    // distinct 3-grams of doc 4: "alpha beta gamma", "beta gamma alpha",
+    // "gamma alpha beta" — exactly one occurs in the eval set
+    4L -> ((3, 1L, true)),
+    5L -> ((0, 0L, false))
+  )
+
+  private def screen(budget: Long) =
+    Decontaminate.ngramOverlap(train, eval, "doc_id", "text", n = 3, gramBroadcastBytes = budget)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("planted contamination flagged; clean, blank and short docs stay clean") {
+    assert(screen(-1L) == expected)
+  }
+
+  test("past-budget shuffled fallback returns the identical screen") {
+    // budget 0 forces the non-broadcast path; results must not depend on
+    // which join strategy carried the eval grams
+    assert(screen(0L) == expected)
+  }
+
+  test("disjoint corpora: nothing contaminated") {
+    val cleanEval = Seq((200L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = Decontaminate.ngramOverlap(train, cleanEval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got.values.forall(_ == false) && got.size == 5)
+  }
+}

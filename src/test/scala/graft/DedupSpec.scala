@@ -21,6 +21,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 1L, 1L -> 1L))
   }
 
+  test("chunkDedup: cross-doc boilerplate, within-doc repeats, short and blank docs") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),         // "a b c d" shared with doc 2
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s p q r s"),         // within-doc repeat: both chunks duplicated
+      (4L, ""),                        // blank: zero chunks
+      (5L, "one two three")            // shorter than the chunk width: zero chunks
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 2L, 1.0)),
+      4L -> ((0L, 0L, 0.0)),
+      5L -> ((0L, 0L, 0.0))
+    ))
+  }
+
+  test("chunkDedup: duplicate-free corpus flags nothing") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "v1 v2 v3 v4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((1L, 0L))))
+  }
+
   test("minhashLshAgainst == full-corpus LSH restricted to the batch/corpus split") {
     val docs = Tables.documents(spark, sfDir)
     val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
@@ -47,6 +76,20 @@ class DedupSpec extends SparkSpec {
     assert(inc == full,
       "incremental screen must find the same cross-split pairs at the same jaccard")
     assert(inc.nonEmpty, "the planted every-50th near-dups straddle the split")
+  }
+
+  test("minhashLshAgainst: stored-signature path == recompute path") {
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    def pairs(sigs: Option[org.apache.spark.sql.DataFrame]) = Dedup
+      .minhashLshAgainst(batch, corpus, "doc_id", "text", corpusSigs = sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val stored = Dedup.signatures(corpus, "doc_id", "text")
+    val got = pairs(Some(stored))
+    assert(got == pairs(None), "precomputed corpus sigs must screen identically")
+    assert(got.nonEmpty)
   }
 
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs on sf0.001 docs") {

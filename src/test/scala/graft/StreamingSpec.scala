@@ -30,12 +30,28 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch incremental MERGE load equals the one-shot batch build") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_incremental_etl"
-    val streamed = graft.streaming.IncrementalEtl.run(spark, sfDir, out)
-      .collect().map(_.toString).sorted
+    val (result, stats) = graft.streaming.IncrementalEtl.runWithStats(spark, sfDir, out)
+    val streamed = result.collect().map(_.toString).sorted
     val batch = graft.streaming.IncrementalEtl.batchBuild(spark, sfDir)
       .collect().map(_.toString).sorted
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
+    // the incremental contract: the feed arrived as several micro-batches
+    // and each rewrote ONLY the month partitions it touched — strictly
+    // fewer than a full-table rewrite per batch would
+    assert(stats.touchedPerBatch.length >= 2, "feed must form several micro-batches")
+    val rewritten = stats.touchedPerBatch.map(_.toLong).sum
+    val fullRewrite = stats.touchedPerBatch.length * stats.totalPartitions
+    assert(rewritten < fullRewrite,
+      s"partition-scoped merge must beat per-batch full rewrite ($rewritten vs $fullRewrite)")
+    // date-range batches overlap at most at their month boundaries
+    assert(rewritten <= stats.totalPartitions + stats.touchedPerBatch.length,
+      s"date-range batches must touch near-disjoint month sets ($rewritten of ${stats.totalPartitions})")
+    // and only boundary months pay the merge — everything else appends
+    // (4 date ranges have 3 boundaries; batch arrival order decides how
+    // many land on any one batch)
+    assert(stats.mergedPerBatch.map(_.toLong).sum < stats.touchedPerBatch.length,
+      s"only range-boundary months may pay the merge (${stats.mergedPerBatch})")
   }
 
   test("streaming ingestion screen equals the one-shot batch-vs-corpus dedup") {

@@ -153,6 +153,32 @@ class TextSpec extends SparkSpec {
     assert(compiled == hof)
   }
 
+  test("langQualityCounts kernel == the six regexp_extract_all passes it replaces") {
+    val docs = Seq(
+      "the cat sat on the mat, and it was that good.",
+      "le chat est sur la table; de la musique et des idées!",
+      "der Hund ist nicht auf der Couch, und das ist gut",
+      "el perro y la gata: es una casa de los abuelos",
+      "汉字文本 with the word 和 mixed in; 你好!",
+      "theater theory another atheist",     // substrings must NOT count
+      "the,the.the!the the", "a a a", "", " ", "de la de un 1a a1 _a a_"
+    ).toDF("text")
+    val kernel = docs.select(TextExpr.langQualityCounts($"text").as("k")).collect()
+      .map(_.getSeq[Long](0))
+    val regexes = Seq(
+      "\\b(the|a|of|to|in|and|is|it|that|for)\\b",
+      "\\b(le|la|les|de|des|un|une|et|est|que)\\b",
+      "\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b",
+      "\\b(el|la|los|las|de|un|una|y|es|que)\\b",
+      "[一-鿿]", "[.,!?;:]"
+    )
+    val regex = docs.select(regexes.map(p => Text.matchCount($"text", p)): _*).collect()
+      .map(r => (0 until 6).map(i => r.getInt(i).toLong))
+    kernel.zip(regex).zipWithIndex.foreach { case ((k, r), i) =>
+      assert(k == r, s"doc $i: kernel $k != regex $r")
+    }
+  }
+
   test("simhash chunk keys: compiled expression == shiftright/mask formulation bit-for-bit") {
     val (chunks, width) = (4, 16)
     val t = Seq((1L, -6148914691236517206L), (2L, 81985529216486895L)).toDF("doc_id", "simhash")
