@@ -90,6 +90,7 @@ object ScaleStress {
     "d05_fingerprints", "d06_minhash_pairs", "d07_simhash", "d08_regex_tokens",
     "d09_dedup_clusters", "d10_tfidf_keywords", "d11_vocab_bigrams",
     "d12_text_scrub", "d13_split_assign", "d14_incremental_dedup",
+    "d15_chunk_dedup", "d16_decontaminate", "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
 
   private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] = {
@@ -99,10 +100,17 @@ object ScaleStress {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     names.map { name =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
-      val rows = df.count()
-      // count() is fine here: growth factors need row counts, and every
-      // query's work is dominated by its joins/aggs, not final projection
+      // noop write + observe, NOT count(): count() lets the optimizer
+      // eliminate unique-key left joins entirely (d15/d16's per-doc
+      // rollup join vanished and "measured" 0.1 s at 500k docs), and
+      // prune per-row computed columns — the observation rides the one
+      // real execution, so rows and time come from the same full run
+      val obs = org.apache.spark.sql.Observation(s"scale_$name")
+      SparkEntry.queries(name)(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").format("noop").save()
+      val rows = obs.get("rows").asInstanceOf[Long]
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows")
       name -> ((sec, rows))

@@ -70,6 +70,11 @@ object TextExpr {
     */
   def shinglesOf(tokens: Column, n: Int): Column = col(ShinglesOf(expr(tokens), n))
 
+  /** n-grams with multiplicity — compiled twin of the
+    * transform(sequence, concat_ws ∘ slice) HOF, same strings in order.
+    */
+  def ngramsOf(tokens: Column, n: Int): Column = col(NgramsOf(expr(tokens), n))
+
   /** LSH band buckets of a MinHash signature: array of (band,
     * xxhash64(band, sig[band·r .. band·r+r])) structs, bit-identical to
     * the transform(sequence(...)) HOF formulation (Spark's two-argument
@@ -228,6 +233,28 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  /** n-grams WITH multiplicity (the corpus-frequency unit) — same
+    * strings as [[shinglesOf]] before its dedup, same order.
+    */
+  def ngramsOf(a: ArrayData, n: Int): ArrayData = {
+    val nTok = a.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](nTok - n + 1)
+    var i = 0
+    while (i <= nTok - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = a.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Band buckets: (band, xxhash64(band, sig-slice)) — the chained hash
@@ -563,6 +590,24 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.simhash64($x)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+case class NgramsOf(child: Expression, n: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0, "n must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.ngramsOf(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.ngramsOf($x, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramsOf =
     copy(child = newChild)
 }
 

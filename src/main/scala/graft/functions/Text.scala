@@ -30,16 +30,13 @@ object Text {
 
   /** Contiguous word n-grams over an ALREADY-TOKENIZED column, with
     * multiplicity (unlike [[shingles]], which dedupes) — the unit for
-    * corpus frequency statistics / vocabulary building.
+    * corpus frequency statistics / vocabulary building. Compiled
+    * NgramsOf expression: the transform(sequence(...)) HOF it replaces
+    * evaluated an interpreted lambda per gram, which dominated the
+    * vocabulary-building passes at the 100× stress.
     */
   def ngramsAll(tokenCol: Column, n: Int): Column =
-    when(size(tokenCol) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(tokenCol) - n),
-          i => concat_ws(" ", slice(tokenCol, i + 1, lit(n)))
-        )
-      )
+    org.apache.spark.sql.graft.TextExpr.ngramsOf(tokenCol, n)
 
   /** Non-overlapping token chunks of `width` tokens (space-joined), full
     * chunks only — the paragraph-dedup unit for corpora whose documents

@@ -147,6 +147,42 @@ class PlanSpec extends SparkSpec {
       s"d11 must not expand the exploded bigrams for a mixed distinct aggregate:\n$p")
   }
 
+  test("d15: chunk frequency via ONE window exchange — no join-back re-scan of the corpus") {
+    val p = plan(SparkEntry.queries("d15_chunk_dedup")(spark, sfDir))
+    assert(p.contains("Window"), s"chunk frequency must be a window count:\n$p")
+    // the join-back formulation scanned documents.parquet twice
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"chunkDedup must not re-derive the chunk subplan (saw $scans scans):\n$p")
+  }
+
+  test("d16: eval grams broadcast under the budget; shuffled semi-join past it") {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    def p(budget: Long) = plan(graft.operators.Decontaminate
+      .ngramOverlap(docs.filter(!isEval), docs.filter(isEval), "doc_id", "text",
+        n = 3, gramBroadcastBytes = budget))
+    // the gram semi join is the line carrying LeftSemi; Catalyst may
+    // still broadcast the small per-doc aggregate into the final outer
+    // join, so test the SEMI join's strategy specifically
+    def semiLine(s: String) = s.linesIterator.find(_.contains("LeftSemi")).getOrElse("")
+    val under = semiLine(p(-1L))
+    assert(under.contains("BroadcastHashJoin"),
+      s"small eval side must broadcast the semi join: $under")
+    // past budget the operator must NOT force a broadcast hint —
+    // Catalyst stays free to choose. With auto-broadcast disabled, a
+    // forced hint would still broadcast; the unhinted plan shuffles.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = semiLine(p(0L))
+      assert(over.nonEmpty && !over.contains("Broadcast"),
+        s"past-budget screen must not force the broadcast: $over")
+      val hinted = semiLine(p(-1L))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"under-budget hint must survive auto-broadcast off: $hinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("e03: map-side Hamming kill present before the candidate distinct") {
     // The packed-sign-bit kill (graft_packed_hamming over broadcast
     // sketches) removes low-cosine bucket candidates BEFORE any shuffle

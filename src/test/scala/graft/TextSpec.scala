@@ -153,6 +153,20 @@ class TextSpec extends SparkSpec {
     assert(compiled == hof)
   }
 
+  test("ngramsOf: compiled expression == transform(sequence) HOF, multiplicity kept") {
+    val docs = Seq("a b a b a", "one two", "solo", "", "x y z w").toDF("text")
+    val toks = Text.tokens($"text")
+    val compiled = docs.select(TextExpr.ngramsOf(toks, 2).as("g")).collect()
+      .map(_.getSeq[String](0))
+    val hof = docs.select(
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("g")).collect()
+      .map(_.getSeq[String](0))
+    compiled.zip(hof).foreach { case (c, h) => assert(c == h, s"$c != $h") }
+    assert(compiled.head == Seq("a b", "b a", "a b", "b a"))
+  }
+
   test("langQualityCounts kernel == the six regexp_extract_all passes it replaces") {
     val docs = Seq(
       "the cat sat on the mat, and it was that good.",
