@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, Md5SimHashBits, MinHashSig, RandomProjections, RollingHash, SigMatchCount, SimHash64, WinnowSketch}
+import org.apache.spark.sql.graft.{ChunksOf, CosineSim, DotProduct, LangQualityCounts, Md5SimHashBits, Md5WinnowSketch, MinHashSig, NgramsOf, RandomProjections, RollingHash, SigMatchCount, SimHash64, WinnowSketch}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the graft kernels (SURVEY §2.11) — registered through
@@ -122,6 +122,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args =>
         arity("graft_random_projections", args, 2)
         RandomProjections(args.head, intLit(args(1), "graft_random_projections", "n"))
+    }
+    inject(ext, "graft_ngrams", "word n-grams WITH multiplicity: (tokens, n)") { args =>
+      arity("graft_ngrams", args, 2)
+      NgramsOf(args.head, intLit(args(1), "graft_ngrams", "n"))
+    }
+    inject(ext, "graft_chunks", "non-overlapping width-token chunks: (tokens, width)") { args =>
+      arity("graft_chunks", args, 2)
+      ChunksOf(args.head, intLit(args(1), "graft_chunks", "width"))
+    }
+    inject(ext, "graft_lang_quality_counts",
+      "en/fr/de/es stopword, CJK and punctuation counts in one text scan") {
+      args => arity("graft_lang_quality_counts", args, 1); LangQualityCounts(args.head)
+    }
+    inject(ext, "graft_md5_winnow_sketch",
+      "whole-document md5 winnowing (empreinte, sketch): (tokens, n, w)") { args =>
+      arity("graft_md5_winnow_sketch", args, 3)
+      Md5WinnowSketch(
+        args.head,
+        intLit(args(1), "graft_md5_winnow_sketch", "n"),
+        intLit(args(2), "graft_md5_winnow_sketch", "w"))
     }
   }
 }

@@ -105,6 +105,17 @@ object TextExpr {
     * heuristics (each pass re-walked the whole document).
     */
   def langQualityCounts(text: Column): Column = col(LangQualityCounts(expr(text)))
+
+  /** Whole-document md5 winnowing: (empreinte, sketch) struct — the
+    * pure-map replacement for the posexplode + windows formulation.
+    */
+  def md5WinnowSketch(tokens: Column, n: Int, w: Int): Column =
+    col(Md5WinnowSketch(expr(tokens), n, w))
+
+  /** Non-overlapping width-token chunks — compiled twin of the
+    * transform(sequence) HOF.
+    */
+  def chunksOf(tokens: Column, width: Int): Column = col(ChunksOf(expr(tokens), width))
 }
 
 /** Static JIT-friendly kernels shared by interpreted eval and generated
@@ -321,6 +332,93 @@ object TextKernels {
     var p = 0
     while (p < 64) { if (weights(p) > 0) fp |= (1L << p); p += 1 }
     fp
+  }
+
+  /** Non-overlapping `width`-token chunks (space-joined), full chunks
+    * only — compiled twin of the transform(sequence, concat_ws ∘ slice)
+    * HOF (same strings, same order).
+    */
+  def chunksOf(a: ArrayData, width: Int): ArrayData = {
+    val nTok = a.numElements()
+    if (nTok < width) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](nTok / width)
+    var c = 0
+    while (c < out.length) {
+      val parts = new Array[UTF8String](2 * width - 1)
+      var j = 0
+      while (j < width) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = a.getUTF8String(c * width + j)
+        j += 1
+      }
+      out(c) = UTF8String.concat(parts: _*)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MOSS-style md5 winnowing, whole-document kernel: 3-gram md5-16
+    * fingerprints, window-w minima (truncated at the tail, matching
+    * ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING), deduplicated and
+    * sorted — plus the global minimum as the document fingerprint.
+    * Returns (empreinte, comma-joined sketch); ("", "") under n tokens.
+    *
+    * This replaces a posexplode + two doc-partitioned windows + a
+    * collect_list groupBy: that plan shuffled and SORTED every token
+    * occurrence in the corpus (~100 M rows at the 100× stress) to
+    * compute a value that only ever depends on one document. Here it is
+    * pure map — no exchange at any corpus size; the md5 work itself is
+    * unchanged (bit-identical output, same DuckDB oracle).
+    */
+  def md5WinnowSketch(a: ArrayData, n: Int, w: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val empty = UTF8String.EMPTY_UTF8
+    val nTok = a.numElements()
+    if (nTok < n)
+      return org.apache.spark.sql.catalyst.InternalRow(empty, empty)
+    val grams = nTok - n + 1
+    val md = md5Local.get()
+    val hs = new Array[String](grams)
+    var i = 0
+    while (i < grams) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = a.getUTF8String(i + j)
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(UTF8String.concat(parts: _*).getBytes)
+      // first 8 digest bytes = the 16-hex-char prefix of md5 hex
+      val hex = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        hex(2 * b) = Character.forDigit((digest(b) >> 4) & 0xf, 16)
+        hex(2 * b + 1) = Character.forDigit(digest(b) & 0xf, 16)
+        b += 1
+      }
+      hs(i) = new String(hex)
+      i += 1
+    }
+    var empreinte = hs(0)
+    i = 1
+    while (i < grams) { if (hs(i) < empreinte) empreinte = hs(i); i += 1 }
+    val minima = new java.util.TreeSet[String]()
+    i = 0
+    while (i < grams) {
+      var m = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, grams)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      minima.add(m)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    val it = minima.iterator()
+    while (it.hasNext) { if (sb.length > 0) sb.append(','); sb.append(it.next()) }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(empreinte), UTF8String.fromString(sb.toString))
   }
 
   /** word → language-membership bitmask for [[langQualityCounts]]
@@ -608,6 +706,45 @@ case class NgramsOf(child: Expression, n: Int)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.ngramsOf($x, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramsOf =
+    copy(child = newChild)
+}
+
+case class ChunksOf(child: Expression, width: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(width > 0, "width must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.chunksOf(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.chunksOf($x, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunksOf =
+    copy(child = newChild)
+}
+
+case class Md5WinnowSketch(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0 && w > 0, "n and w must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("empreinte", StringType, nullable = false),
+    StructField("sketch", StringType, nullable = false)))
+  override def prettyName: String = "graft_md5_winnow_sketch"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5WinnowSketch(input.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.md5WinnowSketch($x, $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WinnowSketch =
     copy(child = newChild)
 }
 

@@ -41,16 +41,11 @@ object Text {
   /** Non-overlapping token chunks of `width` tokens (space-joined), full
     * chunks only — the paragraph-dedup unit for corpora whose documents
     * carry no structural separators. floor(n/width) chunks per doc,
-    * pure map.
+    * pure map. Compiled ChunksOf expression (the transform(sequence)
+    * HOF it replaces ran an interpreted lambda per chunk).
     */
   def chunks(tokenCol: Column, width: Int): Column =
-    when(size(tokenCol) < width, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), (size(tokenCol) / width).cast("int") - 1),
-          i => concat_ws(" ", slice(tokenCol, i * width + 1, lit(width)))
-        )
-      )
+    org.apache.spark.sql.graft.TextExpr.chunksOf(tokenCol, width)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {

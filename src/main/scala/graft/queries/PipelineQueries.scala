@@ -137,38 +137,27 @@ object PipelineQueries {
   // the sketch is emitted as a comma-joined string (scalar columns only —
   // raw array output is hostile to downstream tabular tooling). The
   // xxhash64 rolling/winnow expressions stay the fast in-engine path
-  // (TextSpec). Plan: one shuffle on doc_id (window), then the groupBy
-  // reuses the same partitioning — scale-safe at any corpus size.
+  // (TextSpec). Plan: the whole winnowing is per-document, so it runs as
+  // ONE compiled kernel (Md5WinnowSketch) — pure map, NO exchange at any
+  // corpus size. The posexplode + doc-windows + collect_list formulation
+  // it replaces shuffled and sorted every token occurrence in the corpus
+  // (~100M rows at the 100× stress) for a value that never crosses
+  // document boundaries.
   // ---------------------------------------------------------------------
-  private def d05(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val toks = d.select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val kg = toks
-      .withColumn("t1", lead("tok", 1).over(wOrd))
-      .withColumn("t2", lead("tok", 2).over(wOrd))
-      .filter(col("t2").isNotNull)
+  private def d05(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
       .select(
         col("doc_id"),
-        col("pos"),
-        substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 16).as("h")
+        org.apache.spark.sql.graft.TextExpr
+          .md5WinnowSketch(Text.tokens(col("text")), 3, 4).as("s")
       )
-    val win = kg.withColumn("wm", min(col("h")).over(wOrd.rowsBetween(Window.currentRow, 3)))
-    val sk = win
-      .groupBy("doc_id")
-      .agg(
-        min(col("h")).as("empreinte"),
-        concat_ws(",", array_sort(array_distinct(collect_list(col("wm"))))).as("sketch")
-      )
-    d.select(col("doc_id"))
-      .join(sk, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("empreinte"), lit("")).as("empreinte"),
-        coalesce(col("sketch"), lit("")).as("sketch")
+        col("s.empreinte").as("empreinte"),
+        col("s.sketch").as("sketch")
       )
       .orderBy(col("doc_id"))
-  }
   private val d05Sql =
     """WITH base AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a

@@ -84,6 +84,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 kernels from SQL: ngrams, lang/quality counts, md5 winnowing") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        """SELECT
+          |  graft_ngrams(array('a', 'b', 'a', 'b'), 2) AS g,
+          |  graft_lang_quality_counts('the cat, the hat!') AS k,
+          |  graft_md5_winnow_sketch(array('w1', 'w2', 'w3', 'w4', 'w5'), 3, 4) AS w
+          |""".stripMargin)
+        .collect().head
+      assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+      assert(r.getSeq[Long](1) == Seq(2L, 0L, 0L, 0L, 0L, 2L))
+      val w = r.getStruct(2)
+      // struct must agree with the DataFrame-API kernel on the same tokens
+      val api = s.range(1)
+        .select(org.apache.spark.sql.graft.TextExpr
+          .md5WinnowSketch(typedLit(Seq("w1", "w2", "w3", "w4", "w5")), 3, 4).as("w"))
+        .collect().head.getStruct(0)
+      assert(w == api)
+      assert(w.getString(0).length == 16 && w.getString(1).nonEmpty)
+    }
+  }
+
   test("vector kernels from SQL: dot, cosine, sig match count") {
     withExtendedSession { s =>
       val r = s.sql(

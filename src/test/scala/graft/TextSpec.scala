@@ -167,6 +167,20 @@ class TextSpec extends SparkSpec {
     assert(compiled.head == Seq("a b", "b a", "a b", "b a"))
   }
 
+  test("chunksOf: compiled expression == transform(sequence) HOF, full chunks only") {
+    val docs = Seq("a b c d e f g h i", "a b c", "ab", "").toDF("text")
+    val toks = Text.tokens($"text")
+    val compiled = docs.select(TextExpr.chunksOf(toks, 4).as("c")).collect()
+      .map(_.getSeq[String](0))
+    val hof = docs.select(
+      when(size(toks) < 4, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), (size(toks) / 4).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4))))).as("c")).collect()
+      .map(_.getSeq[String](0))
+    compiled.zip(hof).foreach { case (c, h) => assert(c == h, s"$c != $h") }
+    assert(compiled.head == Seq("a b c d", "e f g h")) // trailing partial dropped
+  }
+
   test("langQualityCounts kernel == the six regexp_extract_all passes it replaces") {
     val docs = Seq(
       "the cat sat on the mat, and it was that good.",
