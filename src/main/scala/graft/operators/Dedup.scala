@@ -80,6 +80,55 @@ object Dedup {
       )
   }
 
+  /** The APPLY side of [[chunkDedup]]: rebuild each document keeping
+    * only the chunks whose corpus-wide fingerprint count is 1 — the
+    * CCNet-style duplicated-paragraph scrub. Output per doc: the
+    * scrubbed text (kept full chunks, original order, space-joined —
+    * the trailing partial chunk is dropped with the same full-chunks
+    * contract as [[chunkDedup]]) and the kept-chunk count; fully
+    * boilerplate or sub-width docs scrub to the empty string.
+    *
+    * Scale design: same two exchanges as [[chunkDedup]] (one window on
+    * the md5 fingerprint, one per-doc rollup); the rollup carries chunk
+    * text but only for SURVIVING chunks, and order is restored in-row
+    * (array_sort over (pos, chunk) structs), so no sort of the corpus
+    * ever happens — a 100 TB scrub moves each kept chunk through
+    * exactly two exchanges.
+    */
+  def chunkScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 16
+  ): DataFrame = {
+    val chunks = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(Text.chunks(Text.tokens(col(textCol)), chunkTokens)).as(Seq("pos", "chunk"))
+      )
+      .select(col("doc_id"), col("pos"), col("chunk"), md5(col("chunk")).as("h"))
+    val kept = chunks
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_occ") < 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks_gardes"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk"))
+        ).as("texte_nettoye")
+      )
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("texte_nettoye"), lit("")).as("texte_nettoye"),
+        coalesce(col("n_chunks_gardes"), lit(0L)).as("n_chunks_gardes")
+      )
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n) → k-signature (custom MinHashSig expression, pure map) →

@@ -870,6 +870,49 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d17 — duplicated-chunk scrub (the APPLY side of d15): every doc
+  // rebuilt from its corpus-unique chunks only; boilerplate chunks
+  // (n_occ >= 2 anywhere) are removed in place. Oracle recomputes the
+  // scrub with an ORDER BY pos string_agg in DuckDB.
+  // ---------------------------------------------------------------------
+  private def d17(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .chunkScrub(Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 16)
+      .orderBy(col("doc_id"))
+  private val d17Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 16
+      |      THEN CAST([] AS STRUCT(pos BIGINT, chunk VARCHAR)[])
+      |      ELSE list_transform(range(0, len(toks) // 16),
+      |             i -> {'pos': i, 'chunk': array_to_string(list_slice(toks, i*16 + 1, i*16 + 16), ' ')})
+      |      END) AS s
+      |  FROM t
+      |),
+      |cc AS (SELECT doc_id, s.pos AS pos, s.chunk AS chunk, md5(s.chunk) AS h FROM c),
+      |f AS (SELECT h, COUNT(*) AS n_occ FROM cc GROUP BY h),
+      |kept AS (
+      |  SELECT cc.doc_id, cc.pos, cc.chunk
+      |  FROM cc JOIN f USING (h) WHERE f.n_occ < 2
+      |),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_chunks_gardes,
+      |    string_agg(chunk, ' ' ORDER BY pos) AS texte_nettoye
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(agg.texte_nettoye, '') AS texte_nettoye,
+      |  COALESCE(agg.n_chunks_gardes, 0) AS n_chunks_gardes
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d16 — benchmark decontamination: the corpus screened against a held
   // eval slice (the planted every-50th near-dup copies stand in for a
   // benchmark that leaked into the crawl) on shared token 3-grams.
@@ -1249,6 +1292,7 @@ object PipelineQueries {
     Q("d14_incremental_dedup", "batch-vs-corpus incremental near-dup screen", d14, Some(d14Sql)),
     Q("d15_chunk_dedup", "chunk-level boilerplate fraction (CCNet-style)", d15, Some(d15Sql)),
     Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
+    Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),

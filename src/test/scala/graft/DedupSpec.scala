@@ -40,6 +40,25 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("chunkScrub: boilerplate chunks removed in place, order kept, tail dropped") {
+    val df = Seq(
+      (1L, "a b c d e f g h tail1"),     // "a b c d" shared with doc 2; tail dropped
+      (2L, "x y z w a b c d"),           // shared chunk removed from the MIDDLE position
+      (3L, "p q r s p q r s"),           // fully boilerplate (within-doc repeat) → empty
+      (4L, ""),                          // blank → empty
+      (5L, "unique little doc")          // sub-width → empty
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkScrub(df, "doc_id", "text", chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("e f g h", 1L)),
+      2L -> (("x y z w", 1L)),
+      3L -> (("", 0L)),
+      4L -> (("", 0L)),
+      5L -> (("", 0L))
+    ))
+  }
+
   test("chunkDedup: duplicate-free corpus flags nothing") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
