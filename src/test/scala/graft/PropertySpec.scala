@@ -50,4 +50,82 @@ class PropertySpec extends AnyFunSuite {
       PgCopy.parseArray(literal) == xs
     })
   }
+
+  // ------------------------------------------------------------------
+  // Round-8 compiled text kernels vs independent references (pure JVM,
+  // no Spark session — the kernels are static functions).
+  // ------------------------------------------------------------------
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.graft.TextKernels
+
+  private def toks(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def strs(a: ArrayData): Seq[String] =
+    (0 until a.numElements()).map(a.getUTF8String(_).toString)
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(6))
+  private val tokensGen = Gen.listOf(wordGen).map(_.take(40))
+
+  test("ngramsOf kernel == sliding-window reference, any n") {
+    val g = for { ts <- tokensGen; n <- Gen.choose(1, 5) } yield (ts, n)
+    check("ngrams-ref", Prop.forAll(g) { case (ts, n) =>
+      val expected = if (ts.length < n) Nil else ts.sliding(n).map(_.mkString(" ")).toList
+      strs(TextKernels.ngramsOf(toks(ts), n)) == expected
+    })
+  }
+
+  test("chunksOf kernel == grouped reference (full chunks only), any width") {
+    val g = for { ts <- tokensGen; w <- Gen.choose(1, 7) } yield (ts, w)
+    check("chunks-ref", Prop.forAll(g) { case (ts, w) =>
+      val expected = ts.grouped(w).filter(_.length == w).map(_.mkString(" ")).toList
+      strs(TextKernels.chunksOf(toks(ts), w)) == expected
+    })
+  }
+
+  test("md5WinnowSketch kernel == MessageDigest + sliding-minima reference") {
+    val g = for { ts <- tokensGen; n <- Gen.choose(1, 4); w <- Gen.choose(1, 6) } yield (ts, n, w)
+    check("winnow-ref", Prop.forAll(g) { case (ts, n, w) =>
+      val row = TextKernels.md5WinnowSketch(toks(ts), n, w)
+      val (gotEmp, gotSk) = (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+      if (ts.length < n) gotEmp == "" && gotSk == ""
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = ts.sliding(n).map { g =>
+          md.reset()
+          md.digest(g.mkString(" ").getBytes("UTF-8"))
+            .take(8).map(b => f"$b%02x").mkString
+        }.toVector
+        val minima = hs.indices.map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        gotEmp == hs.min && gotSk == minima.distinct.sorted.mkString(",")
+      }
+    })
+  }
+
+  test("langQualityCounts kernel == java.util.regex reference on adversarial text") {
+    val pieces = Gen.oneOf(
+      wordGen, Gen.const("the"), Gen.const("de"), Gen.const("la"), Gen.const("a"),
+      Gen.const("idées"), Gen.const("und"), Gen.const("es"), Gen.const("_a"),
+      Gen.const("汉字"), Gen.const("你好"), Gen.const("a1"), Gen.const("1a"),
+      Gen.const(","), Gen.const("."), Gen.const("!"), Gen.const(";"), Gen.const("?"),
+      Gen.const(":"), Gen.const("-"), Gen.const("\"")
+    )
+    val textGen = Gen.listOf(pieces).map(_.take(60)).flatMap { ws =>
+      Gen.oneOf(" ", "", "  ").map(sep => ws.mkString(sep))
+    }
+    val regexes = Seq(
+      "\\b(the|a|of|to|in|and|is|it|that|for)\\b",
+      "\\b(le|la|les|de|des|un|une|et|est|que)\\b",
+      "\\b(der|die|das|und|ist|ein|eine|nicht|mit|auf)\\b",
+      "\\b(el|la|los|las|de|un|una|y|es|que)\\b",
+      "[一-鿿]", "[.,!?;:]"
+    ).map(java.util.regex.Pattern.compile)
+    check("langcounts-ref", Prop.forAll(textGen) { text =>
+      val got = TextKernels.langQualityCounts(UTF8String.fromString(text))
+      val expected = regexes.map { p =>
+        val m = p.matcher(text); var c = 0L; while (m.find()) c += 1; c
+      }
+      (0 until 6).forall(i => got.getLong(i) == expected(i))
+    })
+  }
 }
