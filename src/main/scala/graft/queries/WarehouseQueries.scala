@@ -184,6 +184,26 @@ object WarehouseQueries {
       |ORDER BY regle""".stripMargin
 
   // ---------------------------------------------------------------------
+  // etl06 — surrogate keys at scale: the two-phase distributed dense-id
+  // assignment (range partition → per-partition counts → offset map)
+  // must equal ROW_NUMBER() OVER (ORDER BY key) — the reference's
+  // sequence semantics — without the single-task sort the window
+  // formulation pays (SurrogateSpec pins the plan difference).
+  // ---------------------------------------------------------------------
+  private def etl06(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Surrogate
+      .denseId(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        "client_key",
+        Seq(col("c_name")))
+      .orderBy(col("c_custkey"))
+  private val etl06Sql =
+    """SELECT c_custkey, c_name,
+      |  ROW_NUMBER() OVER (ORDER BY c_name) AS client_key
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q26 — measure layer with slicer filters (annee=1997, nation=France):
   // filters hit the DIMENSIONS, the fact is restricted via broadcast
   // left-semi joins on surviving keys — the semantic-model filter
@@ -496,6 +516,7 @@ object WarehouseQueries {
     Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
     Q("etl04_incremental_merge", "foreachBatch MERGE loader == batch build (§2.9)", etl04, Some(etl04Sql)),
     Q("etl05_constraint_report", "ETL constraint validation: CHECK/domain/NOT NULL/PK/FK (§1.2)", etl05, Some(etl05Sql)),
+    Q("etl06_surrogate_scale", "two-phase distributed dense ids == ROW_NUMBER (§1.1 at scale)", etl06, Some(etl06Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
     Q("q27_scalar_suite", "initcap/AGE/TO_CHAR scalar functions (§2.8)", q27, Some(q27Sql)),
     Q("q30_weekday_quartiles", "weekday box-whisker: quartiles of daily CA (§2.10)", q30, Some(q30Sql)),
