@@ -123,6 +123,13 @@ object ScaleStress {
     val tiers = args.drop(1).headOption.getOrElse("1,10,100").split(",").map(_.trim.toInt).toSeq
     val spark = graft.engine.Session.local(32)
     spark.sparkContext.setLogLevel("WARN")
+    // dedup-heavy tiers: the sig/sketch broadcast budget is an operating
+    // knob (Dedup.scala docs) — a 1000× run (5M docs) carries a ~2.7 GB
+    // sig table, which a 48 GB driver holds comfortably; leaving the
+    // 512 MB default would exercise the shuffle fallback instead
+    sys.env.get("SPARK_GRAFT_SIG_BUDGET").foreach { b =>
+      spark.conf.set("spark.graft.dedup.sigBroadcastBytes", b)
+    }
     val dirs = tiers.map(t => t -> s"$base/x$t").toMap
     tiers.foreach { t =>
       println(s"[scale] generating x$t fixture (${5000 * t} docs / ${2000 * t} vecs)")

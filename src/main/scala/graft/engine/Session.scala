@@ -18,6 +18,12 @@ object Session {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // local mode: the driver IS the whole machine, so the 1g collect
+      // ceiling is needlessly tight for the sig/sketch broadcasts the
+      // dedup tier sizes against (they clamp to THIS limit) — 4g default,
+      // env-overridable for bigger tiers
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

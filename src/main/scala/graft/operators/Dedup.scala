@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
 
 /** Deduplication operators for large text corpora (the LLM-pipeline tier).
@@ -17,6 +16,22 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** The broadcast budget a session can actually honor: a broadcast is
+    * COLLECTED to the driver first, so any budget above
+    * `spark.driver.maxResultSize` (default 1g; 0 = unlimited) would die
+    * with "Tasks result size has exceeded maxResultSize" instead of
+    * degrading — measured at the 1000× stress tier (5 M docs, 2.7 GB
+    * sig table vs the 1 GB default). Clamping here keeps the
+    * documented fallback (dedup-first, shuffled sig joins) the worst
+    * case at every scale.
+    */
+  private[graft] def clampToDriverLimit(
+      spark: org.apache.spark.sql.SparkSession, budget: Long): Long = {
+    val maxResult = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize", "1g"))
+    if (maxResult <= 0) budget else math.min(budget, maxResult)
+  }
+
   /** Exact dedup on a key expression (default: the full text). Keeps the
     * smallest id per group — deterministic winner, unlike dropDuplicates
     * (whose survivor is partition-order dependent).
@@ -25,6 +40,51 @@ object Dedup {
     docs
       .groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The duplicated-fingerprint set shared by [[chunkDedup]] and
+    * [[chunkScrub]]: distinct md5 fingerprints occurring ≥ 2 times
+    * anywhere in the corpus, cached (it is narrow — 32 hex chars per
+    * DISTINCT hot value, however many million rows repeat it) and
+    * wrapped in `broadcast()` when its measured payload fits the
+    * dedup broadcast budget (`spark.graft.dedup.sigBroadcastBytes`,
+    * clamped to the driver's collect ceiling). Past the budget the
+    * caller's join degrades to a shuffle on h, where AQE skew
+    * splitting absorbs hot fingerprints — the probe rows for one hot
+    * h land in one partition, but each build row is unique, so the
+    * split replicates a single narrow row.
+    *
+    * The frequency pass itself is a `groupBy(h)` — map-side
+    * combinable, so a fingerprint repeated a million times collapses
+    * to one (h, count) row per map partition before the (tiny)
+    * exchange. This deliberately replaces a
+    * `count() over (partition by h)` window, which shuffles every
+    * full chunk row and serializes ALL occurrences of a hot
+    * fingerprint through one task: the 1000× stress (5 M docs,
+    * boilerplate-heavy fixture) measured the window at 65.9×/decade
+    * (192 s) vs linear for this shape. The price is that the caller's
+    * pure-map chunk subplan is derived twice (once feeding the
+    * frequency pass, once feeding the join-back) — recomputing a
+    * compiled map kernel beats both caching a corpus-scale
+    * intermediate and the skewed full-width window exchange.
+    */
+  private def duplicatedFingerprints(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    val dup = chunks
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"))
+      .cache()
+    val budget = clampToDriverLimit(spark,
+      spark.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(_.toLong)
+        .getOrElse(512L * 1024 * 1024))
+    // 32 hex chars UTF-8 + per-row overhead, same accounting as the
+    // sig budget; the count materializes the cache for the join reuse
+    val nDup = dup.count()
+    if (nDup * (32L + 48L) <= budget) broadcast(dup) else dup
+  }
 
   /** Chunk-level dedup signals (the paragraph-dedup pass of CCNet-style
     * pipelines, over fixed token windows since the corpus has no
@@ -35,16 +95,13 @@ object Dedup {
     * its chunk count, duplicated-chunk count, and duplicated fraction.
     *
     * Scale design: chunking is pure map (compiled tokenization + a
-    * per-doc transform), and the whole corpus-wide frequency pass is a
-    * COUNT window over ONE exchange on the full 128-bit md5 fingerprint
-    * (uniformly distributed — no skew; collision-free at any corpus
-    * size, unlike a 64-bit truncation whose birthday bound is reached
-    * by ~10^10 chunks). The window formulation computes every chunk
-    * row's global occurrence count without re-deriving the chunk
-    * subplan for a join-back, so the tokenize+chunk map pass runs ONCE
-    * over the corpus. The per-doc rollup is the only other exchange.
-    * No step is quadratic; hot boilerplate chunks concentrate rows in
-    * one window partition, bounded by the duplication itself.
+    * per-doc transform) on the full 128-bit md5 fingerprint
+    * (collision-free at any corpus size, unlike a 64-bit truncation
+    * whose birthday bound is reached by ~10^10 chunks). The corpus
+    * frequency pass and its skew story live in
+    * [[duplicatedFingerprints]]; the mark join is map-side under the
+    * broadcast budget, and both rollups (frequency, per-doc) are
+    * map-side combinable — no full-width skewed exchange anywhere.
     */
   def chunkDedup(
       docs: DataFrame,
@@ -58,12 +115,13 @@ object Dedup {
         explode(Text.chunks(Text.tokens(col(textCol)), chunkTokens)).as("chunk")
       )
       .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val dup = duplicatedFingerprints(chunks).withColumn("dup", lit(1))
     val perDoc = chunks
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(dup, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_chunks_dupliques")
+        sum(when(col("dup") === 1, 1L).otherwise(0L)).as("n_chunks_dupliques")
       )
     docs
       .select(col(idCol).as("doc_id"))
@@ -88,12 +146,14 @@ object Dedup {
     * contract as [[chunkDedup]]) and the kept-chunk count; fully
     * boilerplate or sub-width docs scrub to the empty string.
     *
-    * Scale design: same two exchanges as [[chunkDedup]] (one window on
-    * the md5 fingerprint, one per-doc rollup); the rollup carries chunk
-    * text but only for SURVIVING chunks, and order is restored in-row
-    * (array_sort over (pos, chunk) structs), so no sort of the corpus
-    * ever happens — a 100 TB scrub moves each kept chunk through
-    * exactly two exchanges.
+    * Scale design: the corpus frequency pass and its skew story live
+    * in [[duplicatedFingerprints]] (map-side-combinable groupBy, never
+    * a fingerprint window); boilerplate chunks die in a map-side
+    * anti join under the broadcast budget, so the per-doc rollup
+    * carries chunk text only for SURVIVING chunks, and order is
+    * restored in-row (array_sort over (pos, chunk) structs) — no sort
+    * of the corpus ever happens. A 100 TB scrub moves each kept chunk
+    * through exactly one exchange (the rollup).
     */
   def chunkScrub(
       docs: DataFrame,
@@ -108,8 +168,7 @@ object Dedup {
       )
       .select(col("doc_id"), col("pos"), col("chunk"), md5(col("chunk")).as("h"))
     val kept = chunks
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("n_occ") < 2)
+      .join(duplicatedFingerprints(chunks.select(col("h"))), Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks_gardes"),
@@ -253,12 +312,12 @@ object Dedup {
     // size, dedup first — the narrow distinct is then cheaper than
     // shuffling sig-wide raw pairs twice.
     val nDocs = withSig.count() // materializes the cache (reused by every branch)
-    val broadcastCutoff =
+    val broadcastCutoff = clampToDriverLimit(docs.sparkSession,
       if (sigBroadcastBytes >= 0) sigBroadcastBytes
       else docs.sparkSession.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
         .map(_.toLong)
-        .getOrElse(512L * 1024 * 1024)
+        .getOrElse(512L * 1024 * 1024))
     val sigBroadcastable = broadcastCutoff > 0 && nDocs * (k * 8L + 32L) <= broadcastCutoff
     val candidates = (if (sigBroadcastable)
       rawPairs
@@ -605,10 +664,11 @@ object Dedup {
     // same broadcast budget as the minhash sig kill: the sketch table is
     // n·((N/64)·8+32) bytes; past the budget fall back to dedup-first
     // (the kill then runs post-shuffle on the narrow distinct output)
-    val sketchBudget = embeddings.sparkSession.conf
-      .getOption("spark.graft.dedup.sigBroadcastBytes")
-      .map(_.toLong)
-      .getOrElse(512L * 1024 * 1024)
+    val sketchBudget = clampToDriverLimit(embeddings.sparkSession,
+      embeddings.sparkSession.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(_.toLong)
+        .getOrElse(512L * 1024 * 1024))
     val nVecs = graft.sources.ScanStats.exactRowCountNoJob(embeddings).getOrElse(Long.MaxValue)
     val sketchBroadcastable = nVecs * ((nBitsTotal / 64 + 1) * 8L + 32L) <= sketchBudget
     val candidates = (if (sketchBroadcastable)

@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("broadcast budgets clamp to spark.driver.maxResultSize (collect ceiling)") {
+    val limit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize"))
+    assert(limit > 0, "test session must have a finite maxResultSize")
+    // a budget past the driver's collect ceiling must be cut to it —
+    // at the 1000x stress tier an unclamped 4 GB budget chose a 2.7 GB
+    // broadcast that died in collect instead of degrading to the
+    // shuffled path
+    assert(Dedup.clampToDriverLimit(spark, Long.MaxValue / 4) == limit)
+    assert(Dedup.clampToDriverLimit(spark, 1024L) == 1024L)
+  }
+
   test("chunkScrub: boilerplate chunks removed in place, order kept, tail dropped") {
     val df = Seq(
       (1L, "a b c d e f g h tail1"),     // "a b c d" shared with doc 2; tail dropped
