@@ -106,6 +106,11 @@ object TextExpr {
     */
   def langQualityCounts(text: Column): Column = col(LangQualityCounts(expr(text)))
 
+  /** Gopher-style repetition counters over a token array — see
+    * [[TextKernels.repetitionCounts]].
+    */
+  def repetitionCounts(tokens: Column): Column = col(RepetitionCounts(expr(tokens)))
+
   /** Whole-document md5 winnowing: (empreinte, sketch) struct — the
     * pure-map replacement for the posexplode + windows formulation.
     */
@@ -487,6 +492,53 @@ object TextKernels {
     }
     new GenericArrayData(counts)
   }
+
+  /** One pass over a token array computing the Gopher-style repetition
+    * counters: [n_tokens, top-token occurrences, n_bigrams, top-bigram
+    * occurrences, bigram instances whose bigram occurs ≥ 2 in the doc].
+    * In-row hash maps — a per-doc statistic must never become a
+    * corpus-wide (doc, gram) shuffle. Fractions are derived by the
+    * caller (top/total and duplicated/total).
+    */
+  def repetitionCounts(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](5)
+    out(0) = n.toLong
+    if (n > 0) {
+      val tokCounts = new java.util.HashMap[UTF8String, Integer](n * 2)
+      var top = 0
+      var i = 0
+      while (i < n) {
+        val c = tokCounts.merge(a.getUTF8String(i), Integer.valueOf(1),
+          (x: Integer, y: Integer) => Integer.valueOf(x.intValue() + y.intValue()))
+        if (c.intValue() > top) top = c.intValue()
+        i += 1
+      }
+      out(1) = top.toLong
+    }
+    if (n >= 2) {
+      val biCounts = new java.util.HashMap[String, Integer](n * 2)
+      var i = 0
+      while (i < n - 1) {
+        val bg = a.getUTF8String(i).toString + " " + a.getUTF8String(i + 1).toString
+        biCounts.merge(bg, Integer.valueOf(1),
+          (x: Integer, y: Integer) => Integer.valueOf(x.intValue() + y.intValue()))
+        i += 1
+      }
+      out(2) = (n - 1).toLong
+      var topBg = 0L
+      var dup = 0L
+      val it = biCounts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        if (c > topBg) topBg = c.toLong
+        if (c >= 2) dup += c.toLong
+      }
+      out(3) = topBg
+      out(4) = dup
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class RollingHash(child: Expression)
@@ -763,5 +815,23 @@ case class LangQualityCounts(child: Expression)
       x => s"org.apache.spark.sql.graft.TextKernels.langQualityCounts($x)")
 
   override protected def withNewChildInternal(newChild: Expression): LangQualityCounts =
+    copy(child = newChild)
+}
+
+case class RepetitionCounts(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.repetitionCounts($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
     copy(child = newChild)
 }

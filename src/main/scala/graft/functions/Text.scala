@@ -159,4 +159,14 @@ object Text {
     val stopBonus = when(stopRatio > 0, lit(1.0)).otherwise(lit(0.0))
     round((lenOk + tokLenOk + punctOk + stopBonus) / 4.0, 6)
   }
+
+  /** Gopher-style repetition counters over a TOKEN array, one compiled
+    * in-row pass: [n_tokens, top-token count, n_bigrams, top-bigram
+    * count, duplicated-bigram instances]. The repetition family of
+    * quality filters (most-common-word fraction, top-2-gram fraction,
+    * duplicate-2-gram fraction) derives directly; a per-doc statistic
+    * computed in-row, never via a corpus-wide (doc, gram) shuffle.
+    */
+  def repetitionCounts(tokenCol: Column): Column =
+    org.apache.spark.sql.graft.TextExpr.repetitionCounts(tokenCol)
 }

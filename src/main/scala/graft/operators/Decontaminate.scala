@@ -52,12 +52,14 @@ object Decontaminate {
     // distinct gram VALUES only — the broadcast payload is the benchmark
     // vocabulary, not the benchmark corpus
     val evalGrams = grams(eval).select("g").distinct()
-    val budget =
+    // clamped to the driver's collect ceiling like every dedup budget:
+    // a broadcast the driver cannot collect must degrade, not die
+    val budget = Dedup.clampToDriverLimit(train.sparkSession,
       if (gramBroadcastBytes >= 0) gramBroadcastBytes
       else train.sparkSession.conf
         .getOption("spark.graft.decontaminate.gramBroadcastBytes")
         .map(_.toLong)
-        .getOrElse(512L * 1024 * 1024)
+        .getOrElse(512L * 1024 * 1024))
     // UTF-8 payload + per-row object overhead, same accounting as the
     // minhashLsh sig budget; the agg re-derives evalGrams once more but
     // the eval side is the small one
@@ -69,6 +71,13 @@ object Decontaminate {
       .join(evalSide, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_partages"))
+    // The per-doc gram total is a SECOND map pass of the shingle kernel
+    // over the train side — deliberate: folding it into the exploded
+    // pass (size carried per gram row, aggregated per doc) would need
+    // the per-doc rollup to run over ALL gram rows instead of the rare
+    // collision survivors, turning the one narrow exchange into a
+    // corpus-wide-grams exchange. Recomputing a compiled map kernel is
+    // the cheaper side of that trade at any corpus size.
     train
       .select(col(idCol).as("doc_id"), size(Text.shingles(col(textCol), n)).as("n_grams"))
       .join(shared, Seq("doc_id"), "left")

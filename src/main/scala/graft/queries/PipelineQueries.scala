@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Similarity, Upsert}
+import graft.operators.{Dedup, Pack, Similarity, Upsert}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
 
@@ -1243,6 +1243,104 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d18 — sequence packing: documents concatenated in doc_id order and
+  // cut into 1024-token training sequences; each doc annotated with the
+  // sequence range holding its tokens. The two-phase distributed prefix
+  // sum (Pack.sequences) must equal the oracle's single ORDER BY window.
+  // ---------------------------------------------------------------------
+  private def d18(spark: SparkSession, dir: String): DataFrame =
+    Pack
+      .sequences(Tables.documents(spark, dir), "doc_id", "text", seqTokens = 1024)
+      .orderBy(col("doc_id"))
+  private val d18Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t
+      |),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    (cum - n_tokens) // 1024 AS seq_debut,
+      |    GREATEST((cum - n_tokens) // 1024, (GREATEST(cum, 1) - 1) // 1024) AS seq_fin
+      |  FROM c
+      |)
+      |SELECT doc_id, n_tokens, seq_debut, seq_fin,
+      |  seq_fin - seq_debut + 1 AS n_seqs
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d19 — repetition quality signals (the Gopher repetition-filter
+  // family): most-common-token fraction, most-common-bigram fraction,
+  // duplicated-bigram fraction — one compiled in-row pass per doc
+  // (graft_repetition_counts), NEVER a corpus-wide (doc, gram) shuffle.
+  // The oracle recomputes all three the expensive way (exploded gram
+  // counts per doc) in DuckDB.
+  // ---------------------------------------------------------------------
+  private def d19(spark: SparkSession, dir: String): DataFrame = {
+    val c = Text.repetitionCounts(Text.tokens(col("text")))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), c.as("c"))
+      .select(
+        col("doc_id"),
+        element_at(col("c"), 1).as("n_tokens"),
+        round(element_at(col("c"), 2).cast("double") /
+          greatest(element_at(col("c"), 1), lit(1L)).cast("double"), 6)
+          .as("frac_token_top"),
+        round(element_at(col("c"), 4).cast("double") /
+          greatest(element_at(col("c"), 3), lit(1L)).cast("double"), 6)
+          .as("frac_bigramme_top"),
+        round(element_at(col("c"), 5).cast("double") /
+          greatest(element_at(col("c"), 3), lit(1L)).cast("double"), 6)
+          .as("frac_bigrammes_dupliques")
+      )
+      .orderBy(col("doc_id"))
+  }
+  private val d19Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+      |ts AS (
+      |  SELECT doc_id, MAX(c) AS top_tok, CAST(SUM(c) AS BIGINT) AS n_tok
+      |  FROM tc GROUP BY doc_id
+      |),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t
+      |),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+      |bs AS (
+      |  SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+      |  FROM bc GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(ts.n_tok, 0) AS n_tokens,
+      |  ROUND(CAST(COALESCE(ts.top_tok, 0) AS DOUBLE)
+      |        / CAST(GREATEST(COALESCE(ts.n_tok, 0), 1) AS DOUBLE), 6) AS frac_token_top,
+      |  ROUND(CAST(COALESCE(bs.top_bg, 0) AS DOUBLE)
+      |        / CAST(GREATEST(COALESCE(bs.n_bg, 0), 1) AS DOUBLE), 6) AS frac_bigramme_top,
+      |  ROUND(CAST(COALESCE(bs.dup_bg, 0) AS DOUBLE)
+      |        / CAST(GREATEST(COALESCE(bs.n_bg, 0), 1) AS DOUBLE), 6) AS frac_bigrammes_dupliques
+      |FROM documents d
+      |LEFT JOIN ts USING (doc_id)
+      |LEFT JOIN bs USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s04 — streaming dedup: the event stream delivered twice, deduped
   // with watermark-evicted state, then aggregated — must equal the
   // batch aggregate over the clean table (which is what the oracle
@@ -1293,6 +1391,8 @@ object PipelineQueries {
     Q("d15_chunk_dedup", "chunk-level boilerplate fraction (CCNet-style)", d15, Some(d15Sql)),
     Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
     Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
+    Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
+    Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),

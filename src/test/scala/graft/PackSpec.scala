@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pack
+import graft.sources.Tables
+
+/** Sequence packing: the two-phase distributed prefix sum must equal
+  * the single-window formulation, pin the boundary semantics exactly,
+  * and never plan the Exchange SinglePartition it exists to avoid.
+  */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("doc_id", "n_tokens", "seq_debut", "seq_fin", "n_seqs")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    .sortBy(_._1)
+
+  test("two-phase == single-window formulation (documents table + empty docs)") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows(Pack.sequences(docs, "doc_id", "text", 1024, numPartitions = 7)) ===
+      rows(Pack.sequencesSingleTask(docs, "doc_id", "text", 1024)))
+    // a budget smaller than most docs forces many boundary crossings
+    assert(rows(Pack.sequences(docs, "doc_id", "text", 8, numPartitions = 3)) ===
+      rows(Pack.sequencesSingleTask(docs, "doc_id", "text", 8)))
+  }
+
+  test("boundary semantics: crossings, zero-width docs at exact boundaries") {
+    val df = Seq(
+      (1L, "a b c"),       // tokens [0,3) of budget 4 -> seq 0 only
+      (2L, "d e"),         // [3,5) -> crosses into seq 1
+      (3L, ""),            // zero-width at offset 5 -> lands in seq 1
+      (4L, "f g h i j")    // [5,10) -> seqs 1..2
+    ).toDF("doc_id", "text")
+    assert(rows(Pack.sequences(df, "doc_id", "text", 4, numPartitions = 2)) === Seq(
+      (1L, 3L, 0L, 0L, 1L),
+      (2L, 2L, 0L, 1L, 2L),
+      (3L, 0L, 1L, 1L, 1L),
+      (4L, 5L, 1L, 2L, 2L)
+    ))
+    // zero-width doc sitting exactly ON a boundary belongs to the NEXT
+    // sequence (its offset's sequence), not the one that just closed
+    val atBoundary = Seq((1L, "a b c d"), (2L, ""), (3L, "e")).toDF("doc_id", "text")
+    assert(rows(Pack.sequences(atBoundary, "doc_id", "text", 4, numPartitions = 2)) === Seq(
+      (1L, 4L, 0L, 0L, 1L),
+      (2L, 0L, 1L, 1L, 1L),
+      (3L, 1L, 1L, 1L, 1L)
+    ))
+  }
+
+  test("never plans a single-partition exchange (the window twin does)") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Pack.sequences(docs, "doc_id", "text", 1024)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SinglePartition"),
+      s"two-phase packing must not serialize the corpus into one task:\n$plan")
+    val windowPlan = Pack.sequencesSingleTask(docs, "doc_id", "text", 1024)
+      .queryExecution.executedPlan.toString()
+    assert(windowPlan.contains("SinglePartition"))
+  }
+
+  test("deterministic across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids() = rows(Pack.sequences(docs, "doc_id", "text", 64)).toSeq
+    assert(ids() == ids())
+  }
+}

@@ -128,4 +128,23 @@ class PropertySpec extends AnyFunSuite {
       (0 until 6).forall(i => got.getLong(i) == expected(i))
     })
   }
+
+  test("repetitionCounts kernel == collections reference on repetition-heavy token lists") {
+    // tiny vocabulary so top/dup counters actually bind
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "aa", "c")).map(_.take(50))
+    check("repetition-ref", Prop.forAll(tokGen) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(UTF8String.fromString).toArray)
+      val got = (0 until 5).map(TextKernels.repetitionCounts(arr).getLong(_))
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toList
+      val bgCounts = bgs.groupBy(identity).values.map(_.size.toLong)
+      val expected = Seq(
+        toks.length.toLong,
+        if (toks.isEmpty) 0L else toks.groupBy(identity).values.map(_.size).max.toLong,
+        bgs.length.toLong,
+        if (bgs.isEmpty) 0L else bgCounts.max,
+        bgCounts.filter(_ >= 2).sum)
+      got == expected
+    })
+  }
 }

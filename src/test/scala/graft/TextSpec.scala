@@ -221,4 +221,23 @@ class TextSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getStruct(1).getInt(0), x.getStruct(1).getLong(1))).toSet
     assert(compiled == hof)
   }
+
+  test("repetitionCounts: hand-checked docs through the codegen path") {
+    val docs = Seq(
+      (1L, "a a b"),     // top token a=2; bigrams [a a, a b] all unique
+      (2L, "a a a"),     // bigrams [a a, a a]: top 2, dup instances 2
+      (3L, ""),          // blank -> all zeros
+      (4L, "x"),         // single token: no bigrams
+      (5L, "p q p q p")  // tokens p=3; bigrams [p q, q p, p q, q p]: top 2, dup 4
+    ).toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", Text.repetitionCounts(Text.tokens($"text")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(3L, 2L, 2L, 1L, 0L))
+    assert(got(2L) == Seq(3L, 3L, 2L, 2L, 2L))
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(got(4L) == Seq(1L, 1L, 0L, 0L, 0L))
+    assert(got(5L) == Seq(5L, 3L, 4L, 2L, 4L))
+  }
 }
