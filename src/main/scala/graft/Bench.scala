@@ -73,7 +73,7 @@ object Bench {
     // this. Budgets are env-overridable for other SFs/machines, and
     // probe-scaled for machine contention.
     val perQueryBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_QUERY", "6.0").toDouble * scale
-    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_TOTAL", "80.0").toDouble * scale
+    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_TOTAL", "95.0").toDouble * scale
     // transient-contention recourse: queries over budget get ONE quiet
     // re-run each, in isolation after the catalog pass, and the better
     // time is the adjudicated one — a real regression is slow both

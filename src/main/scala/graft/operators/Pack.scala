@@ -80,17 +80,52 @@ object Pack {
       .select(Seq(col("doc_id"), col("n_tokens")) ++ seqRange(seqTokens): _*)
   }
 
-  /** seq_debut/seq_fin/n_seqs from a global running token total `cum` —
-    * `div` (exact integer division on longs), never `/` (double, which
-    * drifts past 2^53 tokens).
+  /** tok_debut (the document's global token offset — what a shard
+    * writer seeks to) and seq_debut/seq_fin/n_seqs from a global
+    * running token total `cum` — `div` (exact integer division on
+    * longs), never `/` (double, which drifts past 2^53 tokens).
     */
   private def seqRange(seqTokens: Int): Seq[Column] = {
     val debut = expr(s"(cum - n_tokens) div ${seqTokens}L")
     val fin = greatest(debut, expr(s"(greatest(cum, 1L) - 1L) div ${seqTokens}L"))
     Seq(
+      (col("cum") - col("n_tokens")).as("tok_debut"),
       debut.as("seq_debut"),
       fin.as("seq_fin"),
       (fin - debut + lit(1L)).as("n_seqs"))
+  }
+
+  /** The per-sequence manifest: how many documents and tokens each
+    * packed sequence holds — the no-gaps-no-overlaps proof of
+    * [[sequences]] (every sequence except the last must hold exactly
+    * `seqTokens` tokens; PackSpec asserts it, the d20 oracle recomputes
+    * it). A doc spanning sequences s..t contributes the overlap of its
+    * global token interval [tok_debut, tok_debut + n_tokens) with each
+    * sequence's [s·budget, (s+1)·budget).
+    *
+    * Scale shape: the explode emits ~(total_tokens / seqTokens +
+    * n_docs) rows — one per (doc, touched sequence), never per token —
+    * and the rollup groupBy(seq_id) is map-side combinable over keys
+    * uniform by construction (consecutive integers). One narrow
+    * exchange on top of [[sequences]]'s two.
+    */
+  def manifest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqTokens: Int,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val b = lit(seqTokens.toLong)
+    sequences(docs, idCol, textCol, seqTokens, numPartitions)
+      .filter(col("n_tokens") > 0) // zero-width docs hold no tokens
+      .select(col("doc_id"), col("tok_debut"), col("n_tokens"),
+        explode(sequence(col("seq_debut"), col("seq_fin"))).as("seq_id"))
+      .withColumn("contrib",
+        least((col("seq_id") + 1L) * b, col("tok_debut") + col("n_tokens")) -
+          greatest(col("seq_id") * b, col("tok_debut")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("n_tokens"))
   }
 
   /** The single-window formulation `sequences` must equal whenever the

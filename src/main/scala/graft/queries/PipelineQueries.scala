@@ -1266,14 +1266,54 @@ object PipelineQueries {
       |),
       |r AS (
       |  SELECT doc_id, n_tokens,
+      |    cum - n_tokens AS tok_debut,
       |    (cum - n_tokens) // 1024 AS seq_debut,
       |    GREATEST((cum - n_tokens) // 1024, (GREATEST(cum, 1) - 1) // 1024) AS seq_fin
       |  FROM c
       |)
-      |SELECT doc_id, n_tokens, seq_debut, seq_fin,
+      |SELECT doc_id, n_tokens, tok_debut, seq_debut, seq_fin,
       |  seq_fin - seq_debut + 1 AS n_seqs
       |FROM r
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d20 — the packing manifest: tokens and docs per packed sequence.
+  // The invariant the oracle re-derives — every sequence except the
+  // last holds exactly 1024 tokens — is the no-gaps-no-overlaps proof
+  // of the d18 prefix sum.
+  // ---------------------------------------------------------------------
+  private def d20(spark: SparkSession, dir: String): DataFrame =
+    Pack
+      .manifest(Tables.documents(spark, dir), "doc_id", "text", seqTokens = 1024)
+      .orderBy(col("seq_id"))
+  private val d20Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t
+      |),
+      |r AS (
+      |  SELECT doc_id, n_tokens, cum - n_tokens AS tok_debut,
+      |    (cum - n_tokens) // 1024 AS seq_debut,
+      |    GREATEST((cum - n_tokens) // 1024, (GREATEST(cum, 1) - 1) // 1024) AS seq_fin
+      |  FROM c WHERE n_tokens > 0
+      |),
+      |x AS (
+      |  SELECT r.doc_id, r.tok_debut, r.n_tokens, s.seq_id
+      |  FROM r, LATERAL (SELECT unnest(generate_series(r.seq_debut, r.seq_fin)) AS seq_id) s
+      |)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(LEAST((seq_id + 1) * 1024, tok_debut + n_tokens)
+      |           - GREATEST(seq_id * 1024, tok_debut)) AS BIGINT) AS n_tokens
+      |FROM x
+      |GROUP BY seq_id
+      |ORDER BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d19 — repetition quality signals (the Gopher repetition-filter
@@ -1393,6 +1433,7 @@ object PipelineQueries {
     Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
     Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
+    Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),

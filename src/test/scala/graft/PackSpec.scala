@@ -12,9 +12,9 @@ class PackSpec extends SparkSpec {
   import spark.implicits._
 
   private def rows(df: org.apache.spark.sql.DataFrame) = df
-    .select("doc_id", "n_tokens", "seq_debut", "seq_fin", "n_seqs")
+    .select("doc_id", "n_tokens", "tok_debut", "seq_debut", "seq_fin", "n_seqs")
     .collect()
-    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     .sortBy(_._1)
 
   test("two-phase == single-window formulation (documents table + empty docs)") {
@@ -34,19 +34,38 @@ class PackSpec extends SparkSpec {
       (4L, "f g h i j")    // [5,10) -> seqs 1..2
     ).toDF("doc_id", "text")
     assert(rows(Pack.sequences(df, "doc_id", "text", 4, numPartitions = 2)) === Seq(
-      (1L, 3L, 0L, 0L, 1L),
-      (2L, 2L, 0L, 1L, 2L),
-      (3L, 0L, 1L, 1L, 1L),
-      (4L, 5L, 1L, 2L, 2L)
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 2L, 3L, 0L, 1L, 2L),
+      (3L, 0L, 5L, 1L, 1L, 1L),
+      (4L, 5L, 5L, 1L, 2L, 2L)
     ))
     // zero-width doc sitting exactly ON a boundary belongs to the NEXT
     // sequence (its offset's sequence), not the one that just closed
     val atBoundary = Seq((1L, "a b c d"), (2L, ""), (3L, "e")).toDF("doc_id", "text")
     assert(rows(Pack.sequences(atBoundary, "doc_id", "text", 4, numPartitions = 2)) === Seq(
-      (1L, 4L, 0L, 0L, 1L),
-      (2L, 0L, 1L, 1L, 1L),
-      (3L, 1L, 1L, 1L, 1L)
+      (1L, 4L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 4L, 1L, 1L, 1L),
+      (3L, 1L, 4L, 1L, 1L, 1L)
     ))
+  }
+
+  test("manifest: every sequence except the last holds exactly the budget (no gaps, no overlaps)") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 128
+    val m = Pack.manifest(docs, "doc_id", "text", budget, numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(m.nonEmpty)
+    // contiguous sequence ids from 0
+    assert(m.map(_._1).toSeq == (0L until m.length.toLong))
+    // full budget everywhere but the tail; total == corpus token count
+    m.init.foreach { case (sid, _, nTok) =>
+      assert(nTok == budget.toLong, s"sequence $sid holds $nTok of $budget tokens")
+    }
+    assert(m.last._3 >= 1L && m.last._3 <= budget.toLong)
+    val totalTokens = docs
+      .select(sum(graft.functions.Text.tokenCount(col("text")).cast("long")))
+      .collect().head.getLong(0)
+    assert(m.map(_._3).sum == totalTokens)
   }
 
   test("never plans a single-partition exchange (the window twin does)") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Check a graft Bench JSON line against the BASELINE.md budget rule.
 
-Usage: python3 tools/check_budget.py BENCH.json [--per-query 5.0] [--total 80.0]
+Usage: python3 tools/check_budget.py BENCH.json [--per-query 5.0] [--total 95.0]
 
 Exit 0 when every query is within the per-query budget and the catalog
 total is within the total budget; exit 1 otherwise, listing offenders.
@@ -16,7 +16,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
     ap.add_argument("--per-query", type=float, default=6.0)
-    ap.add_argument("--total", type=float, default=80.0)
+    ap.add_argument("--total", type=float, default=95.0)
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
