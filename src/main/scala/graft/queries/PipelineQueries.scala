@@ -973,10 +973,14 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     val slot = conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
       .cast(IntegerType)
+    val rep = Text.repetitionCounts(Text.tokens(col("text")))
     val scored = docs.select(
       col("doc_id"),
       Text.langGuess(col("text")).as("langue"),
       Text.qualityScore(col("text")).as("qualite"),
+      round(element_at(rep, 5).cast("double") /
+        greatest(element_at(rep, 3), lit(1L)).cast("double"), 6)
+        .as("frac_bigrammes_dupliques"),
       when(pmod(slot, lit(10)) <= 7, lit("train"))
         .when(pmod(slot, lit(10)) === 8, lit("val"))
         .otherwise(lit("test")).as("split")
@@ -987,8 +991,10 @@ object PipelineQueries {
     scored
       .join(chunk, Seq("doc_id"))
       .select(
-        col("doc_id"), col("langue"), col("qualite"), col("ratio_duplique"), col("split"),
-        (col("qualite") >= 0.75 && col("ratio_duplique") < 0.5 && col("langue") =!= "und")
+        col("doc_id"), col("langue"), col("qualite"), col("ratio_duplique"),
+        col("frac_bigrammes_dupliques"), col("split"),
+        (col("qualite") >= 0.75 && col("ratio_duplique") < 0.5 &&
+          col("frac_bigrammes_dupliques") < 0.9 && col("langue") =!= "und")
           .as("retenu")
       )
       .orderBy(col("doc_id"))
@@ -1050,10 +1056,25 @@ object PipelineQueries {
        |    ROUND(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
        |          / CAST(GREATEST(COALESCE(p.n_chunks, 0), 1) AS DOUBLE), 6) AS ratio_duplique
        |  FROM documents d LEFT JOIN p USING (doc_id)
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |  FROM t
+       |),
+       |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+       |rep AS (
+       |  SELECT d.doc_id,
+       |    ROUND(CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS DOUBLE)
+       |          / CAST(GREATEST(COALESCE(SUM(c), 0), 1) AS DOUBLE), 6) AS frac_bigrammes_dupliques
+       |  FROM documents d LEFT JOIN bgc ON d.doc_id = bgc.doc_id
+       |  GROUP BY d.doc_id
        |)
-       |SELECT s.doc_id, s.langue, s.qualite, r.ratio_duplique, s.split,
-       |  (s.qualite >= 0.75 AND r.ratio_duplique < 0.5 AND s.langue <> 'und') AS retenu
-       |FROM scored s JOIN ratios r USING (doc_id)
+       |SELECT s.doc_id, s.langue, s.qualite, r.ratio_duplique,
+       |  g.frac_bigrammes_dupliques, s.split,
+       |  (s.qualite >= 0.75 AND r.ratio_duplique < 0.5
+       |   AND g.frac_bigrammes_dupliques < 0.9 AND s.langue <> 'und') AS retenu
+       |FROM scored s JOIN ratios r USING (doc_id) JOIN rep g USING (doc_id)
        |ORDER BY s.doc_id""".stripMargin
   }
 
@@ -1434,7 +1455,7 @@ object PipelineQueries {
     Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
-    Q("p01_pipeline_composed", "end-to-end screen→score→chunk-dedup→split pipeline", p01, Some(p01Sql)),
+    Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),

@@ -162,6 +162,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d19: the repetition pass is pure map — no exchange except the presentation sort") {
+    // a per-doc statistic must never become a corpus-wide (doc, gram)
+    // shuffle: the kernel computes all five counters in-row
+    val p = plan(SparkEntry.queries("d19_repetition_stats")(spark, sfDir))
+    assert(!p.contains("hashpartitioning"),
+      s"d19 must not shuffle gram rows for a per-doc statistic:\n$p")
+    assert(p.contains("graft_repetition_counts"),
+      s"d19 must use the compiled kernel:\n$p")
+  }
+
+  test("d18/d20: packing never plans a single-partition exchange") {
+    for (q <- Seq("d18_sequence_pack", "d20_pack_manifest")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("SinglePartition"),
+        s"$q: the two-phase prefix sum must not serialize the corpus into one task:\n$p")
+    }
+  }
+
   test("d16: eval grams broadcast under the budget; shuffled semi-join past it") {
     val docs = Tables.documents(spark, sfDir)
     val isEval = col("doc_id") % 50 === 0 && col("doc_id") > 0
