@@ -53,6 +53,13 @@ object Pack {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // EXPLICIT partition count, deliberately: a user-numbered
+    // repartition (REPARTITION_BY_NUM) is exempt from AQE partition
+    // coalescing, so the totals job and the main job — two separate
+    // executions of this exchange — are guaranteed the same
+    // pid→key-range mapping. A column-only repartitionByRange would be
+    // AQE-coalescible, and the two jobs could then disagree on pid,
+    // silently corrupting every offset.
     val counted = docs
       .select(col(idCol).as("doc_id"), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
