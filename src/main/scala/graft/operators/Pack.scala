@@ -38,8 +38,14 @@ object Pack {
   /** Annotate each document with its packed-sequence range under a
     * `seqTokens`-token budget, concatenating in ascending `idCol`
     * order. Zero-token documents get the zero-width range at their
-    * offset's sequence. Output: (doc_id, n_tokens, seq_debut, seq_fin,
-    * n_seqs).
+    * offset's sequence. Output: (doc_id, n_tokens, tok_debut,
+    * seq_debut, seq_fin, n_seqs).
+    *
+    * The order key must be UNIQUE (the corpus PK): the cumulative
+    * window's default RANGE frame makes duplicate keys peers that
+    * share one running total, so duplicates would overlap in the
+    * packed stream — in this formulation AND in the single-window
+    * twin. Same contract as [[Surrogate.denseId]] determinism.
     */
   def sequences(
       docs: DataFrame,
