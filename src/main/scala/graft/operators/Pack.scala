@@ -52,9 +52,11 @@ object Pack {
       idCol: String,
       textCol: String,
       seqTokens: Int,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      startOffset: Long = 0L
   ): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
+    require(startOffset >= 0, "startOffset must be non-negative")
     val spark = docs.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -85,8 +87,12 @@ object Pack {
       .map { case ((_, off), (pid, _)) => (pid, off) }
     val offDf = broadcast(
       spark.createDataFrame(offsets.toSeq).toDF("pid", "part_offset"))
+    // startOffset: resume packing AFTER an already-packed prefix of the
+    // stream (the incremental-ingest continuation — see
+    // streaming/IngestPack); 0 packs from the stream origin
     val cum = sum(col("n_tokens"))
-      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))) + col("part_offset")
+      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))) +
+      col("part_offset") + lit(startOffset)
     counted
       .join(offDf, Seq("pid"))
       .withColumn("cum", cum)

@@ -831,6 +831,19 @@ object PipelineQueries {
       .orderBy(col("id_batch"), col("id_corpus"))
 
   // ---------------------------------------------------------------------
+  // s07 — streaming incremental sequence packing (§2.9 × packing tier):
+  // the d18 concat-and-chunk packing run as a Structured Streaming feed
+  // — 4 doc_id-ranged micro-batches, each resuming from the stored
+  // global token offset. The drained log must equal the one-shot pack
+  // (same oracle as d18).
+  // ---------------------------------------------------------------------
+  private def s07(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestPack
+      .run(spark, dir,
+        s"${System.getProperty("java.io.tmpdir")}/graft_s07_${Integer.toHexString(dir.hashCode)}")
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // d15 — chunk-level (paragraph) dedup: every doc scored by how much of
   // it is made of 16-token chunks that occur ≥ 2 times anywhere in the
   // corpus (CCNet-style boilerplate fraction). Oracle recomputes the
@@ -1457,6 +1470,7 @@ object PipelineQueries {
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
+    Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),

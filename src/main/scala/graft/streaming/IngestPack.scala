@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Pack
+
+/** Streaming incremental sequence packing (SURVEY §2.9 composed with
+  * the packing tier): arriving document micro-batches are packed into
+  * fixed-budget training sequences that CONTINUE the already-packed
+  * stream — each batch resumes from the running global token offset,
+  * so the drained log equals the one-shot [[Pack.sequences]] over the
+  * whole feed (asserted in StreamingSpec; oracle-gated as s07 with the
+  * d18 oracle).
+  *
+  * The offset is the loader's only cross-batch state: ONE scalar,
+  * recovered on restart from the already-written log (max(tok_debut +
+  * n_tokens)) the same way IncrementalEtl recovers its month catalog
+  * from a partition listing — the poor man's checkpoint, correct
+  * because appends are atomic per batch. Inside a batch the packing is
+  * the two-phase distributed prefix sum; across batches the offset
+  * addition is exact, so sequences spanning a batch boundary come out
+  * identical to the one-shot run.
+  *
+  * Contract: the feed arrives in ascending doc_id order (the staged
+  * range files replay production arrival order); an out-of-order
+  * arrival would interleave the concatenation differently from the
+  * one-shot pack — same arrival contract as IncrementalEtl's
+  * date-ordered feed.
+  */
+object IngestPack {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Stage the corpus as 4 contiguous doc_id ranges → 4 real
+    * micro-batches in arrival order, pack each incrementally, append
+    * to the log; returns the drained log (== one-shot packing).
+    */
+  def run(spark: SparkSession, dir: String, workDir: String, seqTokens: Int = 1024): DataFrame = {
+    val feedDir = s"$workDir/feed"
+    val outDir = s"$workDir/packed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$feedDir/_SUCCESS")
+    if (!fs.exists(staged)) {
+      spark.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(feedDir)
+      // FileStreamSource replays files oldest-mtime-first and a batch
+      // write stamps every part identically, so the feed's ARRIVAL
+      // order would be undefined. Packing is order-sensitive (unlike
+      // IncrementalEtl's order-insensitive MERGE), so stamp strictly
+      // increasing mtimes in range order: part-0000i holds the i-th
+      // doc_id range, replaying production arrival order exactly.
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(feedDir))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - 60000L * parts.length
+      parts.zipWithIndex.foreach { case (p, i) => fs.setTimes(p, base + i * 60000L, -1) }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val packedSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("tok_debut", LongType),
+      StructField("seq_debut", LongType),
+      StructField("seq_fin", LongType),
+      StructField("n_seqs", LongType)
+    ))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packedSchema)
+      .write.mode("overwrite").parquet(outDir)
+
+    // the running offset: recovered from the log, not from memory, so a
+    // restarted loader continues correctly
+    def storedOffset(): Long = {
+      val row = spark.read.schema(packedSchema).parquet(outDir)
+        .agg(coalesce(max(col("tok_debut") + col("n_tokens")), lit(0L)))
+        .collect()(0)
+      row.getLong(0)
+    }
+
+    val q = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Pack
+            .sequences(batch, "doc_id", "text", seqTokens, startOffset = storedOffset())
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.schema(packedSchema).parquet(outDir)
+  }
+}

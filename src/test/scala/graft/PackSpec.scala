@@ -79,6 +79,19 @@ class PackSpec extends SparkSpec {
     assert(windowPlan.contains("SinglePartition"))
   }
 
+  test("startOffset continues a split corpus exactly where the prefix ended") {
+    val docs = Tables.documents(spark, sfDir)
+    val whole = rows(Pack.sequences(docs, "doc_id", "text", 64))
+    val cut = 250L // sf0.001 docs span ids 0..499; any split point works
+    val head = docs.filter(col("doc_id") < cut)
+    val tail = docs.filter(col("doc_id") >= cut)
+    val headPacked = rows(Pack.sequences(head, "doc_id", "text", 64))
+    val offset = headPacked.map(r => r._2).sum // Σ n_tokens of the prefix
+    val tailPacked = rows(Pack.sequences(tail, "doc_id", "text", 64, startOffset = offset))
+    assert((headPacked ++ tailPacked).sortBy(_._1).toSeq == whole.toSeq)
+    assert(headPacked.nonEmpty && tailPacked.nonEmpty)
+  }
+
   test("deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     def ids() = rows(Pack.sequences(docs, "doc_id", "text", 64)).toSeq

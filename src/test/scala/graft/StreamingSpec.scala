@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming incremental packing equals the one-shot sequence pack") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val oneShot = graft.operators.Pack
+      .sequences(docs, "doc_id", "text", seqTokens = 1024)
+      .select("doc_id", "n_tokens", "tok_debut", "seq_debut", "seq_fin", "n_seqs")
+      .collect().map(key).toSet
+    val streamed = graft.streaming.IngestPack
+      .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s07_spec")
+      .select("doc_id", "n_tokens", "tok_debut", "seq_debut", "seq_fin", "n_seqs")
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      "micro-batched packing must continue the stream exactly where the previous batch ended")
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late events: out-of-order feed across micro-batches (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
