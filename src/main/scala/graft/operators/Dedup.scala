@@ -21,15 +21,22 @@ object Dedup {
     * `spark.driver.maxResultSize` (default 1g; 0 = unlimited) would die
     * with "Tasks result size has exceeded maxResultSize" instead of
     * degrading — measured at the 1000× stress tier (5 M docs, 2.7 GB
-    * sig table vs the 1 GB default). Clamping here keeps the
-    * documented fallback (dedup-first, shuffled sig joins) the worst
-    * case at every scale.
+    * sig table vs the 1 GB default). The budget is ALSO clamped to a
+    * third of the driver's actual heap: maxResultSize is a conf, not a
+    * capacity — a 4 GB result-size ceiling on a 2 GB-heap driver would
+    * pass the conf check and then die in collect with OutOfMemoryError
+    * (the collect holds serialized task results AND the deserialized
+    * relation simultaneously, so 1/3 leaves honest headroom). Clamping
+    * keeps the documented fallback (dedup-first, shuffled sig joins)
+    * the worst case at every scale and every heap size.
     */
   private[graft] def clampToDriverLimit(
       spark: org.apache.spark.sql.SparkSession, budget: Long): Long = {
     val maxResult = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize", "1g"))
-    if (maxResult <= 0) budget else math.min(budget, maxResult)
+    val heapRoom = Runtime.getRuntime.maxMemory() / 3
+    val ceiling = if (maxResult <= 0) heapRoom else math.min(maxResult, heapRoom)
+    math.min(budget, ceiling)
   }
 
   /** Exact dedup on a key expression (default: the full text). Keeps the
@@ -69,19 +76,25 @@ object Dedup {
     */
   private def duplicatedFingerprints(chunks: DataFrame): DataFrame = {
     val spark = chunks.sparkSession
+    // eager localCheckpoint, NOT cache(): it materializes once for the
+    // sizing count + the join reuse like a cache would, but its blocks
+    // are released by the ContextCleaner when the result goes out of
+    // scope — a cache() here would pin one relation in executor
+    // storage per chunkDedup/chunkScrub call for the whole session
+    // (CacheManager entries are never auto-evicted)
     val dup = chunks
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("h"))
-      .cache()
+      .localCheckpoint(true)
     val budget = clampToDriverLimit(spark,
       spark.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
         .map(_.toLong)
         .getOrElse(512L * 1024 * 1024))
     // 32 hex chars UTF-8 + per-row overhead, same accounting as the
-    // sig budget; the count materializes the cache for the join reuse
+    // sig budget; the checkpoint above already materialized the set
     val nDup = dup.count()
     if (nDup * (32L + 48L) <= budget) broadcast(dup) else dup
   }

@@ -20,18 +20,26 @@ import graft.functions.Text
   * two-phase dense ids, and like there a plain
   * `sum().over(Window.orderBy(id))` would plan an Exchange
   * SinglePartition (one task sorts and scans the corpus). Instead:
-  * range-partition on the order key (distributed sort; deterministic
-  * per-partition-seed sampling picks the boundaries), aggregate ONE
+  * range-partition on the order key (distributed sort), count ONE
   * narrow (partition, token-total) row per partition to the driver,
-  * and convert to per-partition starting offsets broadcast back into a
-  * within-partition cumulative window — every partition computes its
-  * documents' global offsets in parallel from its own prefix. Token
-  * counting is the compiled tokenizer (pure map), and it runs before
-  * the range exchange, so BOTH passes shuffle only (doc_id, n_tokens) —
-  * the text never moves. The per-partition totals job re-derives the
-  * narrow shuffle input once (recomputing a compiled map kernel beats
-  * caching a corpus-scale intermediate — the same trade as the chunk
-  * dedup frequency pass).
+  * and convert to per-partition starting offsets applied in a second
+  * per-partition pass — every partition computes its documents' global
+  * offsets in parallel from its own prefix. Token counting is the
+  * compiled tokenizer (pure map) and runs before the range exchange,
+  * so the shuffle carries only (doc_id, n_tokens) — the text never
+  * moves.
+  *
+  * CRITICAL single-materialization contract: Spark's RangePartitioner
+  * seeds its boundary sampling with the RDD id, so two INDEPENDENT
+  * executions of the same `repartitionByRange` are NOT guaranteed the
+  * same partition boundaries once input partitions exceed the sample
+  * size — a totals job and a data job run as separate queries could
+  * silently disagree on which partition a boundary document belongs
+  * to, corrupting its offset. Both passes therefore run on ONE RDD
+  * instance ([[Surrogate.denseId]]'s `zipWithIndex` pattern): the
+  * totals job executes the shuffle once, and the data pass reuses the
+  * SAME materialized shuffle output, making the boundary choice —
+  * whatever it sampled — shared by construction.
   */
 object Pack {
 
@@ -61,42 +69,39 @@ object Pack {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    // EXPLICIT partition count, deliberately: a user-numbered
-    // repartition (REPARTITION_BY_NUM) is exempt from AQE partition
-    // coalescing, so the totals job and the main job — two separate
-    // executions of this exchange — are guaranteed the same
-    // pid→key-range mapping. A column-only repartitionByRange would be
-    // AQE-coalescible, and the two jobs could then disagree on pid,
-    // silently corrupting every offset.
     val counted = docs
       .select(col(idCol).as("doc_id"), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    // one narrow row per partition to the driver; running prefix gives
-    // each partition's starting global token offset
-    val totals = counted
-      .groupBy(col("pid"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets = totals
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      .init // scanLeft emits the seed plus one entry per element; the
-      .zip(totals) // i-th prefix pairs with the i-th partition's pid
-      .map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = broadcast(
-      spark.createDataFrame(offsets.toSeq).toDF("pid", "part_offset"))
-    // startOffset: resume packing AFTER an already-packed prefix of the
-    // stream (the incremental-ingest continuation — see
-    // streaming/IngestPack); 0 packs from the stream origin
-    val cum = sum(col("n_tokens"))
-      .over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))) +
-      col("part_offset") + lit(startOffset)
-    counted
-      .join(offDf, Seq("pid"))
-      .withColumn("cum", cum)
-      .select(Seq(col("doc_id"), col("n_tokens")) ++ seqRange(seqTokens): _*)
+      .sortWithinPartitions(col("doc_id"))
+    // ONE RDD instance for both jobs (see the scale-design contract
+    // above): the totals job runs the shuffle, the data pass below
+    // reuses its map output — identical boundaries by construction
+    val rdd = counted.rdd
+    val idType = counted.schema("doc_id").dataType
+    // one narrow (partition, token-total) row per partition (empty
+    // partitions included), then a running prefix + startOffset (the
+    // incremental-ingest continuation — see streaming/IngestPack)
+    val sums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator(i -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(startOffset)(_ + _) // offsets(i) = prefix before partition i
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cum",
+        org.apache.spark.sql.types.LongType)))
+    val withCum = spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var acc = offsets(i)
+        it.map { r =>
+          acc += r.getLong(1)
+          org.apache.spark.sql.Row(r.get(0), r.getLong(1), acc)
+        }
+      }, schema)
+    withCum.select(Seq(col("doc_id"), col("n_tokens")) ++ seqRange(seqTokens): _*)
   }
 
   /** tok_debut (the document's global token offset — what a shard

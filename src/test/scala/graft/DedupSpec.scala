@@ -40,15 +40,18 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
-  test("broadcast budgets clamp to spark.driver.maxResultSize (collect ceiling)") {
-    val limit = org.apache.spark.network.util.JavaUtils
+  test("broadcast budgets clamp to maxResultSize AND the driver heap (collect ceiling)") {
+    val maxResult = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize"))
-    assert(limit > 0, "test session must have a finite maxResultSize")
+    assert(maxResult > 0, "test session must have a finite maxResultSize")
     // a budget past the driver's collect ceiling must be cut to it —
     // at the 1000x stress tier an unclamped 4 GB budget chose a 2.7 GB
     // broadcast that died in collect instead of degrading to the
-    // shuffled path
-    assert(Dedup.clampToDriverLimit(spark, Long.MaxValue / 4) == limit)
+    // shuffled path. The ceiling is min(maxResultSize, heap/3):
+    // maxResultSize is a conf, not a capacity, and a result-size
+    // ceiling above what the heap can hold would OOM the collect.
+    val ceiling = math.min(maxResult, Runtime.getRuntime.maxMemory() / 3)
+    assert(Dedup.clampToDriverLimit(spark, Long.MaxValue / 4) == ceiling)
     assert(Dedup.clampToDriverLimit(spark, 1024L) == 1024L)
   }
 

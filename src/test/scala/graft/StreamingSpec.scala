@@ -77,12 +77,18 @@ class StreamingSpec extends SparkSpec {
       .sequences(docs, "doc_id", "text", seqTokens = 1024)
       .select("doc_id", "n_tokens", "tok_debut", "seq_debut", "seq_fin", "n_seqs")
       .collect().map(key).toSet
-    val streamed = graft.streaming.IngestPack
+    val streamedRows = graft.streaming.IngestPack
       .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s07_spec")
       .select("doc_id", "n_tokens", "tok_debut", "seq_debut", "seq_fin", "n_seqs")
-      .collect().map(key).toSet
+      .collect().map(key)
+    val streamed = streamedRows.toSet
     assert(streamed == oneShot,
       "micro-batched packing must continue the stream exactly where the previous batch ended")
+    // multiset check: a reprocessed batch appending duplicate rows
+    // would survive the set compare — the LOG must equal the one-shot
+    // output row for row, not merely its distinct rows
+    assert(streamedRows.length == oneShot.size,
+      s"packed log has ${streamedRows.length} rows for ${oneShot.size} docs — duplicate appends")
     assert(streamed.nonEmpty)
   }
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Check a graft Bench JSON line against the BASELINE.md budget rule.
 
-Usage: python3 tools/check_budget.py BENCH.json [--per-query 5.0] [--total 95.0]
+Usage: python3 tools/check_budget.py BENCH.json [--per-query 6.0] [--total 95.0]
 
 Exit 0 when every query is within the per-query budget and the catalog
 total is within the total budget; exit 1 otherwise, listing offenders.
