@@ -91,7 +91,7 @@ object ScaleStress {
     "d09_dedup_clusters", "d10_tfidf_keywords", "d11_vocab_bigrams",
     "d12_text_scrub", "d13_split_assign", "d14_incremental_dedup",
     "d15_chunk_dedup", "d16_decontaminate", "d17_chunk_scrub",
-    "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest",
+    "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
 

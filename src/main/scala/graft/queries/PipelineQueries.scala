@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Pack, Similarity, Upsert}
+import graft.operators.{Dedup, Mix, Pack, Similarity, Upsert}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
 
@@ -831,6 +831,44 @@ object PipelineQueries {
       .orderBy(col("id_batch"), col("id_corpus"))
 
   // ---------------------------------------------------------------------
+  // d21 — dataset mixing: the per-source sampling-weight recipe step.
+  // Four weight tiers over the 20 synthetic sources (curated 2.5×,
+  // baseline 1×, downsampled 0.5× and 0.25×); copy counts are
+  // deterministic md5 decisions, so DuckDB recomputes every row
+  // including the fractional upsample epochs.
+  // ---------------------------------------------------------------------
+  private val d21Weights: Map[String, Double] =
+    (0 to 4).map(i => s"src$i" -> 2.5).toMap ++
+      (5 to 9).map(i => s"src$i" -> 1.0).toMap ++
+      (10 to 14).map(i => s"src$i" -> 0.5).toMap ++
+      (15 to 19).map(i => s"src$i" -> 0.25).toMap
+  private def d21(spark: SparkSession, dir: String): DataFrame =
+    Mix
+      .weightedSample(Tables.documents(spark, dir), "doc_id", "source", d21Weights)
+      .orderBy(col("doc_id"), col("epoque"))
+  private val d21Sql =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+      |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+      |         WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.5
+      |         ELSE 0.25 END AS poids,
+      |    CAST('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS slot
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, source, poids,
+      |    CAST(FLOOR(poids) AS INT)
+      |      + CASE WHEN slot < CAST((poids - FLOOR(poids)) * 65536 AS INT) THEN 1 ELSE 0 END AS n_copies
+      |  FROM w
+      |)
+      |SELECT doc_id, source, poids, n_copies,
+      |  unnest(generate_series(0, n_copies - 1)) AS epoque
+      |FROM c
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, epoque""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s07 — streaming incremental sequence packing (§2.9 × packing tier):
   // the d18 concat-and-chunk packing run as a Structured Streaming feed
   // — 4 doc_id-ranged micro-batches, each resuming from the stored
@@ -1468,6 +1506,7 @@ object PipelineQueries {
     Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
+    Q("d21_source_mix", "per-source mixing weights with deterministic fractional epochs", d21, Some(d21Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
