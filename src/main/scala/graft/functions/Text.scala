@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization; empty/blank text gives an empty array. */
+  /** Whitespace tokenization; NULL and empty/blank text both give an
+    * empty array — NULL must not propagate, because a null token array
+    * turns `size()` into -1 under the default non-ANSI config and a
+    * single dirty row would then silently corrupt any running total
+    * built on token counts (the packing prefix sum, decontamination
+    * gram totals).
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))

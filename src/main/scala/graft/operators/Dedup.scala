@@ -286,9 +286,14 @@ object Dedup {
       col("doc_id"),
       explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig"), bands, r)).as("bb")
     )
-    // the oversized-bucket list is tiny (top-k hot buckets) → broadcast
-    // anti join; the sizing aggregation shuffles the same narrow rows
-    // the self-join shuffles anyway
+    // the oversized-bucket list broadcasts UNGATED, on a counting
+    // argument rather than a measured payload: |hot| is bounded by
+    // n·bands/maxBucket (every member bucket holds > maxBucket docs),
+    // and reaching even a 1 GB broadcast (~3·10^7 16-byte keys) needs
+    // ~10^9 docs where EVERY band bucket sits exactly at the cap — a
+    // corpus that degenerate signals maxBucket is far too low, not a
+    // path to degrade silently. The sizing aggregation shuffles the
+    // same narrow rows the self-join shuffles anyway.
     val hot = buckets
       .groupBy(col("bb"))
       .agg(count(lit(1)).as("m"))
@@ -598,6 +603,17 @@ object Dedup {
       labels = updated.select(col("id"), col("cluster_id"))
       iter += 1
     }
+    // exhausting maxIters without a fixpoint means some component wider
+    // than maxIters hops is still merging — returning would hand the
+    // caller one duplicate cluster split into several "canonical"
+    // survivors with NO indication anything is wrong. Refuse instead:
+    // rounds = cluster diameter, so the remedy is a larger maxIters
+    // (near-dup clusters are small-diameter; a giant diameter usually
+    // means the pair threshold is far too loose).
+    if (!converged) throw new IllegalStateException(
+      s"clusters: min-label propagation did not converge within $maxIters rounds — " +
+        "a component's diameter exceeds maxIters; raise maxIters (rounds = cluster diameter) " +
+        "or tighten the pair threshold")
     labels
   }
 
@@ -648,9 +664,18 @@ object Dedup {
         }
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
-    // expression would re-project per element under interpreted HOF eval
+    // expression would re-project per element under interpreted HOF eval.
+    // LAZY localCheckpoint: the projection (bits·nTables dot products
+    // over dim-length vectors per row) is the operator's dominant map
+    // work and is consumed three times (bucket explode + both packed
+    // sketch sides) — same fan-out-reuse rationale as minhashLsh's
+    // withSig cache, with ContextCleaner-managed cleanup. Lazy (not
+    // eager) because construction must stay JOBLESS (the auto-sizing
+    // contract, pinned in DedupSpec): it materializes on the first
+    // action and the other branches read the persisted blocks.
     val projected = base
       .select(col("vec_id"), VectorExpr.randomProjections(col("v"), bits * nTables).as("proj"))
+      .localCheckpoint(false)
     val v = projected
       .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), bits, nTables)).as("tb"))
     val a = v.select(col("vec_id").as("id_a"), col("tb"))
@@ -683,7 +708,12 @@ object Dedup {
         .map(_.toLong)
         .getOrElse(512L * 1024 * 1024))
     val nVecs = graft.sources.ScanStats.exactRowCountNoJob(embeddings).getOrElse(Long.MaxValue)
-    val sketchBroadcastable = nVecs * ((nBitsTotal / 64 + 1) * 8L + 32L) <= sketchBudget
+    // compare by DIVISION: an unknown corpus size falls back to
+    // Long.MaxValue, and multiplying that by the per-row bytes wraps
+    // negative (any multiple of 8 does), which would silently flip the
+    // check to "broadcastable" on exactly the inputs whose size we do
+    // not know — the opposite of the intended assume-huge fallback
+    val sketchBroadcastable = nVecs <= sketchBudget / ((nBitsTotal / 64 + 1) * 8L + 32L)
     val candidates = (if (sketchBroadcastable)
       rawCand
         .join(broadcast(packedFor("id_a")), Seq("id_a"))

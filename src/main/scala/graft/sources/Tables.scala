@@ -41,6 +41,13 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     * read nanos as LONG (legacy conf) and convert to a microsecond
     * timestamp (truncating — queries only depend on ≥second granularity).
+    * The conf is DELIBERATELY left set for the session (here and in the
+    * EventsStream builders): the conf is read at scan planning, which
+    * for a lazily-built events DataFrame can happen long after this
+    * call, so an eager unset elsewhere could fail a not-yet-executed
+    * plan. Every nanos-typed read in this library re-sets it; readers
+    * of OTHER nanos-typed parquet in the same session should be aware
+    * they inherit the legacy long-typed behavior.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -95,13 +95,20 @@ object IncrementalEtl {
     }
   }
 
-  def runWithStats(spark: SparkSession, dir: String, targetDir: String): (DataFrame, LoadStats) = {
+  /** `fresh = true` (the benchmark contract) wipes the target and
+    * replays the staged feed from scratch; `fresh = false` is the
+    * production-restart path — the target survives, the month catalog
+    * below genuinely recovers from the partition listing, and the
+    * idempotent MERGE makes replaying already-loaded files a no-op
+    * (asserted in StreamingSpec's restart test).
+    */
+  def runWithStats(spark: SparkSession, dir: String, targetDir: String,
+      fresh: Boolean = true): (DataFrame, LoadStats) = {
     val target = s"$targetDir/fact"
     val feedDir = s"$targetDir/feed"
     stageFeed(spark, dir, targetDir)
-    // start from an empty month-partitioned target with the fact schema
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    if (fresh) fs.delete(new org.apache.hadoop.fs.Path(target), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(target))
     def readTarget() = spark.read.schema(factSchema).parquet(target)
 

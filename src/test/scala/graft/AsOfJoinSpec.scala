@@ -47,6 +47,24 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("a legitimately NULL payload on the latest right row is carried as NULL, not a stale value") {
+    // per-column last(ignoreNulls) would resurrect the ts=10 row's
+    // price AND stitch its fields with the ts=20 row's qty — the
+    // payload must travel as one struct
+    val r = Seq(
+      (1L, ts(10), 1L, Option(100.0), Option(5L)),
+      (1L, ts(20), 2L, Option.empty[Double], Option(7L))
+    ).toDF("user_id", "ts", "event_id", "price", "qty")
+    val l = Seq((1L, ts(30), 900L)).toDF("user_id", "ts", "event_id")
+    val got = AsOfJoin
+      .backward(l, r, Seq("user_id"), "ts", "ts",
+        payload = Seq("price", "qty"), rightOrder = "event_id")
+      .select("prev_price", "prev_qty")
+      .collect().map(row => (Option(row.get(0)), Option(row.get(1)))).toSeq
+    assert(got == Seq((None, Some(7L))),
+      s"latest right row has price=NULL, qty=7 — got $got (stale or stitched payload)")
+  }
+
   test("plan has no cross product and a single exchange feeding the window") {
     val plan = AsOfJoin
       .backward(left, right, Seq("user_id"), "ts", "ts",

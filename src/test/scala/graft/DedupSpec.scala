@@ -185,6 +185,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: refuses to return partially-merged labels at maxIters") {
+    // a path graph of diameter 9 needs ~9 rounds; capping at 3 must
+    // throw, not hand back one cluster silently split into several
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 3) }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to the min id
+    val got = Dedup.clusters(chain, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L) && got.size == 10)
+  }
+
   test("minhash broadcast cutoff follows spark.sql.autoBroadcastJoinThreshold (branch flip, identical pairs)") {
     val docs = Tables.documents(spark, sfDir)
     def pairs() = Dedup.minhashLsh(docs, "doc_id", "text").collect()

@@ -54,6 +54,19 @@ class MixSpec extends SparkSpec {
     assert(bySrc("src3") == baseCounts("src3"), "default weight 1.0 passes through")
   }
 
+  test("a NULL source hashes like any other stratum — never silently dropped") {
+    val docs = Seq(
+      (1L, Option("srcA")), (2L, Option.empty[String]), (3L, Option.empty[String])
+    ).toDF("doc_id", "source")
+    val got = Mix.weightedSample(docs, "doc_id", "source", Map("srcA" -> 1.0), defaultWeight = 2.0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default weight 2.0 guarantees 2 epochs for the NULL-source docs;
+    // a null-propagating slot hash would emit zero
+    assert(got(2L) == 2L && got(3L) == 2L, s"NULL-source docs dropped or mis-weighted: $got")
+    assert(got(1L) == 1L)
+  }
+
   test("the mixing pass plans no exchange (pure map + bounded explode)") {
     val plan = Mix.weightedSample(Tables.documents(spark, sfDir), "doc_id", "source",
       Map("src0" -> 2.5)).queryExecution.executedPlan.toString()

@@ -79,6 +79,18 @@ class PackSpec extends SparkSpec {
     assert(windowPlan.contains("SinglePartition"))
   }
 
+  test("NULL text counts as zero tokens — never -1 into the prefix sum") {
+    // size(null) = -1 under the default non-ANSI config; a single dirty
+    // row must not shift every later document's global offset
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]), (3L, Option("d e")))
+      .toDF("doc_id", "text")
+    assert(rows(Pack.sequences(df, "doc_id", "text", 4, numPartitions = 2)) === Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 3L, 0L, 0L, 1L), // zero-width at offset 3
+      (3L, 2L, 3L, 0L, 1L, 2L)  // still starts at 3, crosses into seq 1
+    ))
+  }
+
   test("startOffset continues a split corpus exactly where the prefix ended") {
     val docs = Tables.documents(spark, sfDir)
     val whole = rows(Pack.sequences(docs, "doc_id", "text", 64))

@@ -52,6 +52,16 @@ class StreamingSpec extends SparkSpec {
     // many land on any one batch)
     assert(stats.mergedPerBatch.map(_.toLong).sum < stats.touchedPerBatch.length,
       s"only range-boundary months may pay the merge (${stats.mergedPerBatch})")
+    // RESTART path (fresh = false): the month catalog recovers from the
+    // partition listing of the SURVIVING target, the whole feed replays,
+    // and the idempotent MERGE leaves the table exactly as it was —
+    // every replayed month now collides, so every touched month merges
+    val (replayed, stats2) = graft.streaming.IncrementalEtl
+      .runWithStats(spark, sfDir, out, fresh = false)
+    assert(replayed.collect().map(_.toString).sorted.sameElements(batch),
+      "a restarted loader replaying its feed must leave the target unchanged")
+    assert(stats2.mergedPerBatch.sum == stats2.touchedPerBatch.sum,
+      s"on replay every month already exists, so all touched months merge (${stats2.mergedPerBatch} vs ${stats2.touchedPerBatch})")
   }
 
   test("streaming ingestion screen equals the one-shot batch-vs-corpus dedup") {
