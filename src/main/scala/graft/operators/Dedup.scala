@@ -665,17 +665,16 @@ object Dedup {
     // projections materialized as their own column BEFORE packing: the
     // pack lambda references the array per bit, and an inlined projection
     // expression would re-project per element under interpreted HOF eval.
-    // LAZY localCheckpoint: the projection (bits·nTables dot products
-    // over dim-length vectors per row) is the operator's dominant map
-    // work and is consumed three times (bucket explode + both packed
-    // sketch sides) — same fan-out-reuse rationale as minhashLsh's
-    // withSig cache, with ContextCleaner-managed cleanup. Lazy (not
-    // eager) because construction must stay JOBLESS (the auto-sizing
-    // contract, pinned in DedupSpec): it materializes on the first
-    // action and the other branches read the persisted blocks.
+    // Deliberately NOT cached/checkpointed although three branches
+    // consume it (bucket explode + both packed sketch sides): the
+    // projection row is WIDE (bits·nTables doubles), and materializing
+    // it was measured STRICTLY WORSE than recomputing the codegen'd
+    // kernel — 80–191 s vs ~34 s at the 1000× tier (2 M vectors,
+    // ~2.4 GB persisted) — because storage/serialization pressure
+    // dwarfs the pure-CPU dot products. minhashLsh caches its sig
+    // table because sigs are NARROW (k longs); this one is not.
     val projected = base
       .select(col("vec_id"), VectorExpr.randomProjections(col("v"), bits * nTables).as("proj"))
-      .localCheckpoint(false)
     val v = projected
       .select(col("vec_id"), explode(Vectors.packBuckets(col("proj"), bits, nTables)).as("tb"))
     val a = v.select(col("vec_id").as("id_a"), col("tb"))
