@@ -106,6 +106,15 @@ object TextExpr {
     */
   def langQualityCounts(text: Column): Column = col(LangQualityCounts(expr(text)))
 
+  /** BPE subword pieces per word of a token array (greedy lowest-rank
+    * merging with the learned codec): array&lt;array&lt;string&gt;&gt;,
+    * inner concat == the word. The codec rides along as a codegen
+    * reference object — the model is bounded (the merge table), the
+    * walk is one pass per document, pure map.
+    */
+  def bpeEncode(tokens: Column, codec: graft.functions.BpeCodec): Column =
+    col(BpeEncode(expr(tokens), codec))
+
   /** Gopher-style repetition counters over a token array — see
     * [[TextKernels.repetitionCounts]].
     */
@@ -226,6 +235,28 @@ object TextKernels {
     UTF8String.fromBytes(bits)
   }
 
+  /** Space-join of the token window [start, start+len), skipping null
+    * elements exactly as concat_ws does (all-null → ""). The declared
+    * gram schemas are containsNull = false; without the skip,
+    * UTF8String.concat would null out any gram touching a null token
+    * and violate that schema on the SQL surface.
+    */
+  private def joinWindow(a: ArrayData, start: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * len - 1)
+    var k = 0
+    var j = 0
+    while (j < len) {
+      val t = a.getUTF8String(start + j)
+      if (t != null) {
+        if (k > 0) { parts(k) = space; k += 1 }
+        parts(k) = t; k += 1
+      }
+      j += 1
+    }
+    if (k == 0) UTF8String.EMPTY_UTF8
+    else UTF8String.concat(java.util.Arrays.copyOfRange(parts, 0, k): _*)
+  }
+
   /** Deduplicated space-joined n-gram shingles (first-occurrence order,
     * matching array_distinct(transform(...)) bit-for-bit). Runs per
     * VERIFICATION-CANDIDATE doc in the dedup pipeline — under
@@ -238,14 +269,7 @@ object TextKernels {
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= nTok - n) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(i + j)
-        j += 1
-      }
-      seen.add(UTF8String.concat(parts: _*))
+      seen.add(joinWindow(a, i, n))
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
@@ -260,14 +284,7 @@ object TextKernels {
     val out = new Array[AnyRef](nTok - n + 1)
     var i = 0
     while (i <= nTok - n) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(i + j)
-        j += 1
-      }
-      out(i) = UTF8String.concat(parts: _*)
+      out(i) = joinWindow(a, i, n)
       i += 1
     }
     new GenericArrayData(out)
@@ -349,14 +366,7 @@ object TextKernels {
     val out = new Array[AnyRef](nTok / width)
     var c = 0
     while (c < out.length) {
-      val parts = new Array[UTF8String](2 * width - 1)
-      var j = 0
-      while (j < width) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(c * width + j)
-        j += 1
-      }
-      out(c) = UTF8String.concat(parts: _*)
+      out(c) = joinWindow(a, c * width, width)
       c += 1
     }
     new GenericArrayData(out)
@@ -458,6 +468,33 @@ object TextKernels {
     * non-overlapping regex count coincide exactly), counts[4] = CJK
     * chars in U+4E00..U+9FFF, counts[5] = [.,!?;:] punctuation chars.
     */
+  /** BPE-encode each token of the array: nested (word → pieces)
+    * arrays. Null tokens (possible on the nullable SQL surface) encode
+    * as an empty piece array — losslessness holds for the non-null
+    * rows, and nothing NPEs.
+    */
+  def bpeEncode(a: ArrayData, codec: graft.functions.BpeCodec): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      out(i) =
+        if (t == null) new GenericArrayData(Array.empty[Any])
+        else {
+          val pieces = codec.encodeWord(t.toString)
+          val arr = new Array[AnyRef](pieces.length)
+          var j = 0
+          while (j < pieces.length) {
+            arr(j) = UTF8String.fromString(pieces(j)); j += 1
+          }
+          new GenericArrayData(arr)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def langQualityCounts(s: UTF8String): ArrayData = {
     val str = s.toString
     val counts = new Array[Long](6)
@@ -797,6 +834,33 @@ case class Md5WinnowSketch(child: Expression, n: Int, w: Int)
       x => s"org.apache.spark.sql.graft.TextKernels.md5WinnowSketch($x, $n, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5WinnowSketch =
+    copy(child = newChild)
+}
+
+/** Subword-encode a token array with a learned BPE codec: one inner
+  * piece array per token. The codec travels by `addReferenceObj`, so
+  * the expression stays inside WholeStageCodegen (a virtual call per
+  * row against a driver-built, executor-cached model — the same shape
+  * Spark uses for its own reference-carrying expressions).
+  */
+case class BpeEncode(child: Expression, codec: graft.functions.BpeCodec)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncode(input.asInstanceOf[ArrayData], codec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, classOf[graft.functions.BpeCodec].getName)
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.bpeEncode($x, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }
 
