@@ -111,6 +111,47 @@ object Text {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** PII redaction (CCNet-style scrub): the pattern classes, their
+    * placeholders, and the one scrub order that makes them compose.
+    * Patterns stay in the Java∩RE2 common dialect (no lookaround, no
+    * backrefs, ASCII classes only) so a DuckDB oracle applies the
+    * IDENTICAL rewrite. Order is load-bearing:
+    *   email → phone → ip → number
+    * — emails contain dots and digits (must go before everything);
+    * dotted phones (5+ groups, FR style) must beat the IP quad or
+    * `06.12.34.56.78` loses its first four groups to `<IP>`; the
+    * phone shapes are chosen so a dotted QUAD can never match them
+    * (dotted needs ≥ 5 groups, hyphenated quads aren't IPs), so
+    * phone-before-ip steals nothing; and everything contains plain
+    * digit runs, so `number` goes last. Each placeholder is
+    * digit-free, so a later class never re-matches an earlier
+    * replacement. Pure map — codegen'd regexp kernels, no shuffle at
+    * any corpus size.
+    */
+  object Pii {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    /** Separator-delimited digit groups, three shapes: a +CC prefix
+      * admits any group sizes (+33-6-12-34-56-78); bare hyphenated
+      * needs three or more 2-4 digit groups (555-867-5309); bare
+      * dotted needs five or more (06.12.34.56.78) so version strings
+      * (v1.2.3), ranges (10-20) and IP quads stay untouched.
+      */
+    val phone = "\\+[0-9]{1,3}([-.][0-9]{1,4})+|" +
+      "[0-9]{2,4}(-[0-9]{2,4}){2,}|" +
+      "[0-9]{2,4}(\\.[0-9]{2,4}){4,}"
+    val number = "[0-9]+"
+    /** (pattern, placeholder) in scrub order. */
+    val classes: Seq[(String, String)] = Seq(
+      email -> "<EMAIL>", phone -> "<TEL>", ip -> "<IP>", number -> "<NUM>")
+  }
+
+  /** Text with all [[Pii]] classes redacted, in scrub order. */
+  def piiScrub(text: Column): Column =
+    Text.Pii.classes.foldLeft(text) { case (t, (p, mark)) =>
+      regexp_replace(t, p, mark)
+    }
+
   /** The six counters of [[langScores]]/[[qualityScore]] in ONE compiled
     * text scan (en/fr/de/es stopword hits, CJK chars, punctuation) —
     * regex-equivalent by construction; the five separate

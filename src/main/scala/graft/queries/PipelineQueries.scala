@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.functions.{Text, Vectors}
+import graft.functions.{Bpe, Text, Vectors}
 import graft.operators.{Dedup, Mix, Pack, Similarity, Upsert}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
@@ -1050,6 +1050,13 @@ object PipelineQueries {
       )
       .orderBy(col("doc_id"))
   }
+  // Oracle parity caveat: the kernel reproduces Java-regex \b (Unicode
+  // isLetterOrDigit word chars) while DuckDB's RE2 \b is ASCII-only —
+  // e.g. 'idées' contains \bes\b for RE2 but not for Java, and NFD
+  // combining marks diverge further. The documents fixture is ASCII by
+  // construction (TESTDATA.md), which is what makes this gate exact; if
+  // non-ASCII text ever enters the fixture, normalize the word-char
+  // definition on one side before trusting a hash mismatch here.
   private val p01Sql = {
     val nTok = """len(regexp_split_to_array(trim(text), '\s+'))"""
     val stop = """len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is|it|that|for)\b'))"""
@@ -1198,6 +1205,95 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // d23 — TRAINABLE BPE subword tokenizer (the production upgrade of
+  // d08's regex estimator): merges learned from the corpus's
+  // deterministic top-word frequency head (one map-side-combinable
+  // groupBy + a driver merge loop over the bounded table — Bpe.train),
+  // applied corpus-wide as the compiled BpeEncode expression (pure
+  // map). The gate hash-checks LOSSLESSNESS: re-concatenating every
+  // word's pieces and re-joining words must reproduce the whitespace-
+  // normalized document exactly — any dropped/duplicated/reordered
+  // piece anywhere in the corpus breaks the md5. The merge table's
+  // SEMANTICS (which pairs merge, in which order, which ids) are pinned
+  // by BpeSpec against an independent naive reference implementation —
+  // BPE training is iterative and not expressible in one DuckDB query.
+  // ---------------------------------------------------------------------
+  private def d23(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = Bpe.train(docs, "text", numMerges = 256, topWords = 20000)
+    docs
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_mots"),
+        md5(Bpe.detokenize(Bpe.encodePieces(model, col("text")))).as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+  private val d23Sql =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_mots,
+      |  md5(CASE WHEN length(trim(text)) = 0 THEN ''
+      |      ELSE array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') END)
+      |    AS empreinte_recomposee
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d24 — hashed-bag-of-words quality classifier (the fastText-style
+  // pipeline filter): Naive-Bayes log-odds over md5-hashed token
+  // buckets, trained as ONE bounded distributed aggregation (≤ 65 536
+  // narrow rows shuffled at any corpus size) and scored by the compiled
+  // HashedScore kernel (pure map). The label here is a deterministic
+  // fixture rule (source id < 10) — the MECHANICS are what the gate
+  // pins: DuckDB recomputes the training counts, the smoothed weights,
+  // the prior AND every document's dot product from the raw tables.
+  // Planted separable classes live in ClassifierSpec.
+  // ---------------------------------------------------------------------
+  private def d24(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val label = expr("CAST(substring(source, 4, 8) AS INT) < 10")
+    val model = graft.operators.QualityClassifier.train(docs, "text", label)
+    docs
+      .select(
+        col("doc_id"),
+        round(model.score(col("text")), 6).as("score"),
+        (round(model.score(col("text")), 6) > 0).as("classe"))
+      .orderBy(col("doc_id"))
+  }
+  private val d24Sql =
+    """WITH lab AS (
+      |  SELECT doc_id, text, CAST(substr(source, 4) AS INT) < 10 AS pos FROM documents
+      |),
+      |tok AS (
+      |  SELECT doc_id, pos,
+      |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |           ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+      |  FROM lab
+      |),
+      |bk AS (SELECT doc_id, pos, CAST('0x' || substr(md5(tok), 1, 4) AS INT) AS b FROM tok),
+      |cnt AS (
+      |  SELECT b, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      |  FROM bk GROUP BY b
+      |),
+      |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn FROM cnt),
+      |pri AS (
+      |  SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / SUM(CASE WHEN pos THEN 0 ELSE 1 END)) AS pr
+      |  FROM lab
+      |),
+      |w AS (
+      |  SELECT b, ln((cp + 1.0) / (np + 65536)) - ln((cn + 1.0) / (nn + 65536)) AS w
+      |  FROM cnt, tot
+      |),
+      |sc AS (SELECT bk.doc_id, SUM(w.w) AS sw FROM bk JOIN w USING (b) GROUP BY bk.doc_id)
+      |SELECT l.doc_id,
+      |  ROUND(pri.pr + COALESCE(sc.sw, 0), 6) AS score,
+      |  ROUND(pri.pr + COALESCE(sc.sw, 0), 6) > 0 AS classe
+      |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, pri
+      |ORDER BY l.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
   // kept, lowercased), with document frequency, deterministic
   // lexicographic tiebreak. Map-side-combined hash aggregate on bigram +
@@ -1251,34 +1347,46 @@ object PipelineQueries {
       |ORDER BY n DESC, bigramme LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
-  // d12 — text scrubbing (PII-style redaction): emails then standalone
-  // number runs replaced with placeholder tokens, with match counts.
+  // d12 — text scrubbing (PII-style redaction): emails, dotted-quad
+  // IPs, separator-delimited phone numbers, then standalone number runs
+  // replaced with placeholder tokens (Text.Pii — the order is
+  // load-bearing, see its doc), with per-class match counts. Counts
+  // are taken against the ORIGINAL text by convention (a digit run
+  // inside an email counts as a number even though the email is
+  // scrubbed first) — the oracle applies the identical convention.
   // Pure map over codegen'd regexp kernels; patterns kept in the
   // Java∩RE2 common dialect so the oracle applies the identical rewrite.
   // ---------------------------------------------------------------------
-  private def d12(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-    val numRe = "[0-9]+"
-    val scrubbed =
-      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+  private def d12(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
-        md5(scrubbed).as("empreinte_nettoyee"),
-        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(numRe), lit(0))).as("n_nombres")
+        md5(Text.piiScrub(col("text"))).as("empreinte_nettoyee"),
+        Text.matchCount(col("text"), Text.Pii.email).as("n_emails"),
+        Text.matchCount(col("text"), Text.Pii.ip).as("n_ips"),
+        Text.matchCount(col("text"), Text.Pii.phone).as("n_telephones"),
+        Text.matchCount(col("text"), Text.Pii.number).as("n_nombres")
       )
       .orderBy(col("doc_id"))
+  private val d12Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "(\\+[0-9]{1,3}([-.][0-9]{1,4})+|[0-9]{2,4}(-[0-9]{2,4}){2,}|[0-9]{2,4}(\\.[0-9]{2,4}){4,})"
+    val num = "[0-9]+"
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<TEL>', 'g'),
+       |      '$ip', '<IP>', 'g'),
+       |      '$num', '<NUM>', 'g')) AS empreinte_nettoyee,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(text, '$phone')) AS n_telephones,
+       |  len(regexp_extract_all(text, '$num')) AS n_nombres
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
   }
-  private val d12Sql =
-    """SELECT doc_id,
-      |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-      |      '[0-9]+', '<NUM>', 'g')) AS empreinte_nettoyee,
-      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
-      |  len(regexp_extract_all(text, '[0-9]+')) AS n_nombres
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d13 — deterministic train/val/test assignment: a 16-bit hash slot
@@ -1388,6 +1496,85 @@ object PipelineQueries {
       |ORDER BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d22 — shard emission: the packing tier's last mile. Pack.writeShards
+  // MATERIALIZES the packed sequences (token streams + doc-slice
+  // provenance, 16 sequences = 16·1024 tokens per shard directory); the
+  // query reads the emitted files back and rolls them up per shard —
+  // sequence count, token totals, slice count, and an order-sensitive
+  // content fingerprint (md5 over the per-sequence md5s) — all of which
+  // the oracle recomputes from the raw documents table alone. A
+  // hash-green d22 therefore proves the bytes ON DISK are the corpus
+  // re-cut at exactly the d18 boundaries, not merely that the
+  // annotation said so.
+  // ---------------------------------------------------------------------
+  private def d22(spark: SparkSession, dir: String): DataFrame = {
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_d22_${Integer.toHexString(dir.hashCode)}"
+    Pack.writeShards(Tables.documents(spark, dir), "doc_id", "text",
+      seqTokens = 1024, seqsPerShard = 16, outDir = out)
+    val seqs = Pack.readShards(spark, out)
+      .select(col("shard_id"), col("seq_id"),
+        md5(array_join(col("tokens"), " ")).as("h"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        size(col("docs")).cast("long").as("n_tranches"))
+    seqs
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_tranches")).as("n_tranches"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("seq_id"), col("h")))),
+            p => p.getField("h")), ":")).as("empreinte"))
+      .orderBy(col("shard_id"))
+  }
+  private val d22Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(len(toks) AS BIGINT))
+      |         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t
+      |),
+      |r AS (
+      |  SELECT doc_id, toks, n_tokens, cum - n_tokens AS tok_debut,
+      |    (cum - n_tokens) // 1024 AS seq_debut,
+      |    GREATEST((cum - n_tokens) // 1024, (GREATEST(cum, 1) - 1) // 1024) AS seq_fin
+      |  FROM c WHERE n_tokens > 0
+      |),
+      |x AS (
+      |  SELECT r.doc_id, r.toks, r.tok_debut, r.n_tokens, s.seq_id
+      |  FROM r, LATERAL (SELECT unnest(generate_series(r.seq_debut, r.seq_fin)) AS seq_id) s
+      |),
+      |sl AS (
+      |  SELECT seq_id, doc_id,
+      |    GREATEST(seq_id * 1024, tok_debut) AS deb,
+      |    LEAST((seq_id + 1) * 1024, tok_debut + n_tokens) AS fin,
+      |    toks[CAST(GREATEST(seq_id * 1024, tok_debut) - tok_debut + 1 AS BIGINT)
+      |         :CAST(LEAST((seq_id + 1) * 1024, tok_debut + n_tokens) - tok_debut AS BIGINT)]
+      |      AS tranche
+      |  FROM x
+      |),
+      |q AS (
+      |  SELECT seq_id,
+      |    md5(string_agg(array_to_string(tranche, ' '), ' ' ORDER BY deb)) AS h,
+      |    CAST(SUM(fin - deb) AS BIGINT) AS n_tok,
+      |    COUNT(*) AS n_tranches
+      |  FROM sl GROUP BY seq_id
+      |)
+      |SELECT seq_id // 16 AS shard_id, COUNT(*) AS n_seqs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tranches) AS BIGINT) AS n_tranches,
+      |  md5(string_agg(h, ':' ORDER BY seq_id)) AS empreinte
+      |FROM q GROUP BY 1
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d19 — repetition quality signals (the Gopher repetition-filter
   // family): most-common-token fraction, most-common-bigram fraction,
   // duplicated-bigram fraction — one compiled in-row pass per doc
@@ -1494,6 +1681,8 @@ object PipelineQueries {
     Q("d06_minhash_pairs", "MinHash+LSH near-dups vs exact-Jaccard oracle", d06, Some(d06Sql)),
     Q("d07_simhash", "md5-SimHash 64-bit fingerprints", d07, Some(d07Sql)),
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
+    Q("d23_bpe_tokenize", "trained BPE subword tokenization, lossless-reconstruction gate", d23, Some(d23Sql)),
+    Q("d24_quality_classifier", "hashed-NB quality filter; oracle recomputes training and dot products", d24, Some(d24Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),
@@ -1507,6 +1696,7 @@ object PipelineQueries {
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
     Q("d21_source_mix", "per-source mixing weights with deterministic fractional epochs", d21, Some(d21Sql)),
+    Q("d22_shard_emit", "materialized packed shards read back, per-shard content fingerprints", d22, Some(d22Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),

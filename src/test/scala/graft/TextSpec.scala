@@ -222,6 +222,28 @@ class TextSpec extends SparkSpec {
     assert(compiled == hof)
   }
 
+  test("piiScrub: planted PII classes redact in order; null-class collisions resolved") {
+    val planted = Seq(
+      (1L, "write to alice.smith+spam@example-mail.com today"),
+      (2L, "server at 192.168.10.100 port 8080"),
+      (3L, "call +33-6-12-34-56-78 or 555-867-5309"),
+      (4L, "fr mobile 06.12.34.56.78 and plain 1234567890"),
+      // dotted quad must become <IP>, never feed the phone pattern
+      (5L, "quad 168.10.100.20 is an address"),
+      (6L, "no pii here at all"),
+      (7L, "v1.2.3 release and range 10-20 stay untouched")
+    ).toDF("doc_id", "text")
+    val got = planted.select($"doc_id", Text.piiScrub($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "write to <EMAIL> today")
+    assert(got(2L) == "server at <IP> port <NUM>")
+    assert(got(3L) == "call <TEL> or <TEL>")
+    assert(got(4L) == "fr mobile <TEL> and plain <NUM>")
+    assert(got(5L) == "quad <IP> is an address")
+    assert(got(6L) == "no pii here at all")
+    assert(got(7L) == "v<NUM>.<NUM>.<NUM> release and range <NUM>-<NUM> stay untouched")
+  }
+
   test("repetitionCounts: hand-checked docs through the codegen path") {
     val docs = Seq(
       (1L, "a a b"),     // top token a=2; bigrams [a a, a b] all unique
