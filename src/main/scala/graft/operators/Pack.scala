@@ -152,6 +152,90 @@ object Pack {
       .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("n_tokens"))
   }
 
+  /** The materialized packed sequences — what a training job actually
+    * reads. One row per sequence: its token stream (every sequence
+    * except the last holds exactly `seqTokens` tokens) and its
+    * provenance (`docs`: which document slices built it, at which
+    * in-sequence offsets) — the round-trip evidence that no token was
+    * dropped, duplicated or reordered.
+    *
+    * Scale shape: [[sequences]] contributes its two narrow exchanges;
+    * on top of that the corpus text moves exactly twice — once through
+    * the doc_id join that meets each document with its range
+    * annotation, once through the groupBy(seq_id) re-cut. That second
+    * exchange is the irreducible cost of shard emission (the output IS
+    * the corpus re-cut on sequence boundaries); the slice rows it
+    * carries are one per (doc, touched sequence), never per token, and
+    * seq_id keys are consecutive integers — uniform by construction,
+    * no skew. Nothing is collected to the driver.
+    */
+  def packedSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqTokens: Int,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val b = lit(seqTokens.toLong)
+    val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+    val slices = sequences(docs, idCol, textCol, seqTokens, numPartitions)
+      .filter(col("n_tokens") > 0) // zero-token docs hold no slice
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("tok_debut"), col("n_tokens"), col("toks"),
+        explode(sequence(col("seq_debut"), col("seq_fin"))).as("seq_id"))
+      .withColumn("deb", greatest(col("seq_id") * b, col("tok_debut")))
+      .withColumn("fin", least((col("seq_id") + 1L) * b, col("tok_debut") + col("n_tokens")))
+      .select(col("seq_id"), col("doc_id"), col("deb"), (col("fin") - col("deb")).as("n"),
+        expr("slice(toks, CAST(deb - tok_debut + 1 AS INT), CAST(fin - deb AS INT))").as("tranche"))
+    // sort_array on array<struct> orders by leading field: deb — global
+    // token position, unique within a sequence (slices are disjoint)
+    slices
+      .groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(
+        col("deb"), col("doc_id"), col("n"), col("tranche")))).as("parts"))
+      .select(
+        col("seq_id"),
+        flatten(transform(col("parts"), p => p.getField("tranche"))).as("tokens"),
+        transform(col("parts"), p => struct(
+          p.getField("doc_id").as("doc_id"),
+          (p.getField("deb") - col("seq_id") * b).cast("int").as("debut_dans_seq"),
+          p.getField("n").cast("int").as("n_tokens"))).as("docs"))
+  }
+
+  /** Write packed training shards: `seqsPerShard` consecutive sequences
+    * per shard directory (`shard_id=K/` parquet, one or two files each —
+    * the range repartition keeps every shard's rows contiguous). Fixed
+    * sequence count IS fixed token count — the d20 manifest proves every
+    * sequence except the last holds exactly `seqTokens` tokens, so a
+    * shard is seqsPerShard·seqTokens tokens and output files come out
+    * uniformly sized by construction.
+    */
+  def writeShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqTokens: Int,
+      seqsPerShard: Int,
+      outDir: String,
+      numPartitions: Int = 0
+  ): Unit = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val spark = docs.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    packedSequences(docs, idCol, textCol, seqTokens, numPartitions)
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+      .repartitionByRange(parts, col("shard_id"), col("seq_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+  }
+
+  /** Read emitted shards back: (shard_id, seq_id, tokens, docs). */
+  def readShards(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col("seq_id"), col("tokens"), col("docs"))
+
   /** The single-window formulation `sequences` must equal whenever the
     * order key is unique — the spec's reference implementation (an
     * Exchange SinglePartition plan, so test-scale only).

@@ -109,4 +109,56 @@ class PackSpec extends SparkSpec {
     def ids() = rows(Pack.sequences(docs, "doc_id", "text", 64)).toSeq
     assert(ids() == ids())
   }
+
+  test("shard round-trip: emitted files reconstruct every doc exactly once, boundaries per manifest") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 128
+    val out = java.nio.file.Files.createTempDirectory("graft_packspec_").toString
+    try {
+      Pack.writeShards(docs, "doc_id", "text", budget, seqsPerShard = 4, outDir = out,
+        numPartitions = 5)
+      val shards = Pack.readShards(spark, out).cache()
+
+      // every sequence except the last holds exactly the budget, and the
+      // (seq -> n_tokens, n_docs) rollup equals the d20 manifest
+      val fromFiles = shards
+        .select(col("seq_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          size(col("docs")).cast("long").as("n_docs"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).sortBy(_._1)
+      val manifest = Pack.manifest(docs, "doc_id", "text", budget, numPartitions = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(fromFiles.toSeq == manifest.toSeq)
+      assert(fromFiles.init.forall(_._3 == budget.toLong))
+
+      // shard ids group consecutive sequences in fours
+      val badShard = shards.filter(col("shard_id") =!= expr("seq_id div 4")).count()
+      assert(badShard == 0L)
+
+      // provenance reconstructs every non-empty doc exactly once:
+      // re-assemble each doc's tokens from its slices at global
+      // positions seq_id*budget + debut_dans_seq and compare to the
+      // original tokenization
+      val rebuilt = shards
+        .select(col("seq_id"), explode(col("docs")).as("d"),
+          col("tokens"))
+        .select(col("d.doc_id").as("doc_id"),
+          (col("seq_id") * budget + col("d.debut_dans_seq")).as("pos"),
+          expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(array_sort(collect_list(struct(col("pos"), col("tranche")))),
+          p => p.getField("tranche"))).as("toks"))
+      val original = docs
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val diff = rebuilt.as("a")
+        .join(original.as("b"), Seq("doc_id"), "full_outer")
+        .filter(col("a.toks").isNull || col("b.toks").isNull ||
+          col("a.toks") =!= col("b.toks"))
+        .count()
+      assert(diff == 0L, "every non-empty doc must reconstruct bit-for-bit from shard slices")
+      shards.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
