@@ -345,14 +345,48 @@ object Dedup {
         .filter(col("est") >= cut)
         .select("id_a", "id_b")
         .distinct()
-    else
+    else {
+      // Fail-fast guard for the shuffled fallback (SCALE.md §6): the
+      // distinct below shuffle-writes the FULL raw pair relation — on a
+      // boilerplate-heavy corpus that is Σ|bucket|²/2 rows, measured
+      // > 40 GB of local shuffle at the 1000× stress tier, which on a
+      // single box fills the disk and poisons every later write with
+      // "No space left on device". A cluster has the shuffle capacity
+      // (the default there is unlimited); a local session gets a
+      // ceiling and a clear error naming the knobs instead of a full
+      // disk. The estimate reuses the bucket-size aggregation shape
+      // that `hot` already shuffles (narrow (bb, count) rows).
+      val sess = docs.sparkSession
+      val ceiling = sess.conf
+        .getOption("spark.graft.dedup.fallbackShuffleBytes").map(_.toLong)
+        .getOrElse(if (sess.sparkContext.isLocal) 64L * 1024 * 1024 * 1024 else 0L)
+      if (ceiling > 0) {
+        val pairRows = buckets
+          .groupBy(col("bb")).agg(count(lit(1)).as("m"))
+          .filter(col("m") <= maxBucket)
+          .agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L)))
+          .collect()(0).getLong(0) / 2
+        // ~48 B per shuffled pair row: two longs + serialization frame
+        val estBytes = pairRows * 48L
+        if (estBytes > ceiling) throw new IllegalStateException(
+          f"minhashLsh shuffled fallback would write ~${estBytes / 1e9}%.1f GB " +
+            f"of shuffle (≈ $pairRows raw candidate pairs) — over the local " +
+            f"ceiling of ${ceiling / 1e9}%.1f GB. The signature table " +
+            f"(${nDocs * (k * 8L + 32L)} B) exceeds the broadcast budget " +
+            f"($broadcastCutoff B): raise spark.graft.dedup.sigBroadcastBytes " +
+            "(and spark.driver.maxResultSize) to restore the map-side path, " +
+            "raise maxBucket pruning, or raise/disable " +
+            "spark.graft.dedup.fallbackShuffleBytes (0 = unlimited) if this " +
+            "session really has the shuffle capacity.")
+      }
       rawPairs
         .distinct()
         .join(sigFor("id_a"), Seq("id_a"))
         .join(sigFor("id_b"), Seq("id_b"))
         .withColumn("est", est)
         .filter(col("est") >= cut)
-        .select("id_a", "id_b"))
+        .select("id_a", "id_b")
+    })
       .cache() // feeds two candDocs branches + the verification join
 
     // Exact-Jaccard verification builds shingle SETS only for surviving

@@ -217,6 +217,26 @@ class DedupSpec extends SparkSpec {
     assert(viaParam == viaBroadcast)
   }
 
+  test("shuffled fallback fails fast past the local shuffle ceiling, naming the knobs") {
+    val docs = Tables.documents(spark, sfDir)
+    try {
+      // force the fallback branch, then make the local-disk ceiling
+      // impossible to satisfy — the operator must refuse BEFORE the
+      // pair shuffle runs, not fill the disk and die downstream
+      spark.conf.set("spark.graft.dedup.fallbackShuffleBytes", "1")
+      val e = intercept[IllegalStateException] {
+        Dedup.minhashLsh(docs, "doc_id", "text", sigBroadcastBytes = 0L)
+      }
+      assert(e.getMessage.contains("sigBroadcastBytes") &&
+        e.getMessage.contains("fallbackShuffleBytes"),
+        s"error must name both recourse knobs, got: ${e.getMessage}")
+      // 0 disables the ceiling: same forced fallback now runs
+      spark.conf.set("spark.graft.dedup.fallbackShuffleBytes", "0")
+      assert(Dedup.minhashLsh(docs, "doc_id", "text", sigBroadcastBytes = 0L)
+        .collect().nonEmpty)
+    } finally spark.conf.unset("spark.graft.dedup.fallbackShuffleBytes")
+  }
+
   test("e03 construction launches no Spark job (bucket width from scan metadata)") {
     // first-ever read of a path pays one schema-inference job (memoized
     // in Tables); warm it so the measurement isolates e03's construction
