@@ -44,6 +44,44 @@ object Mesures {
 
   // -- scalar measures ----------------------------------------------------
 
+  /** The page-1 scalar KPI cards in ONE Spark job. The per-measure
+    * functions below are the fine-grained API; a dashboard refresh that
+    * calls seven of them pays seven jobs for seven 1-row results. This
+    * is the pattern to copy instead: one single-pass aggregate over the
+    * (sliced) fact, one over dim_client, cross-joined into a single
+    * 1-row collect.
+    */
+  final case class CartesKpi(
+      caTotal: BigDecimal,
+      nbPaiements: Long,
+      panierMoyen: BigDecimal,
+      clientsActifs: Long,
+      nbClients: Long,
+      nbVilles: Long,
+      nbPays: Long)
+
+  def cartesKpi(spark: SparkSession, f: DataFrame): CartesKpi = {
+    val fAgg = f.agg(
+      sum(col("montant")).as("ca_total"),
+      count(lit(1)).as("nb_paiements"),
+      countDistinct(col("client_key")).as("clients_actifs"))
+    val cAgg = spark.table("dim_client").agg(
+      count(lit(1)).as("nb_clients"),
+      countDistinct(col("ville")).as("nb_villes"),
+      countDistinct(col("pays")).as("nb_pays"))
+    val r = fAgg.crossJoin(cAgg).collect().head
+    val ca = BigDecimal(r.getDecimal(0))
+    val n = r.getLong(1)
+    CartesKpi(
+      caTotal = ca,
+      nbPaiements = n,
+      panierMoyen = (ca / n).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+      clientsActifs = r.getLong(2),
+      nbClients = r.getLong(3),
+      nbVilles = r.getLong(4),
+      nbPays = r.getLong(5))
+  }
+
   def caTotal(f: DataFrame): BigDecimal = dec(f.agg(sum(col("montant"))))
   def nbPaiements(f: DataFrame): Long = f.count()
   def panierMoyen(f: DataFrame): BigDecimal =

@@ -28,6 +28,20 @@ class MesuresSpec extends SparkSpec {
     assert(Mesures.nbFilms(spark) == 1000L)
   }
 
+  test("cartesKpi: the seven page-1 cards agree with the per-measure API in one job") {
+    val k = Mesures.cartesKpi(spark, f())
+    assert(k.caTotal == BigDecimal("67416.51"))
+    assert(k.nbPaiements == 16049L)
+    assert(k.panierMoyen == BigDecimal("4.20"))
+    assert(k.clientsActifs == 599L)
+    assert(k.nbClients == 599L)
+    assert(k.nbVilles == 597L)
+    assert(k.nbPays == 108L)
+    // sliced fact flows through the same single-job path
+    assert(Mesures.cartesKpi(spark, f(Slicers(magasinId = Some(1)))).caTotal ==
+      BigDecimal("33489.47"))
+  }
+
   test("top-1 label cards render the dashboard strings") {
     assert(Mesures.filmTop(spark, f()) == "TELEGRAPH VOYAGE $231,73")
     assert(Mesures.clientTop(spark, f()) == "KARL SEAL $221,55")
