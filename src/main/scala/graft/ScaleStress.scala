@@ -85,38 +85,68 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
-  private val names = Seq(
+  private val baseNames = Seq(
     "d01_dedup_exact", "d02_token_stats", "d03_quality_score", "d04_lang_guess",
     "d05_fingerprints", "d06_minhash_pairs", "d07_simhash", "d08_regex_tokens",
     "d09_dedup_clusters", "d10_tfidf_keywords", "d11_vocab_bigrams",
     "d12_text_scrub", "d13_split_assign", "d14_incremental_dedup",
     "d15_chunk_dedup", "d16_decontaminate", "d17_chunk_scrub",
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
+    "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
     "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
+
+  /** A deliberately quadratic query (all-pairs within doc_id%100
+    * buckets: Σ (n/100)² rows ≈ n²/100) — the growth gate's negative
+    * control. Enabled by SPARK_GRAFT_PLANT_SUPERLINEAR=1; the gate run
+    * must then exit nonzero or the gate is not actually gating.
+    */
+  private val planted: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z99_planted_superlinear" -> { (spark, dir) =>
+      // n²/10 pairs, each paying an md5 — heavy enough that the larger
+      // tier clears the gate's stage-floor exemption (a quadratic plan
+      // that stays sub-floor at every tested tier is, by definition,
+      // not yet a problem the gate needs to catch)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(10)).as("k"))
+      docs.as("a").join(docs.as("b"), "k")
+        .select(md5(md5(md5(concat(
+          col("a.doc_id"), lit(":"), col("b.doc_id"))))).as("h"))
+    })
+
+  private def plantEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_PLANT_SUPERLINEAR").contains("1")
+
+  private def names: Seq[String] =
+    if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames
+
+  private def queryFn(name: String): (SparkSession, String) => DataFrame =
+    planted.getOrElse(name, SparkEntry.queries(name))
+
+  private def runOne(spark: SparkSession, name: String, dir: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    // noop write + observe, NOT count(): count() lets the optimizer
+    // eliminate unique-key left joins entirely (d15/d16's per-doc
+    // rollup join vanished and "measured" 0.1 s at 500k docs), and
+    // prune per-row computed columns — the observation rides the one
+    // real execution, so rows and time come from the same full run
+    val obs = org.apache.spark.sql.Observation(s"scale_${name}_${System.nanoTime()}")
+    queryFn(name)(spark, dir)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").format("noop").save()
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows")
+    (sec, rows)
+  }
 
   private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] = {
     // drop cached/checkpointed blocks from previous queries: pinned
     // localCheckpoint RDDs otherwise accumulate block-manager pressure
     // across the session and add ±50% noise to the iterative queries
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    names.map { name =>
-      val t0 = System.nanoTime()
-      // noop write + observe, NOT count(): count() lets the optimizer
-      // eliminate unique-key left joins entirely (d15/d16's per-doc
-      // rollup join vanished and "measured" 0.1 s at 500k docs), and
-      // prune per-row computed columns — the observation rides the one
-      // real execution, so rows and time come from the same full run
-      val obs = org.apache.spark.sql.Observation(s"scale_$name")
-      SparkEntry.queries(name)(spark, dir)
-        .observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("rows"))
-        .write.mode("overwrite").format("noop").save()
-      val rows = obs.get("rows").asInstanceOf[Long]
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows")
-      name -> ((sec, rows))
-    }.toMap
+    names.map(name => name -> runOne(spark, name, dir)).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -158,6 +188,54 @@ object ScaleStress {
       }.mkString("/")
       println(cells + growth + " |")
     }
+
+    // ------------------------------------------------------------------
+    // GROWTH GATE (the bench-budget pattern applied to scale): a query
+    // whose wall time grows faster than SPARK_GRAFT_BUDGET_GROWTH per
+    // DECADE of data (default 12×: 10× data on a fixed box is at worst
+    // 10× work, plus noise headroom) fails the run LOUDLY. Cells under
+    // SPARK_GRAFT_GROWTH_FLOOR seconds at the larger tier are exempt
+    // (stage-floor-dominated, growth there is meaningless). A flagged
+    // pair is re-measured once at both tiers (min-adjudicated — the
+    // shared-JVM inflation that plagued round-8's heavy cells is
+    // one-sided noise); only a violation that SURVIVES the re-run
+    // exits 1. The gate must only be trusted on QUIET runs, like every
+    // other number here.
+    // ------------------------------------------------------------------
+    val growthBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_GROWTH", "12.0").toDouble
+    val floorSec = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLOOR", "3.0").toDouble
+    val adjudicated = scala.collection.mutable.Map.empty[(Int, String), Double]
+    def sec(t: Int, n: String): Double =
+      adjudicated.getOrElse((t, n), results(t)(n)._1)
+    def allowed(a: Int, b: Int): Double =
+      math.pow(growthBudget, math.log10(b.toDouble / a))
+    def violations: Seq[(String, Int, Int, Double, Double)] =
+      for {
+        n <- names
+        Seq(a, b) <- tiers.sliding(2).toSeq
+        g = sec(b, n) / sec(a, n)
+        if sec(b, n) > floorSec && g > allowed(a, b)
+      } yield (n, a, b, g, allowed(a, b))
+    val first = violations
+    if (first.nonEmpty) {
+      println(s"[scale] ${first.size} growth suspect(s) — re-measuring both tiers (min adjudicated)")
+      first.map(_._1).distinct.foreach { n =>
+        tiers.foreach { t =>
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          val (s, _) = runOne(spark, n, dirs(t))
+          adjudicated((t, n)) = math.min(s, sec(t, n))
+        }
+      }
+    }
+    val fatal = violations
     spark.stop()
+    if (fatal.nonEmpty) {
+      fatal.foreach { case (n, a, b, g, lim) =>
+        System.err.println(
+          f"GROWTH VIOLATION: $n x$a→x$b grew $g%.1fx (limit $lim%.1fx, " +
+            f"${sec(a, n)}%.2fs → ${sec(b, n)}%.2fs)")
+      }
+      sys.exit(1)
+    }
   }
 }

@@ -15,12 +15,17 @@ object OneQuery {
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the exact session ScaleStress uses (AQE, 4g maxResultSize) — an
+    // adjudication must reproduce the stress run's environment, not a
+    // differently-tuned one
+    val spark = graft.engine.Session.local(cpus.toInt)
+    // same dedup-broadcast operating knob as ScaleStress: adjudicating a
+    // heavy tier (x1000's 2.7 GB sig table) needs the budget the stress
+    // run used, or d06 exercises the fallback instead of the plan under
+    // adjudication (driver heap must be raised too: SPARK_DRIVER_MEM)
+    sys.env.get("SPARK_GRAFT_SIG_BUDGET").foreach { b =>
+      spark.conf.set("spark.graft.dedup.sigBroadcastBytes", b)
+    }
     val fn = graft.SparkEntry.queries(name)
     // same warmup convention as Bench
     try graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
