@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
 object ClassifierExpr {
   def hashedScore(tokens: Column, weights: Array[Double]): Column =
     TextExpr.columnOf(HashedScore(TextExpr.expressionOf(tokens), weights))
+
+  def sigTableMatchCount(
+      a: Column,
+      b: Column,
+      table: org.apache.spark.broadcast.Broadcast[graft.operators.SigTable]): Column =
+    TextExpr.columnOf(SigTableMatchCount(
+      TextExpr.expressionOf(a), TextExpr.expressionOf(b), table))
 }
 
 final class HashedWeights(val w: Array[Double]) extends Serializable {
@@ -43,6 +50,38 @@ final class HashedWeights(val w: Array[Double]) extends Serializable {
   }
 }
 object HashedWeights { val Buckets = 65536 }
+
+/** Equal-component count of two corpus signatures looked up by id in a
+  * broadcast [[graft.operators.SigTable]] — the map-side MinHash
+  * estimate kill as ONE compiled binary expression instead of two
+  * broadcast hash joins (whose exchanges AQE provably cannot unify
+  * over a cached build side — see SigTable's doc). -1 when either id
+  * is unknown to the table.
+  */
+case class SigTableMatchCount(
+    left: Expression,
+    right: Expression,
+    table: org.apache.spark.broadcast.Broadcast[graft.operators.SigTable])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_table_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    table.value.matchCount(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigTableBc", table,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"((graft.operators.SigTable) $ref.value()).matchCount($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigTableMatchCount =
+    copy(left = newLeft, right = newRight)
+}
 
 case class HashedScore(child: Expression, weights: Array[Double])
     extends UnaryExpression

@@ -58,7 +58,7 @@ object Decontaminate {
       if (gramBroadcastBytes >= 0) gramBroadcastBytes
       else train.sparkSession.conf
         .getOption("spark.graft.decontaminate.gramBroadcastBytes")
-        .map(_.toLong)
+        .map(Dedup.parseBytes)
         .getOrElse(512L * 1024 * 1024))
     // UTF-8 payload + per-row object overhead, same accounting as the
     // minhashLsh sig budget; the agg re-derives evalGrams once more but

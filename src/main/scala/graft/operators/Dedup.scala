@@ -30,6 +30,13 @@ object Dedup {
     * keeps the documented fallback (dedup-first, shuffled sig joins)
     * the worst case at every scale and every heap size.
     */
+  /** Budget confs accept Spark size strings ("4g", "512m") as well as
+    * raw byte counts — a "4g" that silently failed to parse would strand
+    * an operator on its fallback path with no indication why.
+    */
+  private[graft] def parseBytes(s: String): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+
   private[graft] def clampToDriverLimit(
       spark: org.apache.spark.sql.SparkSession, budget: Long): Long = {
     val maxResult = org.apache.spark.network.util.JavaUtils
@@ -91,7 +98,7 @@ object Dedup {
     val budget = clampToDriverLimit(spark,
       spark.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
-        .map(_.toLong)
+        .map(parseBytes)
         .getOrElse(512L * 1024 * 1024))
     // 32 hex chars UTF-8 + per-row overhead, same accounting as the
     // sig budget; the checkpoint above already materialized the set
@@ -334,18 +341,43 @@ object Dedup {
       if (sigBroadcastBytes >= 0) sigBroadcastBytes
       else docs.sparkSession.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
-        .map(_.toLong)
+        .map(parseBytes)
         .getOrElse(512L * 1024 * 1024))
     val sigBroadcastable = broadcastCutoff > 0 && nDocs * (k * 8L + 32L) <= broadcastCutoff
-    val candidates = (if (sigBroadcastable)
+    val candidates = (if (sigBroadcastable) {
+      // ONE compact signature table broadcast by reference into a
+      // compiled expression: the estimate kill becomes a pure map over
+      // the raw pairs (two O(1) lookups + a k-long compare, inside
+      // whole-stage codegen), and the only exchange left on this path
+      // is the distinct over survivors. The two-broadcast-join
+      // formulation this replaces materialized TWO hashed-relation
+      // copies of the sig table — AQE plans the exchanges over distinct
+      // TableCacheQueryStages and provably never unifies them (checked
+      // on the final adaptive plan) — which at the 1000× tier (2.7 GB
+      // of raw signatures) meant a 142-second full-GC driver freeze
+      // that failed the stage. The compact table is bounded by the same
+      // budget the joins were: it IS the collect the broadcast would
+      // have done, landing in primitive arrays instead of UnsafeRows.
+      val collected = withSig
+        .select(col("doc_id").cast("long"), col("sig"))
+        .collect().map { r =>
+          // fast path: Spark hands array<bigint> back as ArraySeq.ofLong;
+          // unwrap to avoid boxing n·k longs on the driver
+          val sig = (r.get(1): Any) match {
+            case a: scala.collection.mutable.ArraySeq.ofLong => a.array
+            case _ => r.getSeq[Long](1).toArray
+          }
+          (r.getLong(0), sig)
+        }
+      val bc = docs.sparkSession.sparkContext
+        .broadcast(SigTable.build(collected, k))
       rawPairs
-        .join(broadcast(sigFor("id_a")), Seq("id_a"))
-        .join(broadcast(sigFor("id_b")), Seq("id_b"))
-        .withColumn("est", est)
+        .withColumn("est", org.apache.spark.sql.graft.ClassifierExpr
+          .sigTableMatchCount(col("id_a"), col("id_b"), bc).cast("double") / k)
         .filter(col("est") >= cut)
         .select("id_a", "id_b")
         .distinct()
-    else {
+    } else {
       // Fail-fast guard for the shuffled fallback (SCALE.md §6): the
       // distinct below shuffle-writes the FULL raw pair relation — on a
       // boilerplate-heavy corpus that is Σ|bucket|²/2 rows, measured
@@ -358,7 +390,7 @@ object Dedup {
       // that `hot` already shuffles (narrow (bb, count) rows).
       val sess = docs.sparkSession
       val ceiling = sess.conf
-        .getOption("spark.graft.dedup.fallbackShuffleBytes").map(_.toLong)
+        .getOption("spark.graft.dedup.fallbackShuffleBytes").map(parseBytes)
         .getOrElse(if (sess.sparkContext.isLocal) 64L * 1024 * 1024 * 1024 else 0L)
       if (ceiling > 0) {
         val pairRows = buckets
@@ -738,7 +770,7 @@ object Dedup {
     val sketchBudget = clampToDriverLimit(embeddings.sparkSession,
       embeddings.sparkSession.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
-        .map(_.toLong)
+        .map(parseBytes)
         .getOrElse(512L * 1024 * 1024))
     val nVecs = graft.sources.ScanStats.exactRowCountNoJob(embeddings).getOrElse(Long.MaxValue)
     // compare by DIVISION: an unknown corpus size falls back to

@@ -267,8 +267,12 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     val n = docs.count() // parquet metadata count — no data scan
     val toks = docs.select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+    // DISK_ONLY: tf is O(corpus distinct (doc, tok)) — 225M rows at the
+    // 1000× stress. Pinning it on-heap (the localCheckpoint default)
+    // filled a 48 GB heap into a full-GC freeze there; the re-read from
+    // local disk costs seconds and keeps the lineage cut.
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(df, "tok")

@@ -32,6 +32,12 @@ object OneQuery {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     (1 to reps).foreach { i =>
+      // harness parity with ScaleStress.run: drop blocks pinned by the
+      // PREVIOUS rep (cached relations, localCheckpoint RDDs) — without
+      // this, reps of checkpoint-carrying queries accumulate block-
+      // manager state until the heap GC-freezes (d10 at the 1000× tier
+      // went 482 s → 733 s across reps from exactly this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"ONEQUERY $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
