@@ -683,6 +683,37 @@ object Dedup {
     labels
   }
 
+  /** Apply side of document-level near-dup — the scrub a training
+    * pipeline actually runs: MinHash-LSH pairs → connected components →
+    * drop every non-canonical cluster member, keeping one survivor (the
+    * minimum id) per duplicate cluster plus all unique documents. Same
+    * contract as [[exactDedup]]'s min-id winner, lifted to NEAR
+    * duplicates.
+    *
+    * Scale shape: everything up to the removal list is the adjudicated
+    * d06/d09 machinery (banded self-join + broadcast sig-table estimate
+    * kill; frontier label propagation). The removal list itself is
+    * O(duplicate members) rows — corpus minus survivors, NOT the corpus
+    * — and the final `left_anti` join shuffles on the id alone (AQE
+    * broadcasts it outright when the dup rate is small). No stage here
+    * touches text after pair generation.
+    */
+  def neardupScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, shingleN, k, bands, threshold)
+    val remove = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(remove, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * multi-table hyperplane-LSH buckets — no cross join. Shuffles
     * O(n · nTables) bucket rows; verification runs on candidate pairs

