@@ -652,16 +652,22 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   private def w01(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_w01_events"
-    Tables
-      .events(spark, dir)
+    val events = Tables.events(spark, dir)
+    events
       .withColumn("mois", date_format(col("ts"), "yyyy-MM"))
       .write
       .mode("overwrite")
       .partitionBy("mois")
       .parquet(out)
+    // prune to the EARLIEST month present — derived from the data like
+    // the reference's partition queries (requetes_clees.sql:3-7), not a
+    // hard-coded literal that goes silently empty when the fixture's
+    // time span shifts. One scalar collect (bounded, driver-safe).
+    val firstMonth =
+      events.agg(min(date_format(col("ts"), "yyyy-MM"))).head().getString(0)
     spark.read
       .parquet(out)
-      .filter(col("mois") === "2024-01")
+      .filter(col("mois") === firstMonth)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -673,7 +679,7 @@ object PipelineQueries {
     """SELECT event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events
-      |WHERE strftime(ts, '%Y-%m') = '2024-01'
+      |WHERE strftime(ts, '%Y-%m') = (SELECT MIN(strftime(ts, '%Y-%m')) FROM events)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

@@ -38,22 +38,56 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read nanos as LONG (legacy conf) and convert to a microsecond
-    * timestamp (truncating — queries only depend on ≥second granularity).
-    * The conf is DELIBERATELY left set for the session (here and in the
-    * EventsStream builders): the conf is read at scan planning, which
-    * for a lazily-built events DataFrame can happen long after this
-    * call, so an eager unset elsewhere could fail a not-yet-executed
-    * plan. Every nanos-typed read in this library re-sets it; readers
-    * of OTHER nanos-typed parquet in the same session should be aware
-    * they inherit the legacy long-typed behavior.
+  /** The events table's `ts` physical encoding has varied across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as LONG via the legacy conf, then decode),
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ), or a UTC-adjusted TIMESTAMP. The reference resolves
+    * column types from the catalog at read time
+    * (sql/source_filmdb/filmdb.sql:211-219); the Spark analogue is to
+    * resolve from the parquet footer — `events()` branches on the type
+    * the scan actually produces instead of assuming one encoding, so a
+    * regenerated fixture cannot silently break every event reader.
+    *
+    * The nanosAsLong conf is DELIBERATELY left set for the session: it
+    * is read at scan planning, which for a lazily-built events DataFrame
+    * can happen long after this call, so an eager unset elsewhere could
+    * fail a not-yet-executed plan. It only affects TIMESTAMP(NANOS)
+    * columns — micros-typed fixtures read identically with it set.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events frame so `ts` is a session-TZ TIMESTAMP
+    * regardless of the file's physical encoding:
+    *   - LONG      → legacy nanos-as-long fixture: truncate to micros
+    *                 (queries only depend on ≥second granularity);
+    *   - NTZ       → wall-clock micros: reinterpret in the session TZ
+    *                 (UTC here — identical instants to what DuckDB's
+    *                 naive read gives the oracle);
+    *   - TIMESTAMP → already the target type.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported parquet type: $other")
+    }
+  }
+
+  /** Footer-resolved raw schema for the events STREAMING reader (the file
+    * stream source requires an explicit schema; this one matches whatever
+    * encoding the fixture actually has, memoized like every other read).
+    */
+  def eventsRawSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events").schema
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

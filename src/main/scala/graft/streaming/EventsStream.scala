@@ -11,33 +11,31 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw events schema with ts as nanosecond LONG (the parquet physical
-    * type, read via the nanosAsLong legacy conf).
+  /** Streaming events source with `ts` normalized to a session-TZ
+    * timestamp. The file stream source requires an explicit schema; it is
+    * resolved from the parquet footer (Tables.eventsRawSchema) rather
+    * than hard-coded, so the reader adapts to whichever physical ts
+    * encoding the fixture carries (nanos-as-long, micros NTZ, or
+    * UTC-adjusted) — same decode branch as the batch reader.
     */
-  private val rawSchema = StructType(
-    Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        // the streaming file source lists a directory; select only the
+        // events file out of the shared fixture dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     )
-  )
+  }
 
   /** Streaming daily tumbling-window rollup over the events file source.
     * Watermark bounds state at 1 day past the max seen event time — on an
     * unbounded feed, state size stays O(open windows).
     */
   def tumblingDaily(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      // the streaming file source lists a directory; select only the
-      // events file out of the shared fixture dir
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawEvents(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
@@ -98,12 +96,7 @@ object EventsStream {
     * the rolling-revenue analytics). Watermark bounds open-window state.
     */
   def slidingWeekly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawEvents(spark, dir)
       .withWatermark("ts", "7 days")
       .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
       .agg(
@@ -127,12 +120,7 @@ object EventsStream {
     * batch aggregate over the un-duplicated table.
     */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = rawEvents(spark, dir)
     src
       .unionByName(src) // duplicate delivery
       .withWatermark("ts", "1 day")
@@ -162,12 +150,7 @@ object EventsStream {
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = rawEvents(spark, dir)
       .select(
         col("user_id").cast(LongType).as("user_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
@@ -198,12 +181,7 @@ object EventsStream {
   def sessionsFlat(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = rawEvents(spark, dir)
       .select(
         col("user_id").cast(LongType).as("user_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),

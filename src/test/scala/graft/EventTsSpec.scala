@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** The events fixture's `ts` physical encoding has drifted across driver
+  * generations (TIMESTAMP(NANOS)-as-long → micros NTZ). `Tables.events`
+  * must resolve the encoding from the parquet footer and decode
+  * accordingly — this spec writes each encoding and asserts all three
+  * decode to the SAME instant (2024-03-05 06:07:08 UTC).
+  */
+class EventTsSpec extends SparkSpec {
+
+  private val wallClock = LocalDateTime.of(2024, 3, 5, 6, 7, 8)
+  private val epochS    = 1709618828L // 2024-03-05T06:07:08Z
+
+  private def row(ts: Any) = Row(1L, ts, 10L, "click", 1.5, "{}")
+
+  private def schemaWith(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  private def writeFixture(tsType: DataType, ts: Any): String = {
+    val dir = Files.createTempDirectory("graft_ts_enc").toString
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row(ts)), schemaWith(tsType))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def decodedEpochS(dir: String): Long = {
+    val e = Tables.events(spark, dir)
+    assert(e.schema("ts").dataType == TimestampType,
+      "events.ts must normalize to a session-TZ TIMESTAMP")
+    e.select(unix_timestamp(col("ts"))).head().getLong(0)
+  }
+
+  test("legacy nanos-as-long fixture decodes via div-1000") {
+    val dir = writeFixture(LongType, epochS * 1000000000L) // nanoseconds
+    assert(decodedEpochS(dir) == epochS)
+  }
+
+  test("micros NTZ fixture reinterprets wall-clock in session TZ (UTC)") {
+    val dir = writeFixture(TimestampNTZType, wallClock)
+    assert(decodedEpochS(dir) == epochS)
+  }
+
+  test("UTC-adjusted timestamp fixture passes through") {
+    val dir = writeFixture(TimestampType, Timestamp.from(
+      java.time.Instant.ofEpochSecond(epochS)))
+    assert(decodedEpochS(dir) == epochS)
+  }
+
+  test("streaming raw schema resolves from the footer") {
+    val dir = writeFixture(TimestampNTZType, wallClock)
+    assert(Tables.eventsRawSchema(spark, dir)("ts").dataType == TimestampNTZType)
+  }
+}
