@@ -5,7 +5,6 @@ import scala.collection.mutable.ListBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.Upsert
 
 /** Streaming incremental warehouse load (SURVEY §2.9): the reference's
   * re-runnable ON CONFLICT ETL re-expressed as a Structured Streaming
@@ -152,15 +151,23 @@ object IncrementalEtl {
             part.write.mode("append").partitionBy("mois_cle").parquet(target)
           } else {
             // some months collide: pruned read of ONLY those
-            // partitions, MERGE against the whole batch, ONE dynamic
-            // overwrite of the touched months. The eager checkpoint
-            // materializes the read so the overwrite never reads the
-            // files it is replacing; the repartition clusters each
-            // month into one task's contiguous write.
+            // partitions, MERGE, ONE dynamic overwrite of the touched
+            // months. The anti-join's probe side is pruned to the
+            // batch rows IN the colliding months: the merge key's
+            // month is immutable (the loader contract above), so a
+            // fresh-month row can never match a row of `current` and
+            // feeding it to the join would only widen the shuffle —
+            // at production batch sizes that keeps merge shuffle IO
+            // O(collision), not O(batch), while the fresh slice flows
+            // join-free into the same single write. The eager
+            // checkpoint materializes the read so the overwrite never
+            // reads the files it is replacing; the repartition
+            // clusters each month into one task's contiguous write.
+            val collide = part.filter(col("mois_cle").isin(overlap.map(Integer.valueOf): _*))
             val current = readTarget()
               .filter(col("mois_cle").isin(overlap.map(Integer.valueOf): _*))
               .localCheckpoint(true)
-            Upsert.merge(current, part, Seq("source_commande_id"))
+            part.unionByName(current.join(collide, Seq("source_commande_id"), "left_anti"))
               .repartition(col("mois_cle"))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
