@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-growth stress for the dedup/ANN tier (feeds SCALE.md).
+/** Scale-growth stress for the dedup/ANN tier and the events tier
+  * (feeds SCALE.md).
   *
-  * Generates two fixtures with the SAME deterministic generator — 1×
-  * (5k docs / 2k vectors, the sf0.1 shape) and 10× — then times every
-  * documents/embeddings query on both and reports wall-time and
-  * result-count growth. The interesting outputs are the growth factors:
+  * Generates per-tier fixtures with the SAME deterministic generator —
+  * 1× is the sf0.1 shape (5k docs / 2k vectors / 100k events), each
+  * further tier 10× that — then times every documents/embeddings/events
+  * query on each and reports wall-time and result-count growth. The interesting outputs are the growth factors:
   * a bucketed/banded operator must grow ~linearly in rows and planted
   * duplicates; an all-pairs formulation would grow ~100× and is exactly
   * what this harness exists to catch.
@@ -85,6 +86,63 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  private val eventTypes = Array("click", "error", "purchase", "signup", "view")
+
+  /** Events tier: n = 100k×tier events (the sf0.1 shape) over a FIXED
+    * 30-day span, user count scaling with n (1 500 per 100k) so
+    * per-user event density stays constant — sessions, as-of matches
+    * and per-user rollups must then grow ~10×/decade while the
+    * day×type rollups stay O(1) rows. Written as true timestamps so
+    * the footer-adaptive events reader (sources/Tables) takes the same
+    * decode branch as the driver fixture.
+    */
+  private def genEvents(spark: SparkSession, n: Long, users: Long, dir: String): Unit = {
+    import spark.implicits._
+    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val spanMs = 30L * 86400L * 1000L
+    spark
+      .range(0, n, 1, 32)
+      .map { id =>
+        val u = math.floorMod(mix(id * 31L + 5L), users)
+        val tMs = epoch0 + math.floorMod(mix(id * 131L + 7L), spanMs)
+        val ty = eventTypes(math.floorMod(mix(id * 17L + 3L), eventTypes.length.toLong).toInt)
+        val v = math.floorMod(mix(id * 911L), 56021L).toDouble / 100.0
+        val k = math.floorMod(mix(id * 257L), 100L).toInt
+        (id, new java.sql.Timestamp(tMs), u, ty, v, s"""{"k": $k}""")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // The driver fixture ships events.parquet as ONE FILE, and the
+      // streaming readers glob for exactly that file name — a Spark
+      // directory-write would hide the part files from the stream's
+      // listing. Write the dir, then promote the single part to the
+      // plain-file layout. coalesce(1) is generation plumbing, not an
+      // operator under test.
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_events_stage")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_events_stage")
+    val part = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    fs.delete(dest, true)
+    fs.rename(part, dest)
+    fs.delete(stage, true)
+  }
+
+  /** The event-tier queries auditable on an events-only fixture: batch
+    * rollup/pivot/JSON scans, the user-windowed sessionization, the
+    * as-of join, the salted skew join, the partitioned write+pruned
+    * read, and the two bounded-output streaming twins (tumbling rollup,
+    * mapGroupsWithState sessions — their memory-sink results are
+    * O(days×types) / O(users), safe to drain at every tier). v01 and
+    * the flat-session stream need the full table set / unbounded sink
+    * rows, so they stay out of the growth fixture.
+    */
+  private val eventNames = Seq(
+    "q23_events_daily", "q24_sessionization", "q25_event_pivot", "q29_json_props",
+    "j01_asof_join", "k01_salted_skew_join", "w01_partitioned_io",
+    "s01_stream_daily", "s02_stream_sessions")
+
   private val baseNames = Seq(
     "d01_dedup_exact", "d02_token_stats", "d03_quality_score", "d04_lang_guess",
     "d05_fingerprints", "d06_minhash_pairs", "d07_simhash", "d08_regex_tokens",
@@ -118,7 +176,7 @@ object ScaleStress {
     sys.env.get("SPARK_GRAFT_PLANT_SUPERLINEAR").contains("1")
 
   private def names: Seq[String] =
-    if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames
+    (if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames) ++ eventNames
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     planted.getOrElse(name, SparkEntry.queries(name))
@@ -164,8 +222,9 @@ object ScaleStress {
     }
     val dirs = tiers.map(t => t -> s"$base/x$t").toMap
     tiers.foreach { t =>
-      println(s"[scale] generating x$t fixture (${5000 * t} docs / ${2000 * t} vecs)")
+      println(s"[scale] generating x$t fixture (${5000 * t} docs / ${2000 * t} vecs / ${100000L * t} events)")
       genDocs(spark, 5000 * t, dirs(t)); genEmbeddings(spark, 2000 * t, 64, dirs(t))
+      genEvents(spark, 100000L * t, 1500L * t, dirs(t))
     }
     println("[scale] warmup at smallest tier"); run(spark, dirs(tiers.min))
     val results = tiers.map { t =>

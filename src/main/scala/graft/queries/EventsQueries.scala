@@ -9,8 +9,10 @@ import graft.sources.Tables
 /** Event-stream analytics (batch view of the events table; the streaming
   * twin of q23 lives in graft.streaming and is asserted equal in tests).
   *
-  * DuckDB sees the raw nanosecond timestamps while Spark reads them as
-  * micros — every output therefore truncates to ≥ second granularity.
+  * `ts` decodes through the footer-adaptive reader (sources/Tables), so
+  * Spark and the DuckDB oracle may see different sub-second precision
+  * depending on the fixture encoding — every output therefore truncates
+  * to ≥ second granularity.
   */
 object EventsQueries {
 

@@ -49,16 +49,52 @@ object Tables {
     * the scan actually produces instead of assuming one encoding, so a
     * regenerated fixture cannot silently break every event reader.
     *
-    * The nanosAsLong conf is DELIBERATELY left set for the session: it
-    * is read at scan planning, which for a lazily-built events DataFrame
-    * can happen long after this call, so an eager unset elsewhere could
-    * fail a not-yet-executed plan. It only affects TIMESTAMP(NANOS)
-    * columns — micros-typed fixtures read identically with it set.
+    * The nanosAsLong conf is set ONLY when the footer probe says the
+    * file really is TIMESTAMP(NANOS) — a micros fixture leaves the
+    * session conf untouched, so other nanos-typed reads in the same
+    * session are not silently re-typed. On the nanos branch the conf is
+    * DELIBERATELY left set for the session afterwards: it is read at
+    * scan planning, which for a lazily-built events DataFrame can
+    * happen long after this call, so an eager unset elsewhere could
+    * fail a not-yet-executed plan.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (eventsTsIsNanos(spark, s"$dir/events.parquet"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(table(spark, dir, "events"))
   }
+
+  /** Footer probe: is the events `ts` column physically
+    * TIMESTAMP(NANOS)? (Spark's reader rejects nanos unless the legacy
+    * nanosAsLong conf is on, so the probe must not go through
+    * `spark.read`.) One driver-side footer read per path, memoized like
+    * the schemas; a directory-layout table probes its first part file.
+    */
+  private val nanosMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    nanosMemo.computeIfAbsent(path, { p =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath).filter(_.getName.startsWith("part-")).head
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+        (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    })
 
   /** Normalize a raw events frame so `ts` is a session-TZ TIMESTAMP
     * regardless of the file's physical encoding:
@@ -84,9 +120,12 @@ object Tables {
   /** Footer-resolved raw schema for the events STREAMING reader (the file
     * stream source requires an explicit schema; this one matches whatever
     * encoding the fixture actually has, memoized like every other read).
+    * Same conf discipline as `events()`: the legacy conf is only touched
+    * on a genuinely nanos-typed fixture.
     */
   def eventsRawSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (eventsTsIsNanos(spark, s"$dir/events.parquet"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events").schema
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -63,6 +63,10 @@ class EventTsSpec extends SparkSpec {
     assert(decodedEpochS(dir) == epochS)
   }
 
+  test("driver fixture decodes end-to-end (fixture drift fails HERE, not in 7 downstream suites)") {
+    assert(Tables.events(spark, sfDir).count() > 0)
+  }
+
   test("streaming raw schema resolves from the footer") {
     val dir = writeFixture(TimestampNTZType, wallClock)
     assert(Tables.eventsRawSchema(spark, dir)("ts").dataType == TimestampNTZType)
