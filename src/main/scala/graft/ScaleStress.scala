@@ -92,9 +92,10 @@ object ScaleStress {
     * 30-day span, user count scaling with n (1 500 per 100k) so
     * per-user event density stays constant — sessions, as-of matches
     * and per-user rollups must then grow ~10×/decade while the
-    * day×type rollups stay O(1) rows. Written as true timestamps so
-    * the footer-adaptive events reader (sources/Tables) takes the same
-    * decode branch as the driver fixture.
+    * day×type rollups stay O(1) rows. Written as NTZ wall-clock micros
+    * (LocalDateTime) — the driver fixture's encoding — so the
+    * footer-adaptive events reader (sources/Tables) takes the same
+    * decode branch it takes in production.
     */
   private def genEvents(spark: SparkSession, n: Long, users: Long, dir: String): Unit = {
     import spark.implicits._
@@ -105,10 +106,12 @@ object ScaleStress {
       .map { id =>
         val u = math.floorMod(mix(id * 31L + 5L), users)
         val tMs = epoch0 + math.floorMod(mix(id * 131L + 7L), spanMs)
+        val ts = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(tMs), java.time.ZoneOffset.UTC)
         val ty = eventTypes(math.floorMod(mix(id * 17L + 3L), eventTypes.length.toLong).toInt)
         val v = math.floorMod(mix(id * 911L), 56021L).toDouble / 100.0
         val k = math.floorMod(mix(id * 257L), 100L).toInt
-        (id, new java.sql.Timestamp(tMs), u, ty, v, s"""{"k": $k}""")
+        (id, ts, u, ty, v, s"""{"k": $k}""")
       }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       // The driver fixture ships events.parquet as ONE FILE, and the

@@ -662,11 +662,13 @@ object PipelineQueries {
     // prune to the EARLIEST month present — derived from the data like
     // the reference's partition queries (requetes_clees.sql:3-7), not a
     // hard-coded literal that goes silently empty when the fixture's
-    // time span shifts. One scalar collect (bounded, driver-safe).
-    val firstMonth =
-      events.agg(min(date_format(col("ts"), "yyyy-MM"))).head().getString(0)
-    spark.read
-      .parquet(out)
+    // time span shifts. min over the PARTITION column of the table just
+    // written: every data column is pruned, so the value comes from the
+    // directory names — no second scan of the events source. (Lexico
+    // min of zero-padded yyyy-MM == chronological min.)
+    val written = spark.read.parquet(out)
+    val firstMonth = written.agg(min(col("mois"))).head().getString(0)
+    written
       .filter(col("mois") === firstMonth)
       .groupBy(col("event_type"))
       .agg(

@@ -80,20 +80,25 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      val file =
+      // a directory layout with no top-level part files (empty write,
+      // partitioned layout) probes as not-nanos: the ordinary read path
+      // then reports whatever is actually wrong with the table
+      val file: Option[org.apache.hadoop.fs.Path] =
         if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).map(_.getPath).filter(_.getName.startsWith("part-")).head
-        else hp
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.containsField("ts") &&
-        (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-          case _ => false
-        })
-      } finally reader.close()
+          fs.listStatus(hp).map(_.getPath).find(_.getName.startsWith("part-"))
+        else Some(hp)
+      file.exists { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.containsField("ts") &&
+          (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        } finally reader.close()
+      }
     })
 
   /** Normalize a raw events frame so `ts` is a session-TZ TIMESTAMP

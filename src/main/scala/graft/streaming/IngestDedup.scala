@@ -46,9 +46,20 @@ object IngestDedup {
     * (length, mtime) fingerprint, so a regenerated fixture re-stages
     * instead of serving stale signatures.
     */
+  /** Bump when the persisted corpus_sigs layout or the signature
+    * parameters fed to [[Dedup.signatures]] change — the fingerprint
+    * below carries it, so a code change to the signature scheme
+    * re-stages instead of screening new-code batches against old-code
+    * persisted signatures.
+    */
+  private val sigFormat = "minhash-shingle3-k64-v1"
+
   def setup(spark: SparkSession, dir: String, workDir: String): Unit = synchronized {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fingerprint = s"documents:${src.length()}:${src.lastModified()}"
+    // hadoop FS status, not java.io.File: the latter silently returns
+    // 0:0 for non-local URIs, freezing the fingerprint forever
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    val fingerprint = s"documents:${src.getLen}:${src.getModificationTime}:$sigFormat"
     val marker = new java.io.File(s"$workDir/_SETUP_DONE")
     val markerFresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint

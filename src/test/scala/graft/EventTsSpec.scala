@@ -52,6 +52,44 @@ class EventTsSpec extends SparkSpec {
     assert(decodedEpochS(dir) == epochS)
   }
 
+  test("a REAL TIMESTAMP(NANOS) file trips the footer probe and decodes") {
+    // Spark cannot write TIMESTAMP(NANOS); build the file with the
+    // parquet example writer so the probe's nanos branch (the only one
+    // that sets the legacy nanosAsLong conf) is exercised against a
+    // genuinely annotated footer — the driver-fixture encoding that
+    // broke round 9.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .addField(Types.required(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type"))
+      .addField(Types.required(DOUBLE).named("value"))
+      .addField(Types.required(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props"))
+      .named("events")
+    val dir = Files.createTempDirectory("graft_ts_nanos").toString
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val writer = ExampleParquetWriter.builder(path).withType(schema).build()
+    try {
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.add("event_id", 1L)
+      g.add("ts", epochS * 1000000000L)
+      g.add("user_id", 10L)
+      g.add("event_type", "click")
+      g.add("value", 1.5)
+      g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+    assert(decodedEpochS(dir) == epochS)
+  }
+
   test("micros NTZ fixture reinterprets wall-clock in session TZ (UTC)") {
     val dir = writeFixture(TimestampNTZType, wallClock)
     assert(decodedEpochS(dir) == epochS)
