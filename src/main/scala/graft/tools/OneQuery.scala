@@ -7,12 +7,16 @@ import org.apache.spark.sql.SparkSession
   * faster" without the other 77).
   *
   * Usage: runMain graft.tools.OneQuery <queryName> [sfDir] [reps]
+  *        runMain graft.tools.OneQuery <queryName> [sfDir] explain
+  * (`explain` prints the formatted physical plan instead of timing —
+  * the .explain-and-iterate loop for plan work and PLANS.md.)
   */
 object OneQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 1
+    val explainOnly = args.length > 2 && args(2) == "explain"
+    val reps = if (args.length > 2 && !explainOnly) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     // the exact session ScaleStress uses (AQE, 4g maxResultSize) — an
@@ -27,6 +31,11 @@ object OneQuery {
       spark.conf.set("spark.graft.dedup.sigBroadcastBytes", b)
     }
     val fn = graft.SparkEntry.queries(name)
+    if (explainOnly) {
+      fn(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     // same warmup convention as Bench
     try graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
