@@ -76,14 +76,18 @@ object IngestPack {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packedSchema)
       .write.mode("overwrite").parquet(outDir)
 
-    // the running offset: recovered from the log, not from memory, so a
-    // restarted loader continues correctly
+    // the running offset: RECOVERED from the log once at start (so a
+    // restarted loader continues correctly — the IncrementalEtl month-
+    // catalog pattern), then carried in the loader across batches.
+    // Re-deriving it from the full log EVERY batch would re-scan
+    // O(total packed) per trigger — quadratic over the stream's life.
     def storedOffset(): Long = {
       val row = spark.read.schema(packedSchema).parquet(outDir)
         .agg(coalesce(max(col("tok_debut") + col("n_tokens")), lit(0L)))
         .collect()(0)
       row.getLong(0)
     }
+    var offset = storedOffset()
 
     val q = spark.readStream
       .schema(docSchema)
@@ -93,9 +97,18 @@ object IngestPack {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          Pack
-            .sequences(batch, "doc_id", "text", seqTokens, startOffset = storedOffset())
-            .write.mode("append").parquet(outDir)
+          // the packed rows are NARROW (ids + counts + offsets, no
+          // text): one eager checkpoint materializes the two-phase
+          // prefix sum ONCE, the append writes from it, and the
+          // batch's token total advances the offset from the same
+          // blocks — O(batch) per trigger, no log re-scan
+          val packed = Pack
+            .sequences(batch, "doc_id", "text", seqTokens, startOffset = offset)
+            .localCheckpoint(true)
+          packed.write.mode("append").parquet(outDir)
+          offset = packed
+            .agg(coalesce(max(col("tok_debut") + col("n_tokens")), lit(offset)))
+            .collect()(0).getLong(0)
         }
         ()
       }
