@@ -61,7 +61,12 @@ object EventsStream {
     * volume), not the batch-side default parallelism. The catalog's
     * streams keep O(10²–10³) keys, where 8 partitions is right even at
     * full corpus scale; a high-cardinality stream (per-user sessions at
-    * production fan-in) should pass its own larger value.
+    * production fan-in) should pass its own larger value, or set
+    * `spark.graft.stream.statePartitions` on the session — the
+    * operating knob overrides every call's default without a code
+    * change (the x1000 stress pushes 1.5 M session keys through this
+    * path; at that cardinality resizing state is a deployment decision,
+    * not a source edit).
     */
   def runToCompletion(
       streamDF: DataFrame,
@@ -70,13 +75,17 @@ object EventsStream {
       statePartitions: Int = 8
   ): DataFrame = {
     val spark = streamDF.sparkSession
+    val stateParts = spark.conf
+      .getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse(statePartitions)
     // the shuffle-partitions override is session-global until restored;
     // serialize drains on the session so overlapping calls cannot clobber
     // each other's saved value (batch queries issued DURING a drain would
     // still observe the override — none do in this codebase)
     spark.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       try {
         val q = streamDF.writeStream
           .outputMode(mode)

@@ -149,4 +149,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("spark.graft.stream.statePartitions resizes state without changing results") {
+    val default = EventsStream
+      .runToCompletion(EventsStream.tumblingDaily(spark, sfDir), "streaming_spec_knob_a")
+      .collect().map(_.toString).sorted
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.graft.stream.statePartitions", "3")
+    try {
+      val resized = EventsStream
+        .runToCompletion(EventsStream.tumblingDaily(spark, sfDir), "streaming_spec_knob_b")
+        .collect().map(_.toString).sorted
+      assert(resized.sameElements(default))
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevShuffle,
+      "drain must restore the session shuffle-partitions setting")
+  }
 }
