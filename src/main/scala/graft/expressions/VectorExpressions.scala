@@ -73,6 +73,24 @@ object VectorExpr {
     * lower index first.
     */
   def topKIndices(scores: Column, k: Int): Column = col(TopKIndices(expr(scores), k))
+
+  /** PQ codes of a vector against per-subspace codebooks: array<int>,
+    * one L2-nearest codeword index per subspace (codegen'd).
+    */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(v), books))
+
+  /** Flattened per-query ADC distance tables against the same codebooks
+    * (array<double> of m·k squared subspace distances, codegen'd).
+    */
+  def pqDistTables(v: Column, books: Array[Array[Array[Double]]]): Column =
+    col(PqDistTables(expr(v), books))
+
+  /** ADC distance from a codes array and a flattened table array: m
+    * lookups replacing a full-dimension distance (codegen'd).
+    */
+  def pqAdc(codes: Column, tables: Column, codesPerSub: Int): Column =
+    col(PqAdc(expr(codes), expr(tables), codesPerSub))
 }
 
 /** Static kernels callable from generated code (see TextKernels). */
@@ -132,6 +150,19 @@ object VectorKernels {
     var i = 0
     while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
     d
+  }
+
+  def pqAdc(codes: ArrayData, tables: ArrayData, codesPerSub: Int): Double = {
+    val m = codes.numElements()
+    val nt = tables.numElements()
+    var s = 0
+    var sum = 0.0
+    while (s < m) {
+      val idx = s * codesPerSub + codes.getInt(s)
+      if (idx < nt) sum += tables.getDouble(idx)
+      s += 1
+    }
+    sum
   }
 }
 
@@ -439,4 +470,135 @@ case class TopKIndices(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): TopKIndices =
     copy(child = newChild)
+}
+
+/** Product-quantization encoder: the vector splits into one contiguous
+  * subspace per codebook; the output int array holds, per subspace, the
+  * index of the L2-nearest codeword (ties prefer the lower code, the
+  * ArgMaxIndex convention). The codebook tensor ships once per task as
+  * a reference object — m·k·subDim doubles, the model.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebooks")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  def encode(input: ArrayData): ArrayData = {
+    val out = new Array[Int](books.length)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      val d = book(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < d) {
+          val x = (if (off + j < input.numElements()) input.getDouble(off + j) else 0.0) - cw(j)
+          dist += x * x
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c } // strict < : ties keep lower code
+        c += 1
+      }
+      out(s) = best
+      off += d
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqBooks", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.encode($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query PQ distance tables, flattened: out[s·k + c] = squared L2
+  * between the query's s-th subvector and codeword c of subspace s. The
+  * asymmetric-distance (ADC) companion of [[PqEncode]]: the query keeps
+  * full precision, the corpus only its codes.
+  */
+case class PqDistTables(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebooks")
+  require(books.forall(_.length == books(0).length),
+    "all subspaces must carry the same codeword count (flattened table layout)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_dist_tables"
+
+  def tables(input: ArrayData): ArrayData = {
+    val k = books(0).length
+    val out = new Array[Double](books.length * k)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      val d = book(0).length
+      var c = 0
+      while (c < k) {
+        val cw = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < d) {
+          val x = (if (off + j < input.numElements()) input.getDouble(off + j) else 0.0) - cw(j)
+          dist += x * x
+          j += 1
+        }
+        out(s * k + c) = dist
+        c += 1
+      }
+      off += d
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = tables(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqBooks", this, classOf[PqDistTables].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.tables($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTables =
+    copy(child = newChild)
+}
+
+/** ADC distance: Σ_s tables[s·codesPerSub + codes[s]] — the m table
+  * lookups that replace a full-dimension distance in a PQ scan.
+  */
+case class PqAdc(left: Expression, right: Expression, codesPerSub: Int)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  require(codesPerSub > 0, "codesPerSub must be positive")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(codes: Any, tables: Any): Any =
+    VectorKernels.pqAdc(codes.asInstanceOf[ArrayData], tables.asInstanceOf[ArrayData], codesPerSub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"org.apache.spark.sql.graft.VectorKernels.pqAdc($x, $y, $codesPerSub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
 }

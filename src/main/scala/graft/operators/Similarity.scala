@@ -144,6 +144,121 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Product-quantization codebooks: the vector splits into `m`
+    * contiguous subspaces and each gets its own `codes`-codeword L2
+    * Lloyd fit, trained on the SAME bounded deterministic sample as
+    * [[trainCentroids]] (training O(1) in corpus size; only the sample
+    * reaches the driver). The model is m·codes·(dim/m) = codes·dim
+    * doubles — the same footprint as one IVF centroid set. Ties prefer
+    * the lower codeword, matching the encode kernel.
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      codes: Int,
+      iters: Int = 5,
+      sampleCap: Int = 0
+  ): Array[Array[Array[Double]]] = {
+    require(m > 0 && codes > 0, "m and codes must be positive")
+    val cap = if (sampleCap > 0) sampleCap else math.max(4096, 128 * codes)
+    val vecs: Array[Array[Double]] = corpus
+      .select(col(idCol).as("vec_id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(vecs.nonEmpty, "empty training corpus")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val d = dim / m
+    Array.tabulate(m) { s =>
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * d, (s + 1) * d))
+      var cents = sub.take(codes)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](d))
+        val counts = new Array[Long](cents.length)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            val cw = cents(c)
+            var dist = 0.0; var j = 0
+            while (j < d) { val x = v(j) - cw(j); dist += x * x; j += 1 }
+            if (dist < bestD) { bestD = dist; best = c } // strict < : ties keep lower code
+            c += 1
+          }
+          var j = 0
+          while (j < d) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map(i =>
+          if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))).toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ-ADC search with exact re-ranking — the memory-bound scale path:
+    * the corpus is encoded ONCE to m small-int codes per vector (8–16
+    * bytes against dim·4 raw — at 100 TB the code table is what fits in
+    * cluster memory while the float vectors do not), each query carries
+    * its flattened subspace distance tables, and the scan scores a
+    * (query, vector) pair with m table LOOKUPS instead of a
+    * dim-dimension product. The `shortlist` ADC survivors per query are
+    * then re-ranked with exact cosine against the true vectors — the
+    * production PQ shape (IVFADC re-rank). With `shortlist` ≥ |corpus|
+    * the re-rank covers every pair and the result equals
+    * [[bruteForceKnn]] exactly — the gated configuration (e05), so the
+    * brute-force oracle checks the encode/table/ADC/shortlist/re-rank
+    * machinery bit-for-bit; the approximate small-shortlist path is
+    * recall-tested in SimilaritySpec. Same output schema as
+    * bruteForceKnn.
+    */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      shortlist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpr
+    require(shortlist >= k, "shortlist must be at least k")
+    val codesPerSub = books(0).length
+    val vecs = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+    val q = queries
+      .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+      .withColumn("dts", VectorExpr.pqDistTables(col("v_q"), books))
+    // the ADC scan moves ONLY (id, codes) — the code table, not the
+    // float vectors; this is the whole point of PQ at corpus scale
+    val adcScored = vecs
+      .select(col("neighbor_id"), VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("dts"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", VectorExpr.pqAdc(col("codes"), col("dts"), codesPerSub))
+    // ADC ascending (squared-distance); deterministic id tiebreak
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val shortlisted = adcScored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: survivors (|queries|·shortlist rows — small) fetch
+    // their true vectors through a broadcast join against the corpus,
+    // never the other way around
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    vecs
+      .join(broadcast(shortlisted), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("v_q"))), Seq("query_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF-style ANN: assign corpus vectors to their nearest of nList
     * deterministic centroids (unit-less hash-derived seed directions);
     * queries scan only their nProbe nearest cells. Returns the same

@@ -402,6 +402,24 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // e05 — product-quantization ANN (the memory-bound scale path: the
+  // corpus scans as m-byte code rows, not dim·4-byte vectors). Gated
+  // with shortlist = everything, which makes the exact re-rank cover
+  // every pair — the brute-force oracle then checks the train/encode/
+  // distance-table/ADC/shortlist/re-rank machinery bit-for-bit; the
+  // approximate small-shortlist path is recall-tested in
+  // SimilaritySpec (the e02/e04 gating pattern).
+  // ---------------------------------------------------------------------
+  private def e05(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    Similarity
+      .pqKnn(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, books,
+        shortlist = Int.MaxValue)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
   // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
   // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
@@ -1771,6 +1789,7 @@ object PipelineQueries {
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
+    Q("e05_knn_pq", "product-quantization ADC + exact re-rank, full shortlist vs brute oracle", e05, Some(e01Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),

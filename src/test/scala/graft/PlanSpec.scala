@@ -81,8 +81,10 @@ class PlanSpec extends SparkSpec {
 
   test("catalog-wide: no cartesian product in ANY query; nested-loop only at intentional sites") {
     // BNLJ is legitimate only for 1-row scalar-bounds joins and the
-    // broadcast-query-side kNN
+    // broadcast-query-side kNN scans (e01 brute, e05's PQ-ADC pass —
+    // both stream the corpus against a broadcast handful of queries)
     val allowedBnlj = Set("q06_bounds_between", "q07_revenue_share", "q14_zscore_daily", "e01_knn_brute",
+      "e05_knn_pq",
       "q31_measure_filter") // 1-row grand-total broadcast for the P12 measure threshold
     // these run jobs at construction (writes, streaming, iteration) —
     // their plan shapes are covered by dedicated tests above
@@ -103,7 +105,10 @@ class PlanSpec extends SparkSpec {
     val kernels: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq(
       RollingHash(probe), WinnowSketch(probe, 3, 4), MinHashSig(probe, 3, 8),
       Md5SimHashBits(probe), SimHash64(probe), SigMatchCount(probe, probe),
-      DotProduct(probe, probe), CosineSim(probe, probe), RandomProjections(probe, 4))
+      DotProduct(probe, probe), CosineSim(probe, probe), RandomProjections(probe, 4),
+      PqEncode(probe, Array(Array(Array(0.0)))),
+      PqDistTables(probe, Array(Array(Array(0.0)))),
+      PqAdc(probe, probe, 16))
     kernels.foreach { e =>
       assert(!e.isInstanceOf[CodegenFallback],
         s"${e.prettyName} must implement doGenCode — CodegenFallback evaluates the whole " +

@@ -63,4 +63,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below floor (nProbe=8/nList=16 on near-random vectors)")
     assert(approx.nonEmpty && approx.subsetOf(pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = em.count().toInt))))
   }
+
+  test("PQ with full shortlist equals brute force exactly (the e05 gate shape)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val exact = Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted
+    val pq = Similarity.pqKnn(em, q, "vec_id", "embedding", k = 5, books, shortlist = Int.MaxValue)
+      .collect().map(_.toString).sorted
+    assert(pq.sameElements(exact),
+      "full-shortlist PQ re-rank must reproduce brute force bit-for-bit")
+  }
+
+  test("PQ approximate shortlist: usable recall at a fraction of the scan payload") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5))
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    // shortlist = 50 of ~2000 corpus vectors: the ADC scan reads 8-int
+    // code rows (vs 64 floats) and the exact re-rank touches 2.5% of
+    // the corpus per query
+    val approx = pairs(Similarity.pqKnn(em, q, "vec_id", "embedding", k = 5, books, shortlist = 50))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall below floor (m=8, 16 codes, near-random vectors)")
+    assert(approx.subsetOf(pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = em.count().toInt))))
+  }
+
+  test("PQ training is deterministic") {
+    val em = Tables.embeddings(spark, sfDir)
+    val a = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 2)
+    val b = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 2)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
