@@ -155,7 +155,8 @@ object ScaleStress {
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
     "p01_pipeline_composed",
-    "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained")
+    "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
+    "e05_knn_pq")
 
   /** A deliberately quadratic query (all-pairs within doc_id%100
     * buckets: Σ (n/100)² rows ≈ n²/100) — the growth gate's negative
