@@ -473,6 +473,78 @@ object PipelineQueries {
       |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d26 — SEMANTIC dedup scrub (SemDeDup shape): near-identical
+  // EMBEDDINGS (cosine ≥ 0.99, LSH-bucketed candidates — e03's pair
+  // machinery) → connected components (d09's frontier propagation) →
+  // keep the min-id survivor per cluster. The embedding-space analogue
+  // of d25's MinHash scrub: it removes semantic duplicates that share
+  // no tokens. Same planted corpus as e03 (fixture ∪ arithmetic-jitter
+  // copy — the fixture has no natural cosine-0.99 pairs), so every
+  // planted copy must be scrubbed and every original survive; the
+  // oracle recomputes exhaustive pairs + transitive closure.
+  // ---------------------------------------------------------------------
+  private def d26(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val jittered = em.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, j) =>
+          (x.cast(DoubleType) *
+            (lit(1.0) + (pmod(col("vec_id") * 31 + j.cast(LongType) * 7, lit(100L)).cast(DoubleType) / 100.0 - 0.5) * 0.04))
+            .cast(FloatType)
+      ).as("embedding")
+    )
+    val corpus = em.unionByName(jittered)
+    val pairs = Dedup
+      .embeddingNearDup(corpus, "vec_id", "embedding", threshold = 0.99, nTables = 8)
+      .select(col("id_a"), col("id_b"))
+    val remove = Dedup
+      .clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("vec_id"))
+    corpus
+      .join(remove, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+  private val d26Sql =
+    """WITH RECURSIVE orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |jit AS (
+      |  SELECT src_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE) * (1.0 + (((src_id * 31 + (i - 1) * 7) % 100) / 100.0 - 0.5) * 0.04) AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig)
+      |),
+      |allv AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM jit
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.99
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |),
+      |removed AS (
+      |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |  WHERE id <> cluster_id
+      |)
+      |SELECT vec_id FROM allv
+      |WHERE vec_id NOT IN (SELECT id FROM removed)
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // m01 — multimodal metadata extraction over binary payloads: byte
   // length + content digest (sha256 matches DuckDB's over UTF-8 bytes).
   // ---------------------------------------------------------------------
@@ -1778,6 +1850,7 @@ object PipelineQueries {
     Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
     Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
     Q("d25_neardup_scrub", "document near-dup removal (the apply side of d06/d09)", d25, Some(d25Sql)),
+    Q("d26_semantic_scrub", "SemDeDup-style embedding-space dedup: cosine pairs -> components -> scrub", d26, Some(d26Sql)),
     Q("d18_sequence_pack", "concat-and-chunk sequence packing (two-phase prefix sum)", d18, Some(d18Sql)),
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),

@@ -290,4 +290,13 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run() == run())
   }
+
+  test("semantic scrub (d26): every planted jitter copy removed, every original survives") {
+    val survivors = SparkEntry.queries("d26_semantic_scrub")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val originals = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == originals,
+      "the min-id survivor of each (original, original+1e6) cluster is the original")
+  }
 }
