@@ -154,6 +154,7 @@ object ScaleStress {
     "d15_chunk_dedup", "d16_decontaminate", "d17_chunk_scrub",
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
+    "d26_semantic_scrub",
     "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
     "e05_knn_pq")
