@@ -122,8 +122,8 @@ object ScaleStress {
       // operator under test.
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_events_stage")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_events_stage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(stage).map(_.getPath)
       .filter(_.getName.startsWith("part-")).head
     val dest = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")

@@ -155,11 +155,15 @@ object VectorKernels {
   def pqAdc(codes: ArrayData, tables: ArrayData, codesPerSub: Int): Double = {
     val m = codes.numElements()
     val nt = tables.numElements()
+    // a codes/tables mismatch (wrong codesPerSub, codebooks from another
+    // training run) must fail loudly, not score as a silently-small sum
+    if (m * codesPerSub != nt)
+      throw new IllegalArgumentException(
+        s"pq_adc: codes has m=$m subspaces but tables has $nt entries != m*codesPerSub=${m * codesPerSub}")
     var s = 0
     var sum = 0.0
     while (s < m) {
-      val idx = s * codesPerSub + codes.getInt(s)
-      if (idx < nt) sum += tables.getDouble(idx)
+      sum += tables.getDouble(s * codesPerSub + codes.getInt(s))
       s += 1
     }
     sum

@@ -246,17 +246,100 @@ object Similarity {
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: survivors (|queries|·shortlist rows — small) fetch
-    // their true vectors through a broadcast join against the corpus,
-    // never the other way around
+    exactRerank(vecs, q.select(col("query_id"), col("v_q")), shortlisted, k, shortlist)
+  }
+
+  /** A production shortlist (a few · k rows per query) is broadcastable;
+    * the exhaustive gated configuration (`shortlist` ≥ |corpus|) is the
+    * full pair set and must NOT carry the hint — it would grow with the
+    * corpus past the driver/broadcast limits. Above this bound the plan
+    * falls back to AQE's choice (which still broadcasts if the actual
+    * size turns out small).
+    */
+  private val BroadcastableShortlist = 4096
+
+  /** Exact cosine re-rank of ADC survivors: the shortlist fetches its
+    * true vectors through a join against the corpus — never the other
+    * way around.
+    */
+  private def exactRerank(
+      vecs: DataFrame,
+      q: DataFrame,
+      shortlisted: DataFrame,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val hinted =
+      if (shortlist <= BroadcastableShortlist) broadcast(shortlisted) else shortlisted
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     vecs
-      .join(broadcast(shortlisted), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("v_q"))), Seq("query_id"))
+      .join(hinted, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-PQ: the composed 100 TB vector-search shape. The stored
+    * "index" is one coarse-cell id (nearest trained centroid) plus m
+    * small-int PQ codes per vector — computed once, a few bytes per
+    * vector; the float vectors stay in the cold exact store and are
+    * touched only by the final re-rank. A query (a) picks its nProbe
+    * nearest coarse cells, (b) ADC-scans ONLY the code rows inside
+    * those cells with its flattened subspace distance tables (m table
+    * lookups per pair — [[pqKnn]]'s kernel, but over nProbe/nList of
+    * the corpus instead of all of it), (c) exact-re-ranks the
+    * `shortlist` ADC survivors. Codes encode the raw vector (IVFFlat-PQ,
+    * not residual encoding), so with nProbe = nList and `shortlist` ≥
+    * |corpus| every pair is scored exactly once — each corpus vector
+    * lives in exactly one cell — and the result equals
+    * [[bruteForceKnn]]: the gated configuration (e06), same pattern as
+    * e04/e05. Recall at realistic nProbe/shortlist is spec-tested in
+    * SimilaritySpec. All data-sized shuffles are on cell id; the models
+    * ship as task references (centroids k·dim, codebooks codes·dim
+    * doubles).
+    */
+  def pqKnnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpr
+    require(shortlist >= k, "shortlist must be at least k")
+    val codesPerSub = books(0).length
+    val vecs = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+    // the stored index rows: (id, cell, codes) — built once per corpus
+    val coded = vecs
+      .withColumn("cell", nearestCell(col("v_c"), cents))
+      .select(col("neighbor_id"), col("cell"),
+        VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+    val qBase = queries
+      .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+    val qProbes = qBase
+      .withColumn("dts", VectorExpr.pqDistTables(col("v_q"), books))
+      .withColumn("cell",
+        explode(VectorExpr.topKIndices(VectorExpr.centroidScores(col("v_q"), cents), nProbe)))
+      .select(col("query_id"), col("cell"), col("dts"))
+    // cell-join prunes the scan to probed cells; the probe side is
+    // |queries|·nProbe rows + per-query tables — broadcast by contract
+    val adcScored = coded
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", VectorExpr.pqAdc(col("codes"), col("dts"), codesPerSub))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val shortlisted = adcScored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(vecs, qBase, shortlisted, k, shortlist)
   }
 
   /** IVF-style ANN: assign corpus vectors to their nearest of nList

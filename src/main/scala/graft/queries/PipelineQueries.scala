@@ -420,6 +420,27 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // e06 — IVF-PQ composed ANN (the production 100 TB shape: coarse-cell
+  // pruning over PQ code rows + exact re-rank). Gated with nProbe =
+  // nList AND shortlist = everything: every corpus vector is in exactly
+  // one cell and every cell is probed, so each pair ADC-scores exactly
+  // once and the full-shortlist re-rank makes the result equal brute
+  // force — the brute oracle then checks the centroid-train/assign/
+  // probe/encode/table/ADC/re-rank composition bit-for-bit. The
+  // realistic nProbe < nList, small-shortlist path is recall-tested in
+  // SimilaritySpec (the e02/e04/e05 gating pattern).
+  // ---------------------------------------------------------------------
+  private def e06(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    Similarity
+      .pqKnnIvf(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        cents, books, nProbe = 16, shortlist = Int.MaxValue)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
   // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
   // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
@@ -1863,6 +1884,7 @@ object PipelineQueries {
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
     Q("e05_knn_pq", "product-quantization ADC + exact re-rank, full shortlist vs brute oracle", e05, Some(e01Sql)),
+    Q("e06_knn_ivf_pq", "composed IVF-PQ: cell-pruned ADC scan + exact re-rank, exhaustive config vs brute oracle", e06, Some(e01Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),

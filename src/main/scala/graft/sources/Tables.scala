@@ -67,27 +67,33 @@ object Tables {
   /** Footer probe: is the events `ts` column physically
     * TIMESTAMP(NANOS)? (Spark's reader rejects nanos unless the legacy
     * nanosAsLong conf is on, so the probe must not go through
-    * `spark.read`.) One driver-side footer read per path, memoized like
-    * the schemas; a directory-layout table probes its first part file.
+    * `spark.read`.) One driver-side footer read per probed file,
+    * memoized on (path, length, mtime) — a fixture regenerated in place
+    * mid-session changes the fingerprint and re-probes, like
+    * IngestDedup's signature-store fingerprint. A directory-layout
+    * table probes its first part file (one writer produces one encoding
+    * per table; mixed-encoding parts would need a per-file probe).
     */
   private val nanosMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
-    nanosMemo.computeIfAbsent(path, { p =>
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(conf)
-      // a directory layout with no top-level part files (empty write,
-      // partitioned layout) probes as not-nanos: the ordinary read path
-      // then reports whatever is actually wrong with the table
-      val file: Option[org.apache.hadoop.fs.Path] =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).map(_.getPath).find(_.getName.startsWith("part-"))
-        else Some(hp)
-      file.exists { f =>
+  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    // a directory layout with no top-level part files (empty write,
+    // partitioned layout) probes as not-nanos: the ordinary read path
+    // then reports whatever is actually wrong with the table
+    val file: Option[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).map(_.getPath).find(_.getName.startsWith("part-"))
+      else Some(hp)
+    file.exists { f =>
+      val st = fs.getFileStatus(f)
+      val key = s"$f#${st.getLen}#${st.getModificationTime}"
+      nanosMemo.computeIfAbsent(key, { _ =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try {
           val schema = reader.getFooter.getFileMetaData.getSchema
@@ -98,8 +104,9 @@ object Tables {
             case _ => false
           })
         } finally reader.close()
-      }
-    })
+      })
+    }
+  }
 
   /** Normalize a raw events frame so `ts` is a session-TZ TIMESTAMP
     * regardless of the file's physical encoding:

@@ -84,8 +84,8 @@ object IncrementalEtl {
     */
   def stageFeed(spark: SparkSession, dir: String, targetDir: String): Unit = {
     val feedDir = s"$targetDir/feed"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$feedDir/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
       spark.read.parquet(s"$dir/orders.parquet")
         .select(orderSchema.fieldNames.map(col): _*)
@@ -106,7 +106,8 @@ object IncrementalEtl {
     val target = s"$targetDir/fact"
     val feedDir = s"$targetDir/feed"
     stageFeed(spark, dir, targetDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fresh) fs.delete(new org.apache.hadoop.fs.Path(target), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(target))
     def readTarget() = spark.read.schema(factSchema).parquet(target)
@@ -167,6 +168,23 @@ object IncrementalEtl {
             val current = readTarget()
               .filter(col("mois_cle").isin(overlap.map(Integer.valueOf): _*))
               .localCheckpoint(true)
+            // Cheap guard on the key-month-immutability contract: a
+            // key in the months we already read that ALSO arrives in a
+            // fresh month this batch has moved months — the pruned
+            // merge would strand its old row as a duplicate, so fail
+            // loudly instead (moving keys need a row-level-MERGE table
+            // format). Cost: one semi-join of the checkpointed
+            // colliding partitions against the small fresh slice.
+            // Moves between months untouched by the same batch are
+            // undetectable without an O(table) scan per batch — that
+            // is exactly the contract documented above.
+            if (overlap.length < months.length) {
+              val freshSlice = part.filter(!col("mois_cle").isin(overlap.map(Integer.valueOf): _*))
+              if (!current.join(freshSlice, Seq("source_commande_id"), "left_semi").isEmpty)
+                throw new IllegalStateException(
+                  "IncrementalEtl: merge key changed month (existing-month row matches a " +
+                    "fresh-month batch key); partition-pruned merge requires key-month immutability")
+            }
             part.unionByName(current.join(collide, Seq("source_commande_id"), "left_anti"))
               .repartition(col("mois_cle"))
               .write.mode("overwrite")

@@ -56,9 +56,12 @@ object IngestDedup {
 
   def setup(spark: SparkSession, dir: String, workDir: String): Unit = synchronized {
     // hadoop FS status, not java.io.File: the latter silently returns
-    // 0:0 for non-local URIs, freezing the fingerprint forever
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val src = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    // 0:0 for non-local URIs, freezing the fingerprint forever; the FS
+    // is resolved FROM the path (not the default FS) so an s3a:// dir
+    // doesn't throw Wrong-FS
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
     val fingerprint = s"documents:${src.getLen}:${src.getModificationTime}:$sigFormat"
     val marker = new java.io.File(s"$workDir/_SETUP_DONE")
     val markerFresh = marker.exists() &&

@@ -45,8 +45,10 @@ object IngestPack {
   def run(spark: SparkSession, dir: String, workDir: String, seqTokens: Int = 1024): DataFrame = {
     val feedDir = s"$workDir/feed"
     val outDir = s"$workDir/packed"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staged = new org.apache.hadoop.fs.Path(s"$feedDir/_SUCCESS")
+    // path-resolved FS: a non-default-FS workDir (s3a://…) would make
+    // FileSystem.get throw Wrong-FS
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staged)) {
       spark.read.schema(docSchema).parquet(s"$dir/documents.parquet")
         .repartitionByRange(4, col("doc_id"))

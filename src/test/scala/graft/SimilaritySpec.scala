@@ -93,6 +93,47 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = em.count().toInt))))
   }
 
+  test("IVF-PQ with exhaustive probes + full shortlist equals brute force (the e06 gate shape)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    val exact = Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted
+    val got = Similarity.pqKnnIvf(em, q, "vec_id", "embedding", k = 5, cents, books,
+      nProbe = 16, shortlist = Int.MaxValue)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(exact),
+      "exhaustive IVF-PQ must reproduce brute force bit-for-bit")
+  }
+
+  test("IVF-PQ at realistic nProbe/shortlist: usable recall on a pruned scan") {
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = 5))
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    val books = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 3)
+    // nProbe 8/16 cells, shortlist 50 of ~2000: the ADC scan touches
+    // ~half the code rows and the re-rank 2.5% of the float corpus
+    val approx = pairs(Similarity.pqKnnIvf(em, q, "vec_id", "embedding", k = 5, cents, books,
+      nProbe = 8, shortlist = 50))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall below floor (near-random vectors)")
+    assert(approx.subsetOf(pairs(Similarity.bruteForceKnn(em, q, "vec_id", "embedding", k = em.count().toInt))))
+  }
+
+  test("pq_adc rejects a codes/tables size mismatch instead of scoring silently") {
+    // 8 codes with codesPerSub=16 needs 128 table entries; hand it 64
+    val codes = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.fill(8)(0))
+    val tables = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.fill(64)(0.0))
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.VectorKernels.pqAdc(codes, tables, 16)
+    }
+    assert(e.getMessage.contains("pq_adc"))
+  }
+
   test("PQ training is deterministic") {
     val em = Tables.embeddings(spark, sfDir)
     val a = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 2)
