@@ -49,6 +49,9 @@ object Bench {
     // the corpus lands; the measured query is the per-batch screen
     try { graft.queries.PipelineQueries.s06Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s08's feed staging + corpus sketch store: same category
+    try { graft.queries.PipelineQueries.s08Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (twice, min — the first may carry JIT)
     // 0.48 s measured quiet on the build machine (local[32]); the small
     // headroom keeps ordinary jitter from scaling budgets spuriously

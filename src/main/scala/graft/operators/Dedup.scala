@@ -568,6 +568,111 @@ object Dedup {
     verified
   }
 
+  /** The stored-sketch contract for the embedding screen (the
+    * [[signatures]] analogue in vector space): the (idCol, buckets, pb)
+    * frame a pipeline computes ONCE when the corpus is published —
+    * hyperplane-LSH bucket ids for all nTables tables plus the packed
+    * sign-bit sketch — and persists columnar beside the vectors, so
+    * every later [[embeddingNearDupAgainst]] screen reads narrow sketch
+    * columns ((nTables structs + nBits·nTables/64 longs) per row)
+    * instead of re-projecting dim-wide corpus vectors. Pure map, no
+    * shuffle. The reader must pass the SAME (nBits, nTables) the store
+    * was built with — version the store path/marker on them.
+    */
+  def vectorSketches(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int,
+      nTables: Int = 8
+  ): DataFrame = {
+    require(nBits > 0 && nTables > 0, "nBits and nTables must be positive")
+    import graft.functions.Vectors
+    import org.apache.spark.sql.graft.VectorExpr
+    embeddings
+      .select(
+        col(idCol),
+        VectorExpr.randomProjections(Vectors.toDouble(col(vecCol)), nBits * nTables).as("proj"))
+      .select(
+        col(idCol),
+        Vectors.packBuckets(col("proj"), nBits, nTables).as("buckets"),
+        VectorExpr.packSignBits(col("proj")).as("pb"))
+  }
+
+  /** Batch-vs-corpus embedding near-dup screen — [[minhashLshAgainst]]
+    * transplanted to vector space (the incremental form of
+    * [[embeddingNearDup]]): each arriving batch of embeddings is probed
+    * against the standing corpus, returning only CROSS-split pairs
+    * (id_batch, id_corpus, cosine ≥ threshold).
+    *
+    * Asymmetric by contract: the batch is small. Corpus sketches come
+    * precomputed from `corpusSketches` (built once by
+    * [[vectorSketches]]) or as a pure map over the corpus; the batch's
+    * bucket and sketch tables broadcast into the probe join, so the
+    * corpus is never shuffled — bucket probe and the packed-Hamming
+    * kill (the e03 4σ bound) run in ONE map-side pass, and only kill
+    * survivors reach the candidate distinct. Exact cosine verification
+    * touches corpus vectors only for candidate ids.
+    */
+  def embeddingNearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = -1,
+      nTables: Int = 8,
+      corpusSketches: Option[DataFrame] = None
+  ): DataFrame = {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.graft.VectorExpr
+    val bits =
+      if (nBits > 0) nBits
+      else if (corpusSketches.isDefined)
+        throw new IllegalArgumentException(
+          "embeddingNearDupAgainst: pass the nBits the sketch store was built with")
+      else
+        graft.sources.ScanStats.exactRowCountNoJobOrReason(corpus) match {
+          case Right(n) => autoBits(n)
+          case Left(reason) => throw new IllegalArgumentException(
+            s"embeddingNearDupAgainst: corpus size is not derivable from scan metadata ($reason); " +
+              "pass nBits explicitly — e.g. nBits = Dedup.autoBits(n) for a known corpus size n")
+        }
+    val nBitsTotal = bits * nTables
+    val sketchB = vectorSketches(batch, idCol, vecCol, bits, nTables)
+      .select(col(idCol).as("id_batch"), col("buckets").as("bk_b"), col("pb").as("pb_b"))
+      .cache()
+    val sketchC = corpusSketches
+      .map(_.select(col(idCol).as("id_corpus"), col("buckets").as("bk_c"), col("pb").as("pb_c")))
+      .getOrElse(vectorSketches(corpus, idCol, vecCol, bits, nTables)
+        .select(col(idCol).as("id_corpus"), col("buckets").as("bk_c"), col("pb").as("pb_c")))
+    val bucketsB = sketchB.select(col("id_batch"), explode(col("bk_b")).as("tb"))
+    // corpus buckets CARRY pb_c: wide in flight but never shuffled —
+    // probe join + Hamming kill are map-side against the broadcast
+    // batch tables; only survivors reach the distinct exchange
+    val bucketsC = sketchC.select(col("id_corpus"), col("pb_c"), explode(col("bk_c")).as("tb"))
+    val pThresh = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val hamSigma = math.sqrt(pThresh * (1 - pThresh) / nBitsTotal)
+    val maxDist = math.floor((1.0 - (pThresh - 4 * hamSigma)) * nBitsTotal).toInt
+    val candidates = bucketsC
+      .join(broadcast(bucketsB), Seq("tb"))
+      .join(broadcast(sketchB.select(col("id_batch"), col("pb_b"))), Seq("id_batch"))
+      .filter(VectorExpr.packedHamming(col("pb_b"), col("pb_c")) <= maxDist)
+      .select("id_batch", "id_corpus")
+      .distinct()
+    val vB = batch.select(col(idCol).as("id_batch"), Vectors.toDouble(col(vecCol)).as("v_b"))
+    val vC = corpus.select(col(idCol).as("id_corpus"), Vectors.toDouble(col(vecCol)).as("v_c"))
+    val verified = candidates
+      .join(vC, Seq("id_corpus"))
+      .join(broadcast(vB), Seq("id_batch"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_b"), col("v_c")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_batch"), col("id_corpus"), col("cosine"))
+      .localCheckpoint(true)
+    sketchB.unpersist()
+    verified
+  }
+
   /** SimHash near-duplicate pairs at Hamming distance ≤ maxDist.
     *
     * Pigeonhole blocking: the 64-bit fingerprint splits into maxDist+1
@@ -616,71 +721,83 @@ object Dedup {
     // exact-verified result is effectively the true similarity join
     minhashLsh(docs, idCol, textCol, shingleN = n, k = 64, bands = 32, threshold = threshold)
 
-  /** Connected components over a near-duplicate pair list: iterative
-    * min-label propagation until fixpoint — each doc ends labeled with
-    * the smallest doc id reachable through the pair graph, which is the
-    * canonical survivor of its duplicate cluster.
+  /** Connected components over a near-duplicate pair list — each doc
+    * ends labeled with the smallest doc id reachable through the pair
+    * graph, which is the canonical survivor of its duplicate cluster.
     *
-    * Delta propagation (the structure GraphX's Pregel runs for
-    * ConnectedComponents): only vertices whose label IMPROVED last round
-    * message their neighbors, so round t's join touches O(edges incident
-    * to the frontier) instead of the full edge relation. Most labels
-    * stabilize in the first round or two (near-dup clusters are
-    * small-diameter); from then on the frontier is the boundary of the
-    * few still-converging giant clusters and per-round work collapses
-    * accordingly. Rounds = cluster diameter; each round is one shuffle
-    * on id; AQE handles the skew of giant boilerplate clusters.
+    * Large-star/small-star alternation (the "Connected Components in
+    * MapReduce and Beyond" shape — the same alternation GraphFrames
+    * ships for its CC):
+    *   - large-star: every node links its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node links its smaller neighbors (and
+    *     itself) to the minimum of the smaller neighborhood.
+    * Both steps are plain groupBy-min + join — the per-node minimum is
+    * a partially-aggregated reduction, so a 200k-member cluster's hot
+    * label never funnels through one reducer the way per-round message
+    * fan-in does. Each pass CONTRACTS the edge set toward stars, so
+    * later rounds run over shrinking data and the round count scales
+    * with log(diameter), not diameter. At the fixpoint every edge is
+    * (member, component-min) and the labels fall straight out.
+    *
+    * Convergence check: edge sets are distinct and checkpointed, so
+    * `same count && newEdges.except(oldEdges).isEmpty` is exact set
+    * equality — no hash-collision shortcut.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // eager checkpoint: truncates the (possibly expensive) pair-pipeline
     // lineage once, so loop iterations never re-derive it and the plan
-    // does not grow with the iteration count
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // does not grow with the iteration count. Edges are canonical
+    // (hi, lo) with hi > lo — both star steps preserve that invariant.
+    var edges = pairs
+      .select(
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
-    // round 0: every vertex just took its own id, so every vertex is
-    // "changed" — the first round is exactly full propagation
-    var frontier = labels
-    var converged = false
+    var cnt = edges.count()
+    var converged = cnt == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
-      val msgs = edges
-        .join(frontier.select(col("id").as("src"), col("cluster_id").as("lbl")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("lbl")).as("neighbor_min"))
-      // the changed flag rides INSIDE the checkpointed row, so the
-      // convergence probe is a limit-1 scan over the just-cached blocks
-      // (no shuffle, no join-with-previous-labels, no lineage recompute)
-      // — one real job per iteration instead of two or three
-      val updated = labels
-        .join(msgs, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id")).as("changed")
-        )
+      // large-star over the symmetric neighborhood: m = min(Γ(u) ∪ u);
+      // emit (v, m) for v ∈ Γ(u), v > u  (so hi=v > u ≥ m=lo)
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val ls = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+        .distinct()
         .localCheckpoint(true)
-      frontier = updated.filter(col("changed")).select(col("id"), col("cluster_id"))
-      converged = frontier.isEmpty
-      labels = updated.select(col("id"), col("cluster_id"))
+      // small-star over each node's smaller neighbors: m = min(Γ⁻(u));
+      // emit (u, m) and (w, m) for the other smaller neighbors w
+      val ssMin = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val j = ls.join(ssMin, Seq("hi"))
+      val ss = j.select(col("hi"), col("m").as("lo"))
+        .unionByName(j.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      val newCnt = ss.count()
+      converged = newCnt == cnt && ss.except(edges).isEmpty
+      edges = ss
+      cnt = newCnt
       iter += 1
     }
-    // exhausting maxIters without a fixpoint means some component wider
-    // than maxIters hops is still merging — returning would hand the
-    // caller one duplicate cluster split into several "canonical"
-    // survivors with NO indication anything is wrong. Refuse instead:
-    // rounds = cluster diameter, so the remedy is a larger maxIters
-    // (near-dup clusters are small-diameter; a giant diameter usually
-    // means the pair threshold is far too loose).
+    // exhausting maxIters without a fixpoint means some component is
+    // still merging — returning would hand the caller one duplicate
+    // cluster split into several "canonical" survivors with NO
+    // indication anything is wrong. Refuse instead: rounds scale with
+    // log(diameter), so a non-converging run at maxIters=20 means a
+    // pathological graph (the pair threshold is far too loose).
     if (!converged) throw new IllegalStateException(
-      s"clusters: min-label propagation did not converge within $maxIters rounds — " +
-        "a component's diameter exceeds maxIters; raise maxIters (rounds = cluster diameter) " +
-        "or tighten the pair threshold")
-    labels
+      s"clusters: star contraction did not converge within $maxIters rounds — " +
+        "raise maxIters or tighten the pair threshold")
+    // stars: every non-center node appears exactly once as hi with its
+    // component min as lo; centers label themselves
+    edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("cluster_id")).distinct())
   }
 
   /** Apply side of document-level near-dup — the scrub a training

@@ -8,16 +8,86 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join split handles sort-merge cases, salting also covers
   * aggregations and broadcast-averse shapes).
   *
-  * The big side gets a deterministic salt derived from the full row
-  * (xxhash64 — no RNG, so retries/speculative tasks agree); the small
-  * side is exploded to every salt value. Each big row then matches
-  * exactly one replica of its key's small-side row, so the result is
-  * row-identical to the unsalted inner join while the hot key's rows
-  * spread over `salts` reducers.
+  * Split-join: only keys the big side's sampled histogram shows as HOT
+  * are salted — the cold tail takes the plain join, so the small side
+  * is never replicated `salts`× for keys that didn't need it and cold
+  * rows never pay the wider (key, salt) shuffle. Uniform salting (the
+  * [[saltAll]] primitive this wraps) measured 5.5×/decade at the
+  * SCALE.md 1000× tier precisely because every key paid the salt;
+  * the split keeps that machinery for the keys that earn it.
+  *
+  * On the hot slice the big side gets a deterministic salt derived
+  * from the full row (xxhash64 — no RNG, so retries/speculative tasks
+  * agree); the small side is exploded to every salt value. Each big
+  * row then matches exactly one replica of its key's small-side row,
+  * so the union of the two branches is row-identical to the unsalted
+  * inner join (gated as k01 against the plain-join oracle).
   */
 object SkewJoin {
 
-  def salted(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+  /** Driver-side bound on the collected hot-key census. */
+  private val MaxHotKeys = 65536
+
+  /** Hot keys of the big side, estimated from a deterministic sample
+    * (seeded, so retries agree): a key is hot when its sampled share
+    * exceeds `hotFactor` average-reducer loads — i.e. its rows would
+    * overfill one post-shuffle partition by that factor. One
+    * key-column-only sampled aggregation; at most [[MaxHotKeys]]
+    * (heaviest first) come back to the driver, and since hotness only
+    * picks the branch — never the result — a truncated census stays
+    * correct, it just salts less.
+    */
+  def hotKeys(
+      big: DataFrame,
+      key: String,
+      sampleFraction: Double = 0.05,
+      hotFactor: Double = 2.0
+  ): Seq[Any] = {
+    require(sampleFraction > 0 && sampleFraction <= 1, "sampleFraction must be in (0, 1]")
+    val parts = big.sparkSession.sessionState.conf.numShufflePartitions
+    val top = big.select(col(key))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col(key))
+      .limit(MaxHotKeys)
+      .collect()
+    // threshold in SAMPLED rows — the fraction cancels out of the
+    // share comparison, so no scale-up arithmetic is needed. The
+    // absolute floor keeps noise out: a key seen a handful of times in
+    // the sample has no trustworthy frequency estimate (on a tiny
+    // input, EVERY key lands there — and a tiny input needs no salt).
+    val sampledTotal = top.map(_.getLong(1)).sum
+    val threshold =
+      math.max(hotFactor * sampledTotal / math.max(parts, 1), 7.0)
+    top.filter(_.getLong(1) > threshold).map(_.get(0)).toSeq
+  }
+
+  /** Split salted join: salt the sampled-hot keys, plain-join the rest. */
+  def salted(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      sampleFraction: Double = 0.05,
+      hotFactor: Double = 2.0
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val hot = hotKeys(big, key, sampleFraction, hotFactor)
+    if (hot.isEmpty) big.join(small, Seq(key))
+    else {
+      // isin compiles to an O(1)-per-row InSet past a few items and the
+      // predicate pushes into the scans; NULL keys fall out of both
+      // branches, exactly as the plain inner join drops them
+      val isHot = col(key).isin(hot: _*)
+      saltAll(big.filter(isHot), small.filter(isHot), key, salts)
+        .unionByName(big.filter(!isHot).join(small.filter(!isHot), Seq(key)))
+    }
+  }
+
+  /** Salt EVERY key — the pre-split primitive (and the right call when
+    * the caller already knows all keys are hot).
+    */
+  def saltAll(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedBig = big.withColumn(
       "__salt",

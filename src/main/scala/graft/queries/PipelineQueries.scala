@@ -1014,6 +1014,48 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // s08 — streaming SEMANTIC ingestion screen: embedding micro-batches
+  // probed against the persisted corpus sketch store (d26's pair
+  // machinery in s06's incremental harness). Batch = jittered copies of
+  // every 10th corpus vector (ids +1e6, cosine ≈ 0.9999 to source); the
+  // oracle recomputes the exhaustive cross-split cosine pairs, so the
+  // gate checks LSH recall AND the exact verification values across the
+  // drained 4-micro-batch log.
+  // ---------------------------------------------------------------------
+  private def s08WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s08_${Integer.toHexString(dir.hashCode)}"
+
+  /** Untimed load-phase setup for Bench: feed staging + the corpus
+    * sketch store are published-once ingest artifacts (the s06
+    * pattern), not per-screen work.
+    */
+  def s08Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestSemantic.setup(spark, dir, s08WorkDir(dir))
+
+  private def s08(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestSemantic
+      .run(spark, dir, s08WorkDir(dir))
+      .orderBy(col("id_batch"), col("id_corpus"))
+
+  private val s08Sql =
+    """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |jit AS (
+      |  SELECT src_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE) * (1.0 + (((src_id * 31 + (i - 1) * 7) % 100) / 100.0 - 0.5) * 0.04) AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig WHERE vec_id % 10 = 0)
+      |),
+      |b AS (SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM jit),
+      |c AS (SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig),
+      |pairs AS (
+      |  SELECT b.vec_id AS id_batch, c.vec_id AS id_corpus,
+      |    ROUND(list_dot_product(b.v, c.v) / sqrt(list_dot_product(b.v, b.v) * list_dot_product(c.v, c.v)), 6) AS cosine
+      |  FROM b CROSS JOIN c
+      |)
+      |SELECT id_batch, id_corpus, cosine FROM pairs WHERE cosine >= 0.99
+      |ORDER BY id_batch, id_corpus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d15 — chunk-level (paragraph) dedup: every doc scored by how much of
   // it is made of 16-token chunks that occur ≥ 2 times anywhere in the
   // corpus (CCNet-style boilerplate fraction). Oracle recomputes the
@@ -1880,6 +1922,7 @@ object PipelineQueries {
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
+    Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),

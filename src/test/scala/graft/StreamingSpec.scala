@@ -78,6 +78,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming semantic screen equals the one-shot embedding batch-vs-corpus screen") {
+    val oneShot = graft.streaming.IngestSemantic
+      .oneShot(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.IngestSemantic
+      .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s08_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot, "micro-batched semantic screen must emit exactly the one-shot pairs")
+    assert(streamed.nonEmpty)
+    // every planted (copy, source) pair must surface: the jittered copy
+    // of vector v sits at cosine ~0.9999 to v
+    import org.apache.spark.sql.functions.col
+    val nBatch = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 0).count()
+    val planted = streamed.count { case (b, c, _) => b == c + 1000000L }
+    assert(planted == nBatch, s"expected all $nBatch planted pairs, found $planted")
+  }
+
   test("streaming incremental packing equals the one-shot sequence pack") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, sfDir)
