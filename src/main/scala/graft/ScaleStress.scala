@@ -114,22 +114,15 @@ object ScaleStress {
         (id, ts, u, ty, v, s"""{"k": $k}""")
       }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      // The driver fixture ships events.parquet as ONE FILE, and the
-      // streaming readers glob for exactly that file name — a Spark
-      // directory-write would hide the part files from the stream's
-      // listing. Write the dir, then promote the single part to the
-      // plain-file layout. coalesce(1) is generation plumbing, not an
-      // operator under test.
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_events_stage")
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/_events_stage")
-    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).head
-    val dest = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    fs.delete(dest, true)
-    fs.rename(part, dest)
-    fs.delete(stage, true)
+      // SHARDED layout: events.parquet is a DIRECTORY of files=cores
+      // part files (the generator's 32 range partitions), so the event
+      // growth cells measure operators, not the single-file read floor
+      // the old promoted-single-part layout imposed (r10 SCALE.md
+      // caveat). Batch readers and the streaming file source both take
+      // this layout (the source points at the path and lists its
+      // parts); the driver's own sf fixtures stay single-file — the
+      // footer probe and readers handle either.
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   /** The event-tier queries auditable on an events-only fixture: batch
@@ -157,7 +150,7 @@ object ScaleStress {
     "d26_semantic_scrub",
     "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
-    "e05_knn_pq")
+    "e05_knn_pq", "e06_knn_ivf_pq")
 
   /** A deliberately quadratic query (all-pairs within doc_id%100
     * buckets: Σ (n/100)² rows ≈ n²/100) — the growth gate's negative
@@ -231,9 +224,24 @@ object ScaleStress {
       genDocs(spark, 5000 * t, dirs(t)); genEmbeddings(spark, 2000 * t, 64, dirs(t))
       genEvents(spark, 100000L * t, 1500L * t, dirs(t))
     }
-    println("[scale] warmup at smallest tier"); run(spark, dirs(tiers.min))
+    // streams drain through the noop sink here: the memory sink's
+    // driver-side table is O(state keys) of pure harness overhead
+    // (1.5 M rows at x1000), not operator cost. Correctness runs
+    // (Verify/StreamingSpec) never set this.
+    spark.conf.set("spark.graft.stream.sink",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "noop"))
+    // state partitions sized to the tier's key cardinality (users =
+    // 1500·t): every state partition pays a store init + commit per
+    // micro-batch, so small tiers stay at 8; the 1.5 M-key x1000 tier
+    // spreads across the full local parallelism
+    def stateParts(t: Int): Int =
+      math.min(32, math.max(8, (1500L * t / 25000L).toInt))
+    println("[scale] warmup at smallest tier")
+    spark.conf.set("spark.graft.stream.statePartitions", stateParts(tiers.min).toString)
+    run(spark, dirs(tiers.min))
     val results = tiers.map { t =>
-      println(s"[scale] timed x$t")
+      println(s"[scale] timed x$t (statePartitions=${stateParts(t)})")
+      spark.conf.set("spark.graft.stream.statePartitions", stateParts(t).toString)
       t -> run(spark, dirs(t))
     }.toMap
     val header = tiers.map(t => s"${t}x sec | ${t}x rows").mkString("| query | ", " | ", " | growth/decade |")
@@ -286,6 +294,7 @@ object ScaleStress {
       first.map(_._1).distinct.foreach { n =>
         tiers.foreach { t =>
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          spark.conf.set("spark.graft.stream.statePartitions", stateParts(t).toString)
           val (s, _) = runOne(spark, n, dirs(t))
           adjudicated((t, n)) = math.min(s, sec(t, n))
         }

@@ -20,13 +20,18 @@ object EventsStream {
     */
   private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    // layout-adaptive source (FileStreamSource's basePath must be a
+    // directory, so a direct file path cannot serve both): the driver
+    // fixture ships events.parquet as a plain FILE — list the parent
+    // dir filtered to that name; sharded layouts (the ScaleStress
+    // files=cores tier) ship a DIRECTORY of part files — point the
+    // source at it and let it list the parts
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p).isDirectory
+    val reader = spark.readStream.schema(schema)
     graft.sources.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(schema)
-        // the streaming file source lists a directory; select only the
-        // events file out of the shared fixture dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      if (isDir) reader.parquet(p.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     )
   }
 
@@ -83,19 +88,33 @@ object EventsStream {
     // serialize drains on the session so overlapping calls cannot clobber
     // each other's saved value (batch queries issued DURING a drain would
     // still observe the override — none do in this codebase)
+    // `spark.graft.stream.sink=noop` drains the stream without
+    // materializing rows on the driver — the measurement mode for
+    // high-cardinality state tiers (the memory sink holds O(keys) rows
+    // driver-side, which at the 1000× stress is 1.5 M session rows of
+    // pure harness overhead). Correctness paths leave it unset.
+    val sinkMode = spark.conf.getOption("spark.graft.stream.sink").getOrElse("memory")
     spark.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       try {
-        val q = streamDF.writeStream
-          .outputMode(mode)
-          .format("memory")
-          .queryName(name)
-          .start()
-        q.processAllAvailable()
-        val out = spark.table(name).localCheckpoint(eager = true)
-        q.stop()
-        out
+        if (sinkMode == "noop") {
+          val q = streamDF.writeStream.outputMode(mode).format("noop").start()
+          q.processAllAvailable()
+          q.stop()
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamDF.schema)
+        } else {
+          val q = streamDF.writeStream
+            .outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+          q.processAllAvailable()
+          val out = spark.table(name).localCheckpoint(eager = true)
+          q.stop()
+          out
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }

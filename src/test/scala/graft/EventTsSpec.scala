@@ -109,4 +109,26 @@ class EventTsSpec extends SparkSpec {
     val dir = writeFixture(TimestampNTZType, wallClock)
     assert(Tables.eventsRawSchema(spark, dir)("ts").dataType == TimestampNTZType)
   }
+
+  test("sharded directory layout: batch and streaming readers both take it") {
+    // the ScaleStress files=cores tier writes events.parquet as a
+    // DIRECTORY of part files; the layout-adaptive stream source must
+    // list its parts (the driver fixture's plain-file layout is covered
+    // by every other test here)
+    val dir = Files.createTempDirectory("graft_ts_shard").toString
+    val rows = (0 until 8).map(i => row(Timestamp.from(
+      java.time.Instant.ofEpochSecond(epochS + i * 3600))))
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schemaWith(TimestampType))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val nParts = new java.io.File(s"$dir/events.parquet").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nParts > 1, s"fixture should be multi-file, got $nParts part file(s)")
+    assert(Tables.events(spark, dir).count() == 8)
+    val streamed = graft.streaming.EventsStream.runToCompletion(
+      graft.streaming.EventsStream.tumblingDaily(spark, dir), "shard_spec")
+    assert(streamed.agg(sum(col("n_events"))).head().getLong(0) == 8,
+      "the stream must see every sharded part file")
+  }
 }
