@@ -136,7 +136,7 @@ object ScaleStress {
     */
   private val eventNames = Seq(
     "q23_events_daily", "q24_sessionization", "q25_event_pivot", "q29_json_props",
-    "j01_asof_join", "k01_salted_skew_join", "w01_partitioned_io",
+    "j01_asof_join", "j02_range_join", "k01_salted_skew_join", "w01_partitioned_io",
     "s01_stream_daily", "s02_stream_sessions")
 
   private val baseNames = Seq(
@@ -145,6 +145,7 @@ object ScaleStress {
     "d09_dedup_clusters", "d10_tfidf_keywords", "d11_vocab_bigrams",
     "d12_text_scrub", "d13_split_assign", "d14_incremental_dedup",
     "d15_chunk_dedup", "d16_decontaminate", "d17_chunk_scrub",
+    "d27_stratified_sample", "d28_decontaminate_bloom",
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
     "d26_semantic_scrub",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.functions.Text
 
 /** Benchmark decontamination: flag training documents that share token
@@ -78,6 +79,90 @@ object Decontaminate {
     // collision survivors, turning the one narrow exchange into a
     // corpus-wide-grams exchange. Recomputing a compiled map kernel is
     // the cheaper side of that trade at any corpus size.
+    train
+      .select(col(idCol).as("doc_id"), size(Text.shingles(col(textCol), n)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_partages"), lit(0L)).as("n_partages"),
+        (coalesce(col("n_partages"), lit(0L)) > 0).as("contamine")
+      )
+  }
+
+  /** Bloom-pruned variant of [[ngramOverlap]] — EXACTLY the same result
+    * (the bloom only prunes; false positives die in an exact verify),
+    * with the eval-side payload shrunk from the full gram vocabulary to
+    * a bit array: ~`bitsPerGram`/8 bytes per gram (12 bits ≈ 1.5 B/gram
+    * vs ~50 B/gram of UTF-8 + row overhead, fpp ≈ 0.5% at 5 hashes).
+    * This is the screen to run when the benchmark vocabulary outgrows
+    * the [[ngramOverlap]] broadcast budget but all-gram shuffling of a
+    * 100 TB corpus is still unaffordable: the corpus streams ONE
+    * map-side pass against the bloom (a plan literal, codegen'd k-probe
+    * per gram), and only the surviving ~fpp fraction plus true
+    * collisions reach the exact semi-join — whose shuffle is
+    * O(survivors), not O(corpus grams).
+    *
+    * The bloom is built DISTRIBUTED (explode k positions per gram →
+    * bit_or per 64-bit word); only the finished words array comes back
+    * to the driver — `m/64` longs, bounded by `maxBits` (default 2^30
+    * bits = 128 MB, ~90 M grams at 12 bits each) independent of gram
+    * count, never the grams themselves. Hashes are xxhash64 seeded by
+    * probe index, deterministic across retries and engines.
+    */
+  def ngramOverlapBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      bitsPerGram: Int = 12,
+      numHashes: Int = 5,
+      maxBits: Long = 1L << 30
+  ): DataFrame = {
+    require(bitsPerGram >= 2 && numHashes >= 1, "bloom: need >=2 bits/gram and >=1 hash")
+    def grams(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"),
+      explode(Text.shingles(col(textCol), n)).as("g")
+    )
+    val evalGrams = grams(eval).select("g").distinct()
+    // eval-side sizing count (small by contract — same pattern as the
+    // ngramOverlap byte-sizing aggregate)
+    val nGrams = evalGrams.count()
+    val mRaw = math.max(64L, nGrams * bitsPerGram.toLong)
+    require(mRaw <= maxBits,
+      s"bloom of $nGrams grams needs $mRaw bits > maxBits=$maxBits; " +
+        "raise maxBits or fall back to ngramOverlap's shuffled semi-join")
+    val m = ((mRaw + 63) / 64) * 64
+    val nWords = (m / 64).toInt
+
+    def positions(g: org.apache.spark.sql.Column) =
+      (0 until numHashes).map(i => pmod(xxhash64(lit(i), g), lit(m)))
+
+    // distributed build: k positions per gram, OR'd into 64-bit words;
+    // the collect is the finished bit array only
+    val wordRows = evalGrams
+      .select(explode(array(positions(col("g")): _*)).as("pos"))
+      .select((col("pos") / 64).cast(LongType).as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast(IntegerType)).as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val words = new Array[Long](nWords)
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bloom = typedLit(words)
+
+    // map-side probe: all k bits set ⇒ candidate (codegen'd, no UDF)
+    val shared = grams(train)
+      .filter(positions(col("g"))
+        .map(p => call_function("shiftright",
+          element_at(bloom, (p / 64).cast(IntegerType) + 1),
+          (p % 64).cast(IntegerType)).bitwiseAND(lit(1L)) === lit(1L))
+        .reduce(_ && _))
+      // exact verify over survivors only — un-hinted, AQE picks the
+      // strategy from the (small) post-bloom sizes
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partages"))
     train
       .select(col(idCol).as("doc_id"), size(Text.shingles(col(textCol), n)).as("n_grams"))
       .join(shared, Seq("doc_id"), "left")

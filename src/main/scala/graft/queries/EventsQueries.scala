@@ -177,9 +177,60 @@ object EventsQueries {
       |FROM errors e
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // j02 — range join: every click landing inside the 1-hour incident
+  // window opened by each error event of the same user (inclusive
+  // bounds), rolled up per incident. Runs the bucketed interval join —
+  // equi-join on (user_id, epoch bucket) with the BETWEEN predicate as
+  // a residual filter, never a nested-loop (operators/RangeJoin); the
+  // oracle states the same semantics as a plain BETWEEN join. Epochs
+  // are MICROSECONDS (ts carries sub-second digits; second-truncation
+  // would move points across window edges). Sum over value follows the
+  // catalog decimal convention.
+  // ---------------------------------------------------------------------
+  private def j02(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    val incidents = e.filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("incident_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + hourUs).as("w_end"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(clicks, incidents, Seq("user_id"),
+        "click_us", "w_start", "w_end", bucketWidth = hourUs)
+      .groupBy(col("incident_id"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("somme_valeur"),
+        min(col("click_id")).as("premier_click"))
+      .orderBy(col("incident_id"))
+  }
+  private val j02Sql =
+    """SELECT i.event_id AS incident_id, i.user_id,
+      |  COUNT(*) AS n_clicks,
+      |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS somme_valeur,
+      |  MIN(c.event_id) AS premier_click
+      |FROM events i
+      |JOIN events c
+      |  ON i.user_id = c.user_id
+      | AND i.event_type = 'error' AND c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(i.ts)
+ AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
+      |GROUP BY i.event_id, i.user_id
+      |ORDER BY i.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q29_json_props", "JSON path extraction over event props", q29, Some(q29Sql)),
     Q("j01_asof_join", "as-of join: latest prior click per error event", j01, Some(j01Sql)),
+    Q("j02_range_join", "bucketed range join: clicks within each error's 1-hour window", j02, Some(j02Sql)),
     Q("q23_events_daily", "tumbling daily event rollup (streaming twin)", q23, Some(q23Sql)),
     Q("q24_sessionization", "gap-based sessions via LAG (W2 on streams)", q24, Some(q24Sql)),
     Q("q25_event_pivot", "pivot to columns (BI matrix)", q25, Some(q25Sql))

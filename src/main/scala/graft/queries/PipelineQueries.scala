@@ -1001,6 +1001,38 @@ object PipelineQueries {
       |ORDER BY doc_id, epoque""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d27 — stratified quota sampling: exact per-source document COUNTS
+  // (vs d21's per-source RATES), selected by md5 rank so the sample is
+  // deterministic and engine-reproducible. The two-phase operator
+  // (uniform-hash candidate threshold + checked fallback + rank over
+  // candidates only — operators/Sampling) must equal the oracle's naive
+  // full window rank bit-for-bit. Quotas exercise every branch:
+  // larger-than-stratum (src0 keeps all), partial (src1), top-1 (src2),
+  // explicit zero (src3), and the default for the unlisted 16 sources.
+  // ---------------------------------------------------------------------
+  private val d27Quotas: Map[String, Int] =
+    Map("src0" -> 1000, "src1" -> 10, "src2" -> 1, "src3" -> 0)
+  private def d27(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedQuota(Tables.documents(spark, dir), "doc_id", "source",
+        d27Quotas, defaultQuota = 5)
+      .orderBy(col("stratum"), col("rang"))
+  private val d27Sql =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 10
+      |                WHEN 'src2' THEN 1 WHEN 'src3' THEN 0 ELSE 5 END AS quota,
+      |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, quota,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rang
+      |  FROM q)
+      |SELECT doc_id, source AS stratum, CAST(rang AS BIGINT) AS rang
+      |FROM r WHERE rang <= quota
+      |ORDER BY stratum, rang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s07 — streaming incremental sequence packing (§2.9 × packing tier):
   // the d18 concat-and-chunk packing run as a Structured Streaming feed
   // — 4 doc_id-ranged micro-batches, each resuming from the stored
@@ -1182,6 +1214,22 @@ object PipelineQueries {
       |FROM documents d
       |WHERE d.doc_id NOT IN (SELECT id FROM removed)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d28 — bloom-pruned decontamination: the d16 screen with the eval
+  // vocabulary compressed to a distributed-built bit array (a plan
+  // literal the corpus probes map-side); false positives die in the
+  // exact semi-join over survivors, so the result — and the oracle —
+  // are EXACTLY d16's. The scale story is the payload: ~1.5 bytes/gram
+  // instead of ~50, and the verify shuffle is O(survivors).
+  // ---------------------------------------------------------------------
+  private def d28(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    graft.operators.Decontaminate
+      .ngramOverlapBloom(docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------------
   // d16 — benchmark decontamination: the corpus screened against a held
@@ -1911,6 +1959,7 @@ object PipelineQueries {
     Q("d14_incremental_dedup", "batch-vs-corpus incremental near-dup screen", d14, Some(d14Sql)),
     Q("d15_chunk_dedup", "chunk-level boilerplate fraction (CCNet-style)", d15, Some(d15Sql)),
     Q("d16_decontaminate", "benchmark-decontamination n-gram overlap screen", d16, Some(d16Sql)),
+    Q("d28_decontaminate_bloom", "bloom-pruned decontamination == d16 (bit-array prune + exact verify)", d28, Some(d16Sql)),
     Q("d17_chunk_scrub", "duplicated-chunk removal (the apply side of d15)", d17, Some(d17Sql)),
     Q("d25_neardup_scrub", "document near-dup removal (the apply side of d06/d09)", d25, Some(d25Sql)),
     Q("d26_semantic_scrub", "SemDeDup-style embedding-space dedup: cosine pairs -> components -> scrub", d26, Some(d26Sql)),
@@ -1918,6 +1967,7 @@ object PipelineQueries {
     Q("d19_repetition_stats", "Gopher repetition fractions, one in-row pass", d19, Some(d19Sql)),
     Q("d20_pack_manifest", "per-sequence manifest (no-gaps-no-overlaps proof of d18)", d20, Some(d20Sql)),
     Q("d21_source_mix", "per-source mixing weights with deterministic fractional epochs", d21, Some(d21Sql)),
+    Q("d27_stratified_sample", "exact per-source quota sample by md5 rank (two-phase top-n)", d27, Some(d27Sql)),
     Q("d22_shard_emit", "materialized packed shards read back, per-shard content fingerprints", d22, Some(d22Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),

@@ -53,4 +53,34 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got.values.forall(_ == false) && got.size == 5)
   }
+
+  private def bloomScreen(bitsPerGram: Int, numHashes: Int) =
+    Decontaminate.ngramOverlapBloom(train, eval, "doc_id", "text", n = 3,
+        bitsPerGram = bitsPerGram, numHashes = numHashes)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("bloom-pruned screen equals the exact screen") {
+    assert(bloomScreen(12, 5) == expected)
+  }
+
+  test("a saturated bloom (high fpp) still yields the exact result — false positives die in the verify") {
+    // 2 bits/gram with 1 hash ≈ everything collides; only the exact
+    // semi-join keeps the answer right
+    assert(bloomScreen(2, 1) == expected)
+  }
+
+  test("bloom bit budget is enforced") {
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.ngramOverlapBloom(train, eval, "doc_id", "text", n = 3, maxBits = 16L)
+    }
+    assert(e.getMessage.contains("maxBits"))
+  }
+
+  test("the probe is a map-side filter on the train grams (bloom literal, no gram broadcast)") {
+    val df = Decontaminate.ngramOverlapBloom(train, eval, "doc_id", "text", n = 3)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("shiftright"), "k-probe bit tests must appear in the plan")
+  }
 }
