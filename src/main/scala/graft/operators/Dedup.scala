@@ -208,6 +208,84 @@ object Dedup {
       )
   }
 
+  /** Exact duplicated-SPAN detection over SLIDING token grams — the
+    * "exact substring dedup" stage of pretraining pipelines (suffix-
+    * array-style: any ≥ `gramTokens`-token run occurring twice anywhere
+    * in the corpus, within-doc repeats included). Distinct from
+    * [[chunkDedup]]: fixed non-overlapping chunks miss duplicated runs
+    * that straddle a chunk boundary; the sliding gram catches every
+    * aligned-or-not repetition of at least gram width, and overlapping
+    * /adjacent duplicated grams merge into MAXIMAL spans (gaps-and-
+    * islands over hit positions).
+    *
+    * Output per doc: token count, merged duplicated-span count, tokens
+    * covered by duplicated spans, and the covered fraction.
+    *
+    * Scale design: gram fingerprinting is a pure map (positions via an
+    * in-row transform; only (doc_id, pos, md5) ever shuffles — 128-bit
+    * fingerprints, collision-free at any corpus size, the text itself
+    * never moves). The corpus frequency pass and the broadcast-vs-
+    * shuffle mark join share [[duplicatedFingerprints]] with the chunk
+    * operators. The island merge windows over HIT positions only —
+    * rows ∝ duplicated grams, not the corpus — partitioned by doc_id
+    * (no global sort, no skew beyond a single document's own length).
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = gramTokens
+    val base = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("a"))
+    val grams = base
+      .where(size(col("a")) >= k)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("a")) - k + 1),
+            i => struct(i.as("pos"), md5(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val hits = grams
+      .join(duplicatedFingerprints(grams.select(col("h"))).withColumn("dup", lit(1)), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    // same island while the next gram starts inside-or-adjacent to the
+    // running span (pos ≤ prev + k); strictly past it starts a new one
+    val withIsland = hits
+      .withColumn("brk", when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+    val spans = withIsland
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens")
+      )
+    base
+      .select(col("doc_id"), size(col("a")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double"),
+          6
+        ).as("ratio_duplique")
+      )
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n) → k-signature (custom MinHashSig expression, pure map) →

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained bigram language-model scoring — the CCNet/Gopher
+  * "perplexity filter" stage of an LLM data pipeline (beyond-reference
+  * tier of the build brief; the reference DW has no text-quality layer).
+  *
+  * Trains an add-k-smoothed bigram LM on the corpus itself and scores
+  * every document with its mean per-bigram log-likelihood
+  * (and perplexity = exp(-mean)). Low-likelihood documents are the
+  * gibberish/boilerplate tail a pretraining pipeline drops; the score
+  * is also the standard prune signal for quality-stratified sampling.
+  *
+  * Scale shape (the 100 TB lens):
+  *   - tokenize + bigram expansion are pure per-row maps (no exchange);
+  *   - the model is two aggregations whose result cardinality is the
+  *     number of observed bigram/unigram TYPES — vocabulary-bounded
+  *     (Heaps' law), orders of magnitude below token volume;
+  *   - scoring joins per-document bigram-type counts (not raw tokens)
+  *     to the model on (w1, w2) / (w1) — linear shuffles with partial
+  *     aggregation on both sides, and AQE broadcasts the model sides
+  *     when they fit (they do for any natural-language vocabulary);
+  *   - the only driver-side values are two scalars (vocab size, total).
+  *   No per-document state, no windows, no all-pairs anything.
+  *
+  * Numeric parity (Q.scala conventions): per-bigram weights are doubles
+  * summed per document; magnitudes are O(1)–O(10) while double-sum
+  * associativity noise is ~1e-13, so ROUND(_, 6) hashes identically in
+  * Spark and DuckDB (the d24 NB classifier gates the same way).
+  */
+object LangModel {
+
+  /** Per-document mean bigram log-likelihood under the corpus bigram LM.
+    *
+    * Output: (idCol, n_bigrams, lm_score, ppl), one row per input doc;
+    * documents with fewer than two tokens carry n_bigrams=0 and null
+    * score/ppl (nothing to condition on).
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V) with c(w1,·) the
+    * first-position count (so probabilities sum to 1 over the observed
+    * vocabulary) and V the corpus distinct-token count.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+
+    val arr = docs
+      .select(
+        col(idCol),
+        when(length(trim(col(textCol))) > 0, split(trim(col(textCol)), "\\s+"))
+          .otherwise(array().cast(ArrayType(StringType)))
+          .as("a")
+      )
+
+    // Per-doc bigram-type counts: map-only expansion, then one grouped
+    // aggregation keyed (doc, w1, w2) — the payload every later join and
+    // the final per-doc rollup run on. Guarded transform: sequence(1, 0)
+    // would step DOWNWARD, so only build the index list when >= 2 tokens.
+    val perDoc = arr
+      .where(size(col("a")) >= 2)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(1), size(col("a")) - 1),
+            i => struct(element_at(col("a"), i).as("w1"), element_at(col("a"), i + 1).as("w2"))
+          )
+        ).as("b")
+      )
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+
+    // The model: bigram-type and first-position-unigram counts. Result
+    // cardinality is vocabulary-bounded; AQE broadcasts these sides.
+    val bic = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+    val uni = perDoc.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+
+    // V: one scalar on the driver (the vocabulary count, not the corpus).
+    val v = arr
+      .select(explode(col("a")).as("tok"))
+      .agg(countDistinct(col("tok")))
+      .head()
+      .getLong(0)
+
+    val scored = perDoc
+      .join(bic, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("nb"),
+        sum(
+          col("n").cast(DoubleType) *
+            log((col("c12").cast(DoubleType) + lit(k)) / (col("c1").cast(DoubleType) + lit(k * v)))
+        ).as("s")
+      )
+
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        round(col("s") / col("nb").cast(DoubleType), 6).as("lm_score"),
+        round(exp(-col("s") / col("nb").cast(DoubleType)), 6).as("ppl")
+      )
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.functions.{Bpe, Text, Vectors}
-import graft.operators.{Dedup, Mix, Pack, Similarity, Upsert}
+import graft.operators.{Dedup, LangModel, Mix, Pack, Similarity, Upsert}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
 
@@ -1562,6 +1562,99 @@ object PipelineQueries {
       |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d29 — corpus-trained bigram-LM scoring (the CCNet/Gopher perplexity
+  // filter). The oracle retrains the same add-0.5-smoothed bigram model
+  // in SQL — counts, vocabulary, every document's mean log-likelihood
+  // and perplexity — from the raw table. Model cardinality is bigram
+  // TYPES (vocabulary-bounded), never token volume; see LangModel.
+  // ---------------------------------------------------------------------
+  private def d29(spark: SparkSession, dir: String): DataFrame =
+    LangModel
+      .bigramScore(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val d29Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), bl AS (
+      |  SELECT doc_id, list_transform(range(1, len(a)), i -> [a[i], a[i+1]]) AS bs
+      |  FROM arr WHERE len(a) >= 2
+      |), bx AS (
+      |  SELECT doc_id, unnest(bs) AS b FROM bl
+      |), big AS (
+      |  SELECT doc_id, b[1] AS w1, b[2] AS w2, COUNT(*) AS n FROM bx GROUP BY 1, 2, 3
+      |), bic AS (
+      |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM big GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(a) AS tok FROM arr)
+      |), sc AS (
+      |  SELECT big.doc_id, CAST(SUM(big.n) AS BIGINT) AS nb,
+      |         SUM(big.n * ln((bic.c12 + 0.5) / (uni.c1 + 0.5 * voc.v))) AS s
+      |  FROM big JOIN bic USING (w1, w2) JOIN uni USING (w1), voc
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(sc.nb, 0) AS n_bigrams,
+      |  ROUND(sc.s / sc.nb, 6) AS lm_score,
+      |  ROUND(exp(-sc.s / sc.nb), 6) AS ppl
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d30 — exact duplicated-span detection over SLIDING 8-token grams
+  // (the suffix-array-style "exact substring dedup" of pretraining
+  // pipelines; d15's fixed chunks miss runs straddling chunk borders).
+  // Oracle re-derives every gram, the corpus frequency pass, and the
+  // gaps-and-islands span merge in SQL.
+  // ---------------------------------------------------------------------
+  private def d30(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .spanDedup(Tables.documents(spark, dir), "doc_id", "text", gramTokens = 8)
+      .orderBy(col("doc_id"))
+  private val d30Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), gpos AS (
+      |  SELECT doc_id, a, unnest(range(1, len(a) - 8 + 2)) AS pos
+      |  FROM arr WHERE len(a) >= 8
+      |), grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(a[pos:pos+7], ' ')) AS h FROM gpos
+      |), dup AS (
+      |  SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2
+      |), hits AS (
+      |  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |         CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      |  FROM spans GROUP BY 1
+      |)
+      |SELECT arr.doc_id,
+      |  CAST(len(a) AS BIGINT) AS n_tokens,
+      |  COALESCE(agg.n_spans, 0) AS n_spans,
+      |  COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+      |  ROUND(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE)
+      |        / greatest(CAST(len(a) AS DOUBLE), 1.0), 6) AS ratio_duplique
+      |FROM arr LEFT JOIN agg ON arr.doc_id = agg.doc_id
+      |ORDER BY arr.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
   // kept, lowercased), with document frequency, deterministic
   // lexicographic tiebreak. Map-side-combined hash aggregate on bigram +
@@ -1951,6 +2044,8 @@ object PipelineQueries {
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("d23_bpe_tokenize", "trained BPE subword tokenization, lossless-reconstruction gate", d23, Some(d23Sql)),
     Q("d24_quality_classifier", "hashed-NB quality filter; oracle recomputes training and dot products", d24, Some(d24Sql)),
+    Q("d29_lm_perplexity", "corpus bigram-LM perplexity scoring; oracle retrains the smoothed model in SQL", d29, Some(d29Sql)),
+    Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),

@@ -21,6 +21,46 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 1L, 1L -> 1L))
   }
 
+  test("spanDedup: shared run found at UNALIGNED offsets, maximal-span merge, edges") {
+    // the shared 6-token run sits at pos 1 in doc 1 and pos 3 in doc 2 —
+    // a fixed-chunk pass (chunk width 4) sees different chunks and
+    // misses it; the sliding gram (k=3) must flag it in both, merging
+    // the overlapping gram hits into ONE maximal span of 6 tokens.
+    val run = "r1 r2 r3 r4 r5 r6"
+    val df = Seq(
+      (1L, s"$run u1 u2 u3"),
+      (2L, s"v1 v2 $run w1"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"), // nothing shared
+      (4L, "y1 y2"),                       // shorter than the gram
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((9L, 1L, 6L, 0.666667)))
+    assert(got(2L) == ((9L, 1L, 6L, 0.666667)))
+    assert(got(3L) == ((9L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0L, 0.0)))
+    // the fixed-chunk operator misses the doc-2 occurrence entirely at
+    // width 4 with these alignments — that gap is WHY spanDedup exists
+    val chunks = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunks(2L) === 0L)
+  }
+
+  test("spanDedup: within-doc repetition and disjoint spans stay separate") {
+    // "a b c" repeats inside doc 10 at pos 1 and pos 7 (gap of 3 > k) —
+    // two islands, 3 tokens each
+    val df = Seq(
+      (10L, "a b c p q r a b c"),
+      (11L, "m n o m n o m n o m n o") // overlapping self-repeats: one full-cover span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((9L, 2L, 6L)))
+    assert(got(11L) == ((12L, 1L, 12L)))
+  }
+
   test("chunkDedup: cross-doc boilerplate, within-doc repeats, short and blank docs") {
     val df = Seq(
       (1L, "a b c d e f g h"),         // "a b c d" shared with doc 2
