@@ -80,6 +80,9 @@ object Bench {
     // s08's feed staging + corpus sketch store: same category
     try { graft.queries.PipelineQueries.s08Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s09's feed staging + corpus LM store: same category
+    try { graft.queries.PipelineQueries.s09Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

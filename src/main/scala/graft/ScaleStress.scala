@@ -151,7 +151,7 @@ object ScaleStress {
     "d26_semantic_scrub", "d29_lm_perplexity", "d30_span_dedup",
     "p01_pipeline_composed",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
-    "e05_knn_pq", "e06_knn_ivf_pq")
+    "e05_knn_pq", "e06_knn_ivf_pq", "e07_triplet_mine")
 
   /** A deliberately quadratic query (all-pairs within doc_id%100
     * buckets: Σ (n/100)² rows ≈ n²/100) — the growth gate's negative

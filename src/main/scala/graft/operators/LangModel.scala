@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * "perplexity filter" stage of an LLM data pipeline (beyond-reference
   * tier of the build brief; the reference DW has no text-quality layer).
   *
-  * Trains an add-k-smoothed bigram LM on the corpus itself and scores
-  * every document with its mean per-bigram log-likelihood
-  * (and perplexity = exp(-mean)). Low-likelihood documents are the
-  * gibberish/boilerplate tail a pretraining pipeline drops; the score
-  * is also the standard prune signal for quality-stratified sampling.
+  * Trains an add-k-smoothed bigram LM and scores documents with their
+  * mean per-bigram log-likelihood (and perplexity = exp(-mean)).
+  * Low-likelihood documents are the gibberish/boilerplate tail a
+  * pretraining pipeline drops; the score is also the standard prune
+  * signal for quality-stratified sampling. [[train]] + [[scoreWith]]
+  * separate model fitting from scoring so a published corpus model can
+  * screen ARRIVING batches (the streaming ingest-quality screen, s09);
+  * [[bigramScore]] is the one-shot self-trained form (d29).
   *
   * Scale shape (the 100 TB lens):
   *   - tokenize + bigram expansion are pure per-row maps (no exchange);
@@ -33,32 +36,26 @@ import org.apache.spark.sql.types._
   */
 object LangModel {
 
-  /** Per-document mean bigram log-likelihood under the corpus bigram LM.
-    *
-    * Output: (idCol, n_bigrams, lm_score, ppl), one row per input doc;
-    * documents with fewer than two tokens carry n_bigrams=0 and null
-    * score/ppl (nothing to condition on).
-    *
-    * P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V) with c(w1,·) the
-    * first-position count (so probabilities sum to 1 over the observed
-    * vocabulary) and V the corpus distinct-token count.
+  /** A fitted bigram LM: bigram-type counts (w1, w2, c12), first-
+    * position unigram counts (w1, c1), the corpus distinct-token count,
+    * and the smoothing constant. The two count relations are exactly
+    * what [[graft.streaming.IngestQuality]] persists as the published
+    * model store.
     */
-  def bigramScore(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
+  final case class BigramLm(bic: DataFrame, uni: DataFrame, vocabSize: Long, k: Double)
 
-    val arr = docs
-      .select(
-        col(idCol),
-        when(length(trim(col(textCol))) > 0, split(trim(col(textCol)), "\\s+"))
-          .otherwise(array().cast(ArrayType(StringType)))
-          .as("a")
-      )
+  private def tokenArray(textCol: org.apache.spark.sql.Column) =
+    when(length(trim(textCol)) > 0, split(trim(textCol), "\\s+"))
+      .otherwise(array().cast(ArrayType(StringType)))
 
-    // Per-doc bigram-type counts: map-only expansion, then one grouped
-    // aggregation keyed (doc, w1, w2) — the payload every later join and
-    // the final per-doc rollup run on. Guarded transform: sequence(1, 0)
-    // would step DOWNWARD, so only build the index list when >= 2 tokens.
-    val perDoc = arr
+  /** Per-doc bigram-type counts: map-only expansion, then one grouped
+    * aggregation keyed (doc, w1, w2) — the payload every later join and
+    * the final per-doc rollup run on. Guarded transform: sequence(1, 0)
+    * would step DOWNWARD, so only build the index list when >= 2 tokens.
+    */
+  private def perDocBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokenArray(col(textCol)).as("a"))
       .where(size(col("a")) >= 2)
       .select(
         col(idCol),
@@ -73,30 +70,47 @@ object LangModel {
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
 
-    // The model: bigram-type and first-position-unigram counts. Result
-    // cardinality is vocabulary-bounded; AQE broadcasts these sides.
+  /** Fit the model: two vocabulary-bounded aggregations plus one driver
+    * scalar (the vocabulary count, not the corpus).
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): BigramLm = {
+    val perDoc = perDocBigrams(docs, idCol, textCol)
     val bic = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
     val uni = perDoc.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
-
-    // V: one scalar on the driver (the vocabulary count, not the corpus).
-    val v = arr
-      .select(explode(col("a")).as("tok"))
+    val v = docs
+      .select(explode(tokenArray(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")))
       .head()
       .getLong(0)
+    BigramLm(bic, uni, v, k)
+  }
 
+  /** Score documents under a (possibly separately-trained) model.
+    *
+    * Output: (idCol, n_bigrams, lm_score, ppl), one row per input doc;
+    * documents with fewer than two tokens carry n_bigrams=0 and null
+    * score/ppl (nothing to condition on). Bigrams/unigrams the model
+    * never saw coalesce to count 0 — add-k smoothing stays well-defined
+    * on out-of-corpus text (P = k / (0 + k·V) at worst).
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V) with c(w1,·) the
+    * first-position count (so probabilities sum to 1 over the observed
+    * vocabulary) and V the training corpus distinct-token count.
+    */
+  def scoreWith(model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = perDocBigrams(docs, idCol, textCol)
     val scored = perDoc
-      .join(bic, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+      .join(model.bic, Seq("w1", "w2"), "left")
+      .join(model.uni, Seq("w1"), "left")
       .groupBy(col(idCol))
       .agg(
         sum(col("n")).as("nb"),
         sum(
           col("n").cast(DoubleType) *
-            log((col("c12").cast(DoubleType) + lit(k)) / (col("c1").cast(DoubleType) + lit(k * v)))
+            log((coalesce(col("c12"), lit(0L)).cast(DoubleType) + lit(model.k)) /
+              (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(model.k * model.vocabSize)))
         ).as("s")
       )
-
     docs
       .select(col(idCol))
       .join(scored, Seq(idCol), "left")
@@ -107,4 +121,10 @@ object LangModel {
         round(exp(-col("s") / col("nb").cast(DoubleType)), 6).as("ppl")
       )
   }
+
+  /** Per-document mean bigram log-likelihood under the corpus's own
+    * bigram LM (train and score on the same relation — the d29 gate).
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): DataFrame =
+    scoreWith(train(docs, idCol, textCol, k), docs, idCol, textCol)
 }

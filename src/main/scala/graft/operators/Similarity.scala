@@ -382,4 +382,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Contrastive TRIPLET mining for embedding-model training data
+    * (anchor, positive, hard negative — the InfoNCE/triplet-loss feed):
+    *   - anchors are every vector with at least one near-duplicate
+    *     (rounded cosine ≥ `threshold`), found by the banded-LSH pass
+    *     ([[graft.operators.Dedup.embeddingNearDup]] — never all-pairs);
+    *   - the positive is the anchor's highest-cosine duplicate partner
+    *     (ties toward the lower id);
+    *   - the hard negative is the highest-cosine NON-duplicate
+    *     (rounded cosine < threshold) among the anchor's `nProbe`
+    *     trained IVF cells — the closest thing that is NOT a copy,
+    *     which is exactly the negative a contrastive batch wants.
+    *
+    * Output: (anchor_id, positive_id, pos_cosine, negative_id,
+    * neg_cosine, margin). With nProbe = |cents| the probe is exhaustive
+    * and the negative is exact — the gating configuration; production
+    * uses small nProbe and accepts approximate negatives.
+    *
+    * Scale shape: positives inherit the LSH pass's bucketed plan; the
+    * negative scan is the e04 probe join keyed on cell. The probe side
+    * is broadcast like ivfKnnTrained's — it carries only ANCHORS.
+    * `maxAnchors` bounds one mining BATCH (lowest anchor ids first,
+    * deterministic): candidate volume is then
+    * maxAnchors · nProbe · |corpus| / |cents| — LINEAR in the corpus —
+    * and a full mining run is the standard production loop over anchor
+    * batches, each batch this operator unchanged. 0 = all anchors
+    * (fine when duplication density is low; on a dup-saturated corpus
+    * that degenerates toward all-pairs, which is what the batch bound
+    * exists to prevent).
+    */
+  def tripletMine(
+      em: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      cents: Array[Array[Double]],
+      nProbe: Int,
+      nTables: Int = 8,
+      maxAnchors: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpr
+    val pairs = Dedup.embeddingNearDup(em, idCol, vecCol, threshold, nTables = nTables)
+    val sym = pairs
+      .select(col("id_a").as("anchor_id"), col("id_b").as("partner_id"), col("cosine"))
+      .unionByName(
+        pairs.select(col("id_b").as("anchor_id"), col("id_a").as("partner_id"), col("cosine")))
+    val wp = Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("partner_id"))
+    val allPositives = sym
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("partner_id").as("positive_id"), col("cosine").as("pos_cosine"))
+    // batch bound: TakeOrdered on anchor_id — deterministic, no full sort
+    val positives =
+      if (maxAnchors > 0) allPositives.orderBy(col("anchor_id")).limit(maxAnchors)
+      else allPositives
+    val c = em
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+      .withColumn("cell", nearestCell(col("v_c"), cents))
+    val probed = em
+      .select(col(idCol).as("anchor_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
+      .join(positives.select(col("anchor_id")), Seq("anchor_id"))
+      .withColumn("cell",
+        explode(VectorExpr.topKIndices(VectorExpr.centroidScores(col("v_q"), cents), nProbe)))
+    val wn = Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val negatives = c
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
+      .filter(col("cosine") < threshold)
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("neighbor_id").as("negative_id"), col("cosine").as("neg_cosine"))
+    positives
+      .join(negatives, Seq("anchor_id"))
+      .select(
+        col("anchor_id"),
+        col("positive_id"),
+        col("pos_cosine"),
+        col("negative_id"),
+        col("neg_cosine"),
+        round(col("pos_cosine") - col("neg_cosine"), 6).as("margin")
+      )
+  }
 }

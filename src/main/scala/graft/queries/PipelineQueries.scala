@@ -441,6 +441,73 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // e07 — contrastive triplet mining on the jittered corpus (e03's
+  // fixture): anchor = near-dup member, positive = its best duplicate,
+  // hard negative = closest NON-duplicate via exhaustive-probe IVF
+  // (nProbe = |cents| ⇒ exact — the e04/e06 gating pattern), bounded to
+  // one 256-anchor mining batch (the linear-in-corpus production
+  // shape; the fixture makes EVERY vector an anchor, so an unbatched
+  // exhaustive config would be all-pairs by construction). Oracle
+  // re-derives positives, negatives and margins from exhaustive cosine.
+  // ---------------------------------------------------------------------
+  private def e07(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val jittered = em.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, j) =>
+          (x.cast(DoubleType) *
+            (lit(1.0) + (pmod(col("vec_id") * 31 + j.cast(LongType) * 7, lit(100L)).cast(DoubleType) / 100.0 - 0.5) * 0.04))
+            .cast(FloatType)
+      ).as("embedding")
+    )
+    val corpus = em.unionByName(jittered)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 3)
+    Similarity
+      .tripletMine(corpus, "vec_id", "embedding", threshold = 0.99, cents,
+        nProbe = 16, maxAnchors = 256)
+      .orderBy(col("anchor_id"))
+  }
+  private val e07Sql =
+    """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |jit AS (
+      |  SELECT src_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE) * (1.0 + (((src_id * 31 + (i - 1) * 7) % 100) / 100.0 - 0.5) * 0.04) AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig)
+      |),
+      |allv AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM jit
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+      |  FROM allv a JOIN allv b ON a.vec_id <> b.vec_id
+      |),
+      |pos AS (
+      |  SELECT id_a AS anchor_id, id_b AS positive_id, cosine AS pos_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+      |  FROM pairs WHERE cosine >= 0.99
+      |),
+      |batch AS (
+      |  SELECT anchor_id, positive_id, pos_cosine FROM pos
+      |  WHERE rn = 1 ORDER BY anchor_id LIMIT 256
+      |),
+      |neg AS (
+      |  SELECT id_a AS anchor_id, id_b AS negative_id, cosine AS neg_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+      |  FROM pairs WHERE cosine < 0.99
+      |)
+      |SELECT b.anchor_id, b.positive_id, b.pos_cosine,
+      |  n.negative_id, n.neg_cosine,
+      |  ROUND(b.pos_cosine - n.neg_cosine, 6) AS margin
+      |FROM batch b JOIN neg n ON b.anchor_id = n.anchor_id AND n.rn = 1
+      |ORDER BY b.anchor_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
   // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
   // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
@@ -1068,6 +1135,77 @@ object PipelineQueries {
     graft.streaming.IngestSemantic
       .run(spark, dir, s08WorkDir(dir))
       .orderBy(col("id_batch"), col("id_corpus"))
+
+  private def s09WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s09_${Integer.toHexString(dir.hashCode)}"
+
+  /** Untimed load-phase setup for Bench: feed staging + the corpus
+    * model store are published-once ingest artifacts (the s06/s08
+    * pattern), not per-screen work.
+    */
+  def s09Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestQuality.setup(spark, dir, s09WorkDir(dir))
+
+  // ---------------------------------------------------------------------
+  // s09 — streaming ingest QUALITY screen: micro-batches of arriving
+  // docs (with planted out-of-vocabulary tokens) perplexity-scored
+  // against the STORED corpus bigram LM — the d29 model applied
+  // incrementally, never retrained per batch. Oracle retrains the
+  // corpus model and rescores the rebuilt feed entirely in SQL,
+  // exercising the unseen-count smoothing path.
+  // ---------------------------------------------------------------------
+  private def s09(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestQuality
+      .run(spark, dir, s09WorkDir(dir))
+      .orderBy(col("doc_id"))
+  private val s09Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), bl AS (
+      |  SELECT doc_id, list_transform(range(1, len(a)), i -> [a[i], a[i+1]]) AS bs
+      |  FROM arr WHERE len(a) >= 2
+      |), bx AS (
+      |  SELECT doc_id, unnest(bs) AS b FROM bl
+      |), big AS (
+      |  SELECT doc_id, b[1] AS w1, b[2] AS w2, COUNT(*) AS n FROM bx GROUP BY 1, 2, 3
+      |), bic AS (
+      |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM big GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(a) AS tok FROM arr)
+      |), feed AS (
+      |  SELECT src_id + 1000000 AS doc_id,
+      |         text || ' zzqx' || CAST(src_id % 7 AS VARCHAR) AS text
+      |  FROM (SELECT doc_id AS src_id, text FROM documents WHERE doc_id % 10 = 0)
+      |), arrb AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM feed
+      |), blb AS (
+      |  SELECT doc_id, list_transform(range(1, len(a)), i -> [a[i], a[i+1]]) AS bs
+      |  FROM arrb WHERE len(a) >= 2
+      |), bxb AS (
+      |  SELECT doc_id, unnest(bs) AS b FROM blb
+      |), bigb AS (
+      |  SELECT doc_id, b[1] AS w1, b[2] AS w2, COUNT(*) AS n FROM bxb GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT bigb.doc_id, CAST(SUM(bigb.n) AS BIGINT) AS nb,
+      |         SUM(bigb.n * ln((COALESCE(bic.c12, 0) + 0.5)
+      |                         / (COALESCE(uni.c1, 0) + 0.5 * voc.v))) AS s
+      |  FROM bigb LEFT JOIN bic USING (w1, w2) LEFT JOIN uni USING (w1), voc
+      |  GROUP BY 1
+      |)
+      |SELECT f.doc_id,
+      |  COALESCE(sc.nb, 0) AS n_bigrams,
+      |  ROUND(sc.s / sc.nb, 6) AS lm_score,
+      |  ROUND(exp(-sc.s / sc.nb), 6) AS ppl
+      |FROM feed f LEFT JOIN sc ON f.doc_id = sc.doc_id
+      |ORDER BY f.doc_id""".stripMargin
 
   private val s08Sql =
     """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
@@ -2068,11 +2206,13 @@ object PipelineQueries {
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),
+    Q("s09_stream_quality_screen", "streaming perplexity screen against the stored corpus LM (§2.9 composed with d29)", s09, Some(s09Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
     Q("e05_knn_pq", "product-quantization ADC + exact re-rank, full shortlist vs brute oracle", e05, Some(e01Sql)),
     Q("e06_knn_ivf_pq", "composed IVF-PQ: cell-pruned ADC scan + exact re-rank, exhaustive config vs brute oracle", e06, Some(e01Sql)),
+    Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),

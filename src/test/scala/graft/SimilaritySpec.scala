@@ -140,4 +140,59 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.trainPqCodebooks(em, "vec_id", "embedding", m = 8, codes = 16, iters = 2)
     assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  // hand fixture for triplet mining: two planted near-dup pairs, the
+  // rest far apart; the hard negative is exactly the closest non-dup
+  private def tripletFixture = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.999f, 0.001f, 0.0f, 0.0f)), // dup of 1
+    (3L, Array(0.7f, 0.7f, 0.0f, 0.0f)),     // closest NON-dup of 1/2
+    (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (5L, Array(0.0f, 0.999f, 0.001f, 0.0f)), // dup of 4
+    (6L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("tripletMine: planted positives and the exact hard negative (exhaustive probes)") {
+    val vs = tripletFixture
+    val cents = Similarity.trainCentroids(vs, "vec_id", "embedding", k = 2, iters = 3)
+    val got = Similarity
+      .tripletMine(vs, "vec_id", "embedding", threshold = 0.99, cents, nProbe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 5L))
+    assert(got(1L) == ((2L, 3L)), "anchor 1: positive is its dup, negative the closest non-dup")
+    assert(got(2L) == ((1L, 3L)))
+    assert(got(4L)._1 == 5L && got(5L)._1 == 4L)
+    // margins positive by construction: positive is a near-copy
+    val margins = Similarity
+      .tripletMine(vs, "vec_id", "embedding", threshold = 0.99, cents, nProbe = 2)
+      .collect().map(_.getDouble(5))
+    assert(margins.forall(_ > 0.0))
+  }
+
+  test("tripletMine: maxAnchors bounds the batch to the lowest anchor ids") {
+    val vs = tripletFixture
+    val cents = Similarity.trainCentroids(vs, "vec_id", "embedding", k = 2, iters = 3)
+    val got = Similarity
+      .tripletMine(vs, "vec_id", "embedding", threshold = 0.99, cents, nProbe = 2, maxAnchors = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("tripletMine at realistic nProbe: negatives stay non-dups with sane margins") {
+    // the driver fixture has no 0.99-cosine pairs, so lower the bar to
+    // catch organically-similar vectors as positives
+    val em = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    val got = Similarity
+      .tripletMine(em, "vec_id", "embedding", threshold = 0.45, cents, nProbe = 4, maxAnchors = 32)
+      .collect()
+    assert(got.nonEmpty, "fixture should yield some 0.45-cosine anchors")
+    got.foreach { r =>
+      assert(r.getDouble(2) >= 0.45, "positive at/above threshold")
+      assert(r.getDouble(4) < 0.45, "negative strictly below threshold")
+      assert(r.getLong(1) != r.getLong(3), "positive and negative differ")
+      assert(r.getLong(0) != r.getLong(3))
+    }
+  }
 }

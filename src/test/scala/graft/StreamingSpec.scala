@@ -96,6 +96,25 @@ class StreamingSpec extends SparkSpec {
     assert(planted == nBatch, s"expected all $nBatch planted pairs, found $planted")
   }
 
+  test("streaming quality screen equals the one-shot LM scoring of the feed") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val oneShot = graft.streaming.IngestQuality
+      .oneShot(spark, sfDir).collect().map(key).toSet
+    val streamed = graft.streaming.IngestQuality
+      .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s09_spec")
+      .collect().map(key).toSet
+    assert(streamed == oneShot, "micro-batched LM scoring must equal the one-shot scores")
+    assert(streamed.nonEmpty)
+    // the planted OOV suffix token must hurt: a feed doc's score under
+    // the corpus model sits below the corpus ceiling (ln P < 0 always),
+    // and every scored feed doc saw at least one unseen bigram
+    val scored = streamed.filter(_._3.isDefined)
+    assert(scored.nonEmpty && scored.forall(_._3.get < 0.0))
+  }
+
   test("streaming incremental packing equals the one-shot sequence pack") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, sfDir)
