@@ -76,7 +76,10 @@ object LangModel {
   def train(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): BigramLm = {
     val perDoc = perDocBigrams(docs, idCol, textCol)
     val bic = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
-    val uni = perDoc.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+    // first-position counts fold out of the bigram-type counts — the
+    // input here is the vocabulary-bounded model, NOT a third expansion
+    // of the corpus (c(w1,·) = Σ_w2 c(w1,w2) exactly)
+    val uni = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = docs
       .select(explode(tokenArray(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")))
