@@ -225,6 +225,14 @@ object ScaleStress {
       genDocs(spark, 5000 * t, dirs(t)); genEmbeddings(spark, 2000 * t, 64, dirs(t))
       genEvents(spark, 100000L * t, 1500L * t, dirs(t))
     }
+    // fixture-only mode: build the tier dirs and stop, so OneQuery can
+    // adjudicate individual heavy-tier cells without paying two full
+    // catalog passes (warmup + timed) at that tier
+    if (sys.env.get("SPARK_GRAFT_GEN_ONLY").contains("1")) {
+      println("[scale] SPARK_GRAFT_GEN_ONLY=1 — fixtures written, skipping the timed passes")
+      spark.stop()
+      return
+    }
     // streams drain through the noop sink here: the memory sink's
     // driver-side table is O(state keys) of pure harness overhead
     // (1.5 M rows at x1000), not operator cost. Correctness runs

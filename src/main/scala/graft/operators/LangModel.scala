@@ -48,12 +48,18 @@ object LangModel {
     when(length(trim(textCol)) > 0, split(trim(textCol), "\\s+"))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Per-doc bigram-type counts: map-only expansion, then one grouped
-    * aggregation keyed (doc, w1, w2) — the payload every later join and
-    * the final per-doc rollup run on. Guarded transform: sequence(1, 0)
-    * would step DOWNWARD, so only build the index list when >= 2 tokens.
+  /** Raw per-occurrence bigram rows (doc, w1, w2): a map-only expansion,
+    * deliberately NOT pre-aggregated — keying an exchange on
+    * (doc, w1, w2) would shuffle ~one row per corpus token (within-doc
+    * bigram-type repeats are rare, so that "aggregation" reduces almost
+    * nothing and costs a corpus-wide exchange; measured 208 s → the
+    * dominant cost at the 5 M-doc stress tier). Both consumers instead
+    * aggregate on keys that DO collapse map-side: (w1, w2) for the
+    * model (vocabulary-bounded), doc_id for scoring (scan-contiguous).
+    * Guarded transform: sequence(1, 0) would step DOWNWARD, so only
+    * build the index list when >= 2 tokens.
     */
-  private def perDocBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def rawBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), tokenArray(col(textCol)).as("a"))
       .where(size(col("a")) >= 2)
@@ -67,17 +73,17 @@ object LangModel {
         ).as("b")
       )
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
 
-  /** Fit the model: two vocabulary-bounded aggregations plus one driver
-    * scalar (the vocabulary count, not the corpus).
+  /** Fit the model: one vocabulary-bounded aggregation (partial
+    * aggregation collapses to bigram TYPES before the exchange) plus
+    * one driver scalar (the vocabulary count, not the corpus).
     */
   def train(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): BigramLm = {
-    val perDoc = perDocBigrams(docs, idCol, textCol)
-    val bic = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+    val bic = rawBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
     // first-position counts fold out of the bigram-type counts — the
-    // input here is the vocabulary-bounded model, NOT a third expansion
+    // input here is the vocabulary-bounded model, NOT a second expansion
     // of the corpus (c(w1,·) = Σ_w2 c(w1,w2) exactly)
     val uni = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = docs
@@ -101,17 +107,19 @@ object LangModel {
     * vocabulary) and V the training corpus distinct-token count.
     */
   def scoreWith(model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = perDocBigrams(docs, idCol, textCol)
-    val scored = perDoc
+    // raw occurrences join the (AQE-broadcastable) model, then roll up
+    // straight to doc_id: partial aggregation collapses map-side because
+    // a document's bigrams are scan-contiguous — the exchange carries
+    // ~|docs| rows, never a row per token
+    val scored = rawBigrams(docs, idCol, textCol)
       .join(model.bic, Seq("w1", "w2"), "left")
       .join(model.uni, Seq("w1"), "left")
       .groupBy(col(idCol))
       .agg(
-        sum(col("n")).as("nb"),
+        count(lit(1)).as("nb"),
         sum(
-          col("n").cast(DoubleType) *
-            log((coalesce(col("c12"), lit(0L)).cast(DoubleType) + lit(model.k)) /
-              (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(model.k * model.vocabSize)))
+          log((coalesce(col("c12"), lit(0L)).cast(DoubleType) + lit(model.k)) /
+            (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(model.k * model.vocabSize)))
         ).as("s")
       )
     docs

@@ -30,6 +30,15 @@ object OneQuery {
     sys.env.get("SPARK_GRAFT_SIG_BUDGET").foreach { b =>
       spark.conf.set("spark.graft.dedup.sigBroadcastBytes", b)
     }
+    // streaming-tier adjudication knobs, same defaults-if-unset as the
+    // stress harness: the noop drain and per-tier state sizing must
+    // match the run whose cell is being re-measured
+    sys.env.get("SPARK_GRAFT_STREAM_SINK").foreach { v =>
+      spark.conf.set("spark.graft.stream.sink", v)
+    }
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").foreach { v =>
+      spark.conf.set("spark.graft.stream.statePartitions", v)
+    }
     val fn = graft.SparkEntry.queries(name)
     if (explainOnly) {
       fn(spark, sfDir).explain("formatted")

@@ -77,6 +77,42 @@ class LangModelSpec extends SparkSpec {
     assert(tw(10L) === tw(11L))
   }
 
+  test("bigramScore == independent collections reference on a pseudo-random corpus") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "dd", "ee", "f")
+    val texts = (0L until 40L).map { id =>
+      val n = 1 + math.floorMod(mix(id), 9L).toInt
+      id -> (0 until n)
+        .map(i => vocab(math.floorMod(mix(id * 100 + i), vocab.size.toLong).toInt))
+        .mkString(" ")
+    }
+    // independent reference: plain-Scala counts and scoring
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+    val allBigrams = toks.values.flatMap(ts => ts.zip(ts.drop(1))).toSeq
+    val c12 = allBigrams.groupBy(identity).map { case (kk, vs) => kk -> vs.size.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (w, vs) => w -> vs.size.toLong }
+    val v = toks.values.flatten.toSet.size
+    def expected(id: Long): Option[Double] = {
+      val bs = toks(id).zip(toks(id).drop(1))
+      if (bs.isEmpty) None
+      else {
+        val s = bs.map(b => math.log((c12(b) + 0.5) / (c1(b._1) + 0.5 * v))).sum
+        Some(BigDecimal(s / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = LangModel.bigramScore(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    texts.foreach { case (id, _) =>
+      assert(got(id) === expected(id), s"doc $id (text '${texts.toMap.apply(id)}')")
+    }
+  }
+
   test("model state never exceeds bigram types: plan has no per-token join") {
     // the scoring join sides are grouped aggregates (bigram/unigram types),
     // so the physical plan must aggregate BEFORE both joins
