@@ -149,7 +149,7 @@ object ScaleStress {
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
     "d26_semantic_scrub", "d29_lm_perplexity", "d30_span_dedup",
-    "p01_pipeline_composed",
+    "p01_pipeline_composed", "p02_curated_sample",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
     "e05_knn_pq", "e06_knn_ivf_pq", "e07_triplet_mine")
 
@@ -174,7 +174,7 @@ object ScaleStress {
   private def plantEnabled: Boolean =
     sys.env.get("SPARK_GRAFT_PLANT_SUPERLINEAR").contains("1")
 
-  private def names: Seq[String] =
+  private[graft] def names: Seq[String] =
     (if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames) ++ eventNames
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =

@@ -1793,6 +1793,106 @@ object PipelineQueries {
       |ORDER BY arr.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p02 — the round-11 curation pipeline composed end to end: duplicated-
+  // span screen (d30) → corpus-LM scoring (d29) → keep docs at/above the
+  // in-query exact MEDIAN score with span coverage < 0.5 → per-source
+  // quota sample of the survivors (d27's two-phase exact top-n). The
+  // oracle recomputes every stage in SQL, median included
+  // (quantile_cont == Spark exact percentile, the q13-gated pair).
+  // Scale shape: each stage keeps its gated plan; the median is one
+  // broadcast scalar; the sample's per-stratum sort is O(quota).
+  // ---------------------------------------------------------------------
+  private def p02(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = Dedup
+      .spanDedup(docs, "doc_id", "text", gramTokens = 8)
+      .select(col("doc_id"), col("ratio_duplique"))
+    val lm = LangModel
+      .bigramScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score"))
+    val med = lm.agg(expr("percentile(lm_score, 0.5)").as("med"))
+    val kept = docs
+      .select(col("doc_id"), col("source"))
+      .join(spans, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .crossJoin(broadcast(med))
+      .filter(col("ratio_duplique") < 0.5 && col("lm_score") >= col("med"))
+    graft.operators.Sampling
+      .stratifiedQuota(kept, "doc_id", "source", Map.empty, defaultQuota = 10)
+      .join(kept.select(col("doc_id"), col("ratio_duplique"), col("lm_score")), Seq("doc_id"))
+      .select(col("stratum"), col("rang"), col("doc_id"), col("ratio_duplique"), col("lm_score"))
+      .orderBy(col("stratum"), col("rang"))
+  }
+  private val p02Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), gpos AS (
+      |  SELECT doc_id, a, unnest(range(1, len(a) - 8 + 2)) AS pos
+      |  FROM arr WHERE len(a) >= 8
+      |), grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(a[pos:pos+7], ' ')) AS h FROM gpos
+      |), dup AS (
+      |  SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2
+      |), hits AS (
+      |  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), isl AS (
+      |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY 1, 2
+      |), sagg AS (
+      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1
+      |), ratio AS (
+      |  SELECT arr.doc_id,
+      |    ROUND(CAST(COALESCE(sagg.dup_tokens, 0) AS DOUBLE)
+      |          / greatest(CAST(len(a) AS DOUBLE), 1.0), 6) AS ratio_duplique
+      |  FROM arr LEFT JOIN sagg ON arr.doc_id = sagg.doc_id
+      |), bl AS (
+      |  SELECT doc_id, list_transform(range(1, len(a)), i -> [a[i], a[i+1]]) AS bs
+      |  FROM arr WHERE len(a) >= 2
+      |), bx AS (
+      |  SELECT doc_id, unnest(bs) AS b FROM bl
+      |), big AS (
+      |  SELECT doc_id, b[1] AS w1, b[2] AS w2, COUNT(*) AS n FROM bx GROUP BY 1, 2, 3
+      |), bic AS (
+      |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM big GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(a) AS tok FROM arr)
+      |), sc AS (
+      |  SELECT big.doc_id, CAST(SUM(big.n) AS BIGINT) AS nb,
+      |         SUM(big.n * ln((bic.c12 + 0.5) / (uni.c1 + 0.5 * voc.v))) AS s
+      |  FROM big JOIN bic USING (w1, w2) JOIN uni USING (w1), voc
+      |  GROUP BY 1
+      |), lm AS (
+      |  SELECT d.doc_id, ROUND(sc.s / sc.nb, 6) AS lm_score
+      |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |), med AS (
+      |  SELECT quantile_cont(lm_score, 0.5) AS m FROM lm
+      |), kept AS (
+      |  SELECT d.doc_id, d.source, r.ratio_duplique, l.lm_score
+      |  FROM documents d
+      |  JOIN ratio r ON d.doc_id = r.doc_id
+      |  JOIN lm l ON d.doc_id = l.doc_id, med
+      |  WHERE r.ratio_duplique < 0.5 AND l.lm_score >= med.m
+      |), rk AS (
+      |  SELECT doc_id, source, ratio_duplique, lm_score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
+      |  FROM kept
+      |)
+      |SELECT source AS stratum, CAST(rang AS BIGINT) AS rang, doc_id, ratio_duplique, lm_score
+      |FROM rk WHERE rang <= 10
+      |ORDER BY stratum, rang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
   // kept, lowercased), with document frequency, deterministic
   // lexicographic tiebreak. Map-side-combined hash aggregate on bigram +
@@ -2203,6 +2303,7 @@ object PipelineQueries {
     Q("d27_stratified_sample", "exact per-source quota sample by md5 rank (two-phase top-n)", d27, Some(d27Sql)),
     Q("d22_shard_emit", "materialized packed shards read back, per-shard content fingerprints", d22, Some(d22Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
+    Q("p02_curated_sample", "composed curation: span screen → LM median filter → per-source quota sample", p02, Some(p02Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),

@@ -28,6 +28,13 @@ class CatalogDocsSpec extends AnyFunSuite {
     assert(ghosts.isEmpty, s"COVERAGE.md mentions non-catalog queries: ${ghosts.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every ScaleStress query name resolves in the catalog") {
+    // a renamed catalog query must not silently break the growth
+    // harness mid-run (queryFn would throw only when its cell starts)
+    val ghosts = ScaleStress.names.toSet -- SparkEntry.queries.keySet - "z99_planted_superlinear"
+    assert(ghosts.isEmpty, s"ScaleStress names not in the catalog: ${ghosts.toSeq.sorted.mkString(", ")}")
+  }
+
   test("README.md carries the current catalog count") {
     val readme = read("README.md")
     val n = SparkEntry.queries.size
