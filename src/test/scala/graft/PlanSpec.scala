@@ -85,7 +85,8 @@ class PlanSpec extends SparkSpec {
     // both stream the corpus against a broadcast handful of queries)
     val allowedBnlj = Set("q06_bounds_between", "q07_revenue_share", "q14_zscore_daily", "e01_knn_brute",
       "e05_knn_pq",
-      "q31_measure_filter") // 1-row grand-total broadcast for the P12 measure threshold
+      "q31_measure_filter", // 1-row grand-total broadcast for the P12 measure threshold
+      "p02_curated_sample") // 1-row median-score broadcast gating the keep filter
     // these run jobs at construction (writes, streaming, iteration) —
     // their plan shapes are covered by dedicated tests above
     val skip = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
@@ -165,6 +166,29 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"),
         s"$q: the duplicated-fingerprint set must broadcast under the budget:\n$p")
     }
+  }
+
+  test("d29: both LM model sides broadcast; no corpus-token-keyed exchange") {
+    // the (doc, w1, w2)-keyed exchange shuffled ~a row per corpus token
+    // for near-zero reduction (208 s at the 1000x stress before the
+    // raw-rollup rewrite); the only exchanges are the vocabulary-bounded
+    // model aggregations and the map-side-collapsing doc rollup
+    val p = plan(SparkEntry.queries("d29_lm_perplexity")(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"bic, uni and the score-back join must broadcast, saw $broadcasts:\n$p")
+    assert(!p.contains("w2#") || !"hashpartitioning\\([^)]*doc_id[^)]*w2".r.findFirstIn(p).isDefined,
+      s"d29 must never exchange on (doc, w1, w2):\n$p")
+  }
+
+  test("d30: dup grams broadcast under budget; the island window keys on doc_id, never the gram") {
+    val p = plan(SparkEntry.queries("d30_span_dedup")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"d30: the duplicated-fingerprint set must broadcast under the budget:\n$p")
+    // every Window must partition by doc_id — a gram-keyed window would
+    // serialize hot boilerplate fingerprints through one task
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty && windowSpecs.forall(_.contains("doc_id")),
+      s"d30 windows must partition by doc_id:\n${windowSpecs.mkString("\n")}")
   }
 
   test("d19: the repetition pass is pure map — no exchange except the presentation sort") {
