@@ -30,14 +30,26 @@ object Bench {
     * the kernel — a regression in our operators must never loosen the
     * budgets that exist to catch it.
     */
+  /** Bump when the fixture definition below changes: the cache marker
+    * carries it, so a machine holding last round's fixture re-writes
+    * instead of silently timing the wrong workload (the ingest-setup
+    * fingerprint convention).
+    */
+  private val ioProbeFormat = "ioprobe-8m-xxh-md5-v1"
+
   private def probeIo(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ioprobe"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    val marker = new java.io.File(s"$dir/_FORMAT")
+    val markerFresh = new java.io.File(s"$dir/_SUCCESS").exists() &&
+      marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == ioProbeFormat
+    if (!markerFresh) {
       spark.range(0, 8000000L, 1, 32)
         .select(col("id"), xxhash64(col("id")).as("h"),
           md5(col("id").cast("string")).as("s"))
         .write.mode("overwrite").parquet(dir)
+      java.nio.file.Files.write(marker.toPath, ioProbeFormat.getBytes)
     }
     val t0 = System.nanoTime()
     spark.read.parquet(dir)

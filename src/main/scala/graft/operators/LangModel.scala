@@ -44,9 +44,10 @@ object LangModel {
     */
   final case class BigramLm(bic: DataFrame, uni: DataFrame, vocabSize: Long, k: Double)
 
+  // the canonical tokenizer shared with the dedup/packing tier — the LM
+  // must never diverge from the tokens spanDedup/p02 compose it with
   private def tokenArray(textCol: org.apache.spark.sql.Column) =
-    when(length(trim(textCol)) > 0, split(trim(textCol), "\\s+"))
-      .otherwise(array().cast(ArrayType(StringType)))
+    graft.functions.Text.tokens(textCol)
 
   /** Raw per-occurrence bigram rows (doc, w1, w2): a map-only expansion,
     * deliberately NOT pre-aggregated — keying an exchange on

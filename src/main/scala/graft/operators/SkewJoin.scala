@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * row then matches exactly one replica of its key's small-side row,
   * so the union of the two branches is row-identical to the unsalted
   * inner join (gated as k01 against the plain-join oracle).
+  *
+  * NOTE: unlike the metadata-sized operators (Dedup's no-hidden-job
+  * rule), [[salted]] DOES run a job at construction time — the sampled
+  * census — and the hot/cold branches each re-execute `big`'s lineage.
+  * That is inherent to data-dependent skew statistics (AQE pays the
+  * same price from runtime stats); callers joining an EXPENSIVE derived
+  * pipeline should checkpoint it first, or pass a pre-computed hot set
+  * via [[saltedWithHotKeys]] and skip the census.
   */
 object SkewJoin {
 
@@ -45,18 +53,27 @@ object SkewJoin {
   ): Seq[Any] = {
     require(sampleFraction > 0 && sampleFraction <= 1, "sampleFraction must be in (0, 1]")
     val parts = big.sparkSession.sessionState.conf.numShufflePartitions
-    val top = big.select(col(key))
+    // eager localCheckpoint: the grouped census serves TWO actions (the
+    // full-sample total and the top-k head) — without it the sampled
+    // scan + groupBy would recompute per action
+    val grouped = big.select(col(key))
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col(key))
-      .limit(MaxHotKeys)
-      .collect()
+      .localCheckpoint(true)
     // threshold in SAMPLED rows — the fraction cancels out of the
-    // share comparison, so no scale-up arithmetic is needed. The
+    // share comparison, so no scale-up arithmetic is needed. The total
+    // MUST be the whole sample, not the collected head: past MaxHotKeys
+    // distinct keys a head-only sum undercounts the denominator and
+    // classifies warm/cold keys hot (replicating the small side for
+    // them — the exact cost the split join exists to avoid). The
     // absolute floor keeps noise out: a key seen a handful of times in
     // the sample has no trustworthy frequency estimate (on a tiny
     // input, EVERY key lands there — and a tiny input needs no salt).
-    val sampledTotal = top.map(_.getLong(1)).sum
+    val sampledTotal = grouped.agg(coalesce(sum(col("__cnt")), lit(0L))).head().getLong(0)
+    val top = grouped
+      .orderBy(col("__cnt").desc, col(key))
+      .limit(MaxHotKeys)
+      .collect()
     val threshold =
       math.max(hotFactor * sampledTotal / math.max(parts, 1), 7.0)
     top.filter(_.getLong(1) > threshold).map(_.get(0)).toSeq
@@ -70,9 +87,20 @@ object SkewJoin {
       salts: Int,
       sampleFraction: Double = 0.05,
       hotFactor: Double = 2.0
+  ): DataFrame =
+    saltedWithHotKeys(big, small, key, salts, hotKeys(big, key, sampleFraction, hotFactor))
+
+  /** The census-free form: callers who already know (or precomputed)
+    * the hot set skip the sampled job entirely.
+    */
+  def saltedWithHotKeys(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      hot: Seq[Any]
   ): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val hot = hotKeys(big, key, sampleFraction, hotFactor)
     if (hot.isEmpty) big.join(small, Seq(key))
     else {
       // isin compiles to an O(1)-per-row InSet past a few items and the

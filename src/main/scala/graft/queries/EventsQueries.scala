@@ -223,7 +223,7 @@ object EventsQueries {
       |  ON i.user_id = c.user_id
       | AND i.event_type = 'error' AND c.event_type = 'click'
       | AND epoch_us(c.ts) >= epoch_us(i.ts)
- AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
+      | AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
       |GROUP BY i.event_id, i.user_id
       |ORDER BY i.event_id""".stripMargin
 

@@ -68,6 +68,20 @@ class SkewJoinSpec extends SparkSpec {
     assert(df.count() == 64)
   }
 
+  test("census truncation past MaxHotKeys never inflates hotness (full-sample denominator)") {
+    // 475k singleton-ish keys (20 rows each) push the collected census
+    // far past the 65536-key head; one 500k-row key holds a 5% share —
+    // well under hotFactor x avg-reducer (2 x 10M/8 = 2.5M), so it must
+    // NOT be hot. A head-only total (~1.8M) would halve the threshold
+    // into wrongly salting it.
+    import spark.implicits._
+    val big = spark.range(0, 9500000L, 1, 8)
+      .select((col("id") % 475000L).cast("string").as("k"))
+      .unionAll(spark.range(0, 500000L, 1, 8).select(lit("whale").as("k")))
+    val hot = SkewJoin.hotKeys(big, "k", sampleFraction = 1.0)
+    assert(hot.isEmpty, s"no key holds a 2x reducer share, but got hot=$hot")
+  }
+
   test("salting actually spreads the hot key across salt values") {
     val big = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
     val salts = big
