@@ -400,9 +400,12 @@ object Similarity {
     * and the negative is exact — the gating configuration; production
     * uses small nProbe and accepts approximate negatives.
     *
-    * Scale shape: positives inherit the LSH pass's bucketed plan; the
+    * Scale shape: positives inherit the LSH pass's bucketed plan (and
+    * are eagerly checkpointed — two consumers, one execution); the
     * negative scan is the e04 probe join keyed on cell. The probe side
-    * is broadcast like ivfKnnTrained's — it carries only ANCHORS.
+    * carries only ANCHORS and broadcasts under the dedup broadcast
+    * budget (`spark.graft.dedup.sigBroadcastBytes`, driver-clamped);
+    * past it the probe join falls back to a cell-keyed shuffle.
     * `maxAnchors` bounds one mining BATCH (lowest anchor ids first,
     * deterministic): candidate volume is then
     * maxAnchors · nProbe · |corpus| / |cents| — LINEAR in the corpus —
@@ -433,10 +436,16 @@ object Similarity {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") === 1)
       .select(col("anchor_id"), col("partner_id").as("positive_id"), col("cosine").as("pos_cosine"))
-    // batch bound: TakeOrdered on anchor_id — deterministic, no full sort
+    // batch bound: TakeOrdered on anchor_id — deterministic, no full sort.
+    // Eagerly checkpointed: the LSH pair pipeline above is the expensive
+    // half of this operator and positives feed TWO consumers (the probe
+    // join and the final result join) — without materialization the whole
+    // banded pass would execute twice per mining batch. Rows are narrow
+    // (two ids + a double), bounded by the anchor count.
     val positives =
-      if (maxAnchors > 0) allPositives.orderBy(col("anchor_id")).limit(maxAnchors)
-      else allPositives
+      (if (maxAnchors > 0) allPositives.orderBy(col("anchor_id")).limit(maxAnchors)
+       else allPositives)
+        .localCheckpoint(true)
     val c = em
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("cell", nearestCell(col("v_c"), cents))
@@ -445,9 +454,27 @@ object Similarity {
       .join(positives.select(col("anchor_id")), Seq("anchor_id"))
       .withColumn("cell",
         explode(VectorExpr.topKIndices(VectorExpr.centroidScores(col("v_q"), cents), nProbe)))
+    // The probe side carries every anchor's FULL double vector × nProbe
+    // exploded cells — broadcast it only under the dedup broadcast budget
+    // (anchors · nProbe · (dim·8 + 48) bytes, the sigBroadcastBytes
+    // convention); an unbounded maxAnchors on a dup-dense corpus would
+    // otherwise collect an arbitrarily large relation onto the driver.
+    // Past the budget the probe join degrades to a shuffle on cell —
+    // correct, just not map-side. Both scalars are bounded driver work:
+    // the count reads the checkpointed narrow positives, dim one row.
+    val nAnchors = positives.count()
+    val dim = em.limit(1).select(size(Vectors.toDouble(col(vecCol))).as("d"))
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val probeBudget = Dedup.clampToDriverLimit(em.sparkSession,
+      em.sparkSession.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(Dedup.parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+    val probeBroadcastable = nAnchors <= probeBudget / math.max(nProbe.toLong * (dim * 8L + 48L), 1L)
+    val probeSide = if (probeBroadcastable) broadcast(probed) else probed
     val wn = Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     val negatives = c
-      .join(broadcast(probed), Seq("cell"))
+      .join(probeSide, Seq("cell"))
       .filter(col("anchor_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(Vectors.cosine(col("v_q"), col("v_c")), 6))
       .filter(col("cosine") < threshold)

@@ -51,10 +51,10 @@ object PipelineQueries {
   }
   private val d02Sql =
     """SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
       |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
       |  n_chars,
-      |  ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |  ROUND(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0
       |        ELSE (CAST(n_chars AS DOUBLE) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))
       |             / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS longueur_moy_token
       |FROM documents
@@ -339,7 +339,7 @@ object PipelineQueries {
       |  FROM bits GROUP BY doc_id
       |)
       |SELECT d.doc_id, coalesce(fp.simhash, repeat('0', 64)) AS simhash,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
       |FROM documents d LEFT JOIN fp USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
@@ -1161,7 +1161,7 @@ object PipelineQueries {
   private val s09Sql =
     """WITH arr AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
       |  FROM documents
       |), bl AS (
@@ -1183,7 +1183,7 @@ object PipelineQueries {
       |  FROM (SELECT doc_id AS src_id, text FROM documents WHERE doc_id % 10 = 0)
       |), arrb AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
       |  FROM feed
       |), blb AS (
@@ -1238,7 +1238,7 @@ object PipelineQueries {
   private val d15Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
       |  FROM documents
       |),
@@ -1277,7 +1277,7 @@ object PipelineQueries {
   private val d17Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
       |  FROM documents
       |),
@@ -1385,7 +1385,7 @@ object PipelineQueries {
   private val d16Sql =
     """WITH sh AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0
       |           OR len(regexp_split_to_array(trim(text), '\s+')) < 3
       |         THEN CAST([] AS VARCHAR[])
       |         ELSE list_distinct(list_transform(
@@ -1497,7 +1497,7 @@ object PipelineQueries {
        |),
        |t AS (
        |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
        |  FROM documents
        |),
@@ -1601,7 +1601,7 @@ object PipelineQueries {
       )
       .orderBy(col("doc_id"))
   private val d08Sql = {
-    val ws = """CASE WHEN length(trim(text)) = 0 THEN 0
+    val ws = """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin
     s"""SELECT doc_id,
        |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_regex,
@@ -1636,9 +1636,9 @@ object PipelineQueries {
   }
   private val d23Sql =
     """SELECT doc_id,
-      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |  CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
       |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_mots,
-      |  md5(CASE WHEN length(trim(text)) = 0 THEN ''
+      |  md5(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
       |      ELSE array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') END)
       |    AS empreinte_recomposee
       |FROM documents
@@ -1672,7 +1672,7 @@ object PipelineQueries {
       |),
       |tok AS (
       |  SELECT doc_id, pos,
-      |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |           ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
       |  FROM lab
       |),
@@ -1713,7 +1713,7 @@ object PipelineQueries {
   private val d29Sql =
     """WITH arr AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
       |  FROM documents
       |), bl AS (
@@ -1756,7 +1756,7 @@ object PipelineQueries {
   private val d30Sql =
     """WITH arr AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
       |  FROM documents
       |), gpos AS (
@@ -1826,7 +1826,7 @@ object PipelineQueries {
   private val p02Sql =
     """WITH arr AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
       |  FROM documents
       |), gpos AS (
@@ -2034,7 +2034,7 @@ object PipelineQueries {
   private val d18Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       |  FROM documents
       |),
@@ -2068,7 +2068,7 @@ object PipelineQueries {
   private val d20Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       |  FROM documents
       |),
@@ -2130,7 +2130,7 @@ object PipelineQueries {
   private val d22Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
       |  FROM documents
       |),
@@ -2204,7 +2204,7 @@ object PipelineQueries {
   private val d19Sql =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
       |  FROM documents
       |),

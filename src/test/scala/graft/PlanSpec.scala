@@ -176,8 +176,14 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("d29_lm_perplexity")(spark, sfDir))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
     assert(broadcasts >= 3, s"bic, uni and the score-back join must broadcast, saw $broadcasts:\n$p")
-    assert(!p.contains("w2#") || !"hashpartitioning\\([^)]*doc_id[^)]*w2".r.findFirstIn(p).isDefined,
-      s"d29 must never exchange on (doc, w1, w2):\n$p")
+    // order-independent: NO hashpartitioning clause may carry both the
+    // doc id and a word attribute, whatever order Catalyst prints them in
+    // (the old doc_id-before-w2 regex would miss a (w1, w2, doc_id) key)
+    val mixedKeys = "hashpartitioning\\([^)]*\\)".r.findAllIn(p)
+      .filter(c => c.contains("doc_id") && (c.contains("w1#") || c.contains("w2#")))
+      .toSeq
+    assert(mixedKeys.isEmpty,
+      s"d29 must never exchange on (doc, w1, w2): ${mixedKeys.mkString("; ")}\n$p")
   }
 
   test("d30: dup grams broadcast under budget; the island window keys on doc_id, never the gram") {
