@@ -81,7 +81,7 @@ object Dedup {
     * compiled map kernel beats both caching a corpus-scale
     * intermediate and the skewed full-width window exchange.
     */
-  private def duplicatedFingerprints(chunks: DataFrame): DataFrame = {
+  private def duplicatedFingerprints(chunks: DataFrame, keyBytes: Long = 32L): DataFrame = {
     val spark = chunks.sparkSession
     // eager localCheckpoint, NOT cache(): it materializes once for the
     // sizing count + the join reuse like a cache would, but its blocks
@@ -100,10 +100,11 @@ object Dedup {
         .getOption("spark.graft.dedup.sigBroadcastBytes")
         .map(parseBytes)
         .getOrElse(512L * 1024 * 1024))
-    // 32 hex chars UTF-8 + per-row overhead, same accounting as the
-    // sig budget; the checkpoint above already materialized the set
+    // key payload (32 hex chars UTF-8 for md5, 8 for a long) + per-row
+    // overhead, same accounting as the sig budget; the checkpoint above
+    // already materialized the set
     val nDup = dup.count()
-    if (nDup * (32L + 48L) <= budget) broadcast(dup) else dup
+    if (nDup * (keyBytes + 48L) <= budget) broadcast(dup) else dup
   }
 
   /** Chunk-level dedup signals (the paragraph-dedup pass of CCNet-style
@@ -230,41 +231,88 @@ object Dedup {
     * rows ∝ duplicated grams, not the corpus — partitioned by doc_id
     * (no global sort, no skew beyond a single document's own length).
     */
-  def spanDedup(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      gramTokens: Int = 8
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = gramTokens
-    val base = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("a"))
-    val grams = base
+  /** The shared tokenized base of the span operators: (doc_id, a). */
+  private def tokenBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("a"))
+
+  /** Sliding k-gram fingerprint rows (doc_id, pos, h) over a tokenized
+    * base — pure map (positions via an in-row transform; only the
+    * fingerprint ever shuffles, never text). `exactFingerprints` picks
+    * the key: full 128-bit md5 (collision-free at any corpus size,
+    * cross-engine verifiable — the gated config) vs xxhash64 (8-byte
+    * long keys — ~4× less key weight through the frequency exchange,
+    * the hottest shuffle of the span operators; the d05 md5-gated /
+    * xxhash64-production precedent. A collision manufactures a false
+    * duplicated span; birthday-bounded ≈ m²/2⁶⁵ ≈ 0.2% TOTAL across
+    * 3·10⁸ grams, each mislabeling one k-token window — the standard
+    * production trade).
+    */
+  private def slidingGrams(base: DataFrame, k: Int, exactFingerprints: Boolean): DataFrame = {
+    val gramHash: Column => Column =
+      if (exactFingerprints) md5 else (c: Column) => xxhash64(c)
+    base
       .where(size(col("a")) >= k)
       .select(
         col("doc_id"),
         explode(
           transform(
             sequence(lit(1), size(col("a")) - k + 1),
-            i => struct(i.as("pos"), md5(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
+            i => struct(i.as("pos"), gramHash(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
           )
         ).as("g")
       )
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val hits = grams
-      .join(duplicatedFingerprints(grams.select(col("h"))).withColumn("dup", lit(1)), Seq("h"))
-      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Gaps-and-islands merge of duplicated-gram HIT positions into
+    * maximal spans (doc_id, island, s, e). Windows over hits only —
+    * rows ∝ duplicated grams, not the corpus — partitioned by doc_id.
+    */
+  private def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)
     // same island while the next gram starts inside-or-adjacent to the
     // running span (pos ≤ prev + k); strictly past it starts a new one
-    val withIsland = hits
+    hits
       .withColumn("brk", when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(w))
-    val spans = withIsland
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
-    val perDoc = spans
+  }
+
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
+  ): DataFrame =
+    spanDedupTokens(tokenBase(docs, idCol, textCol), "doc_id", "a", gramTokens, exactFingerprints)
+
+  /** [[spanDedup]] over a PRE-TOKENIZED relation (idCol, tokensCol) —
+    * the composition entry point: a pipeline that also trains/scores an
+    * LM or packs sequences tokenizes the corpus ONCE and feeds the same
+    * relation everywhere (p02 measured ~4 independent tokenizations
+    * before this split; see LangModel's token-relation twins).
+    */
+  def spanDedupTokens(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
+  ): DataFrame = {
+    val k = gramTokens
+    val base = toks.select(col(idCol).as("doc_id"), col(tokensCol).as("a"))
+    val grams = slidingGrams(base, k, exactFingerprints)
+    val keyBytes = if (exactFingerprints) 32L else 8L
+    val hits = grams
+      .join(
+        duplicatedFingerprints(grams.select(col("h")), keyBytes).withColumn("dup", lit(1)),
+        Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val perDoc = mergeSpans(hits, k)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -284,6 +332,95 @@ object Dedup {
           6
         ).as("ratio_duplique")
       )
+  }
+
+  /** The duplicated-gram set WITH its survivor: fingerprints occurring
+    * ≥ 2 times anywhere, each carrying the global FIRST occurrence
+    * (lexicographic min over (doc_id, pos) — deterministic, engine-
+    * agnostic). Same map-side-combinable groupBy + budgeted-broadcast
+    * contract as [[duplicatedFingerprints]]; the payload is three
+    * narrow columns per DISTINCT duplicated fingerprint.
+    */
+  private def duplicatedFirstOccurrences(grams: DataFrame, keyBytes: Long): DataFrame = {
+    val spark = grams.sparkSession
+    val dup = grams
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("n_occ") >= 2)
+      .select(
+        col("h"),
+        col("f").getField("doc_id").as("first_doc"),
+        col("f").getField("pos").as("first_pos"))
+      .localCheckpoint(true)
+    val budget = clampToDriverLimit(spark,
+      spark.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+    val nDup = dup.count()
+    if (nDup * (keyBytes + 12L + 48L) <= budget) broadcast(dup) else dup
+  }
+
+  /** The APPLY side of [[spanDedup]] — ExactSubstr-style duplicated-span
+    * REMOVAL: rebuild each document with every corpus-duplicated span
+    * scrubbed, keeping ONE survivor occurrence per gram (the global
+    * first occurrence in (doc_id, pos) order — deterministic, so the
+    * duplicated content survives exactly once in the corpus instead of
+    * vanishing entirely). A gram occurrence is a removal hit iff its
+    * fingerprint occurs ≥ 2 times corpus-wide AND this occurrence is
+    * not the survivor; hits merge into maximal spans (the d30 islands)
+    * and every token covered by a span is dropped. Unlike
+    * [[chunkScrub]]'s fixed 16-token chunks, this removes duplicated
+    * runs at ANY offset — the unaligned-boilerplate case chunk-grain
+    * scrubbing misses. Sub-width and unique docs keep their full
+    * (whitespace-normalized) text.
+    *
+    * Output per doc: (doc_id, texte_nettoye, n_tokens_gardes); a fully
+    * duplicated non-survivor doc scrubs to the empty string.
+    *
+    * Scale shape: gram fingerprinting is pure map; the survivor pass is
+    * the same map-side-combinable groupBy(h) as every span/chunk
+    * operator (min(struct) combines partially — no (h)-keyed window,
+    * no per-occurrence serialization of hot boilerplate); the mark join
+    * is map-side under the broadcast budget; islands window over HITS
+    * only. The rebuild joins the tokenized corpus LEFT to the per-doc
+    * span lists — the span side is ∝ duplicated docs and narrow, so AQE
+    * broadcasts it at low dup rates and the corpus is never shuffled at
+    * all; the token drop itself is in-row (filter over merged DISJOINT
+    * spans, O(tokens · spans/doc) with spans/doc ≤ tokens/k).
+    */
+  def spanScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
+  ): DataFrame = {
+    val k = gramTokens
+    val base = tokenBase(docs, idCol, textCol)
+    val grams = slidingGrams(base, k, exactFingerprints)
+    val keyBytes = if (exactFingerprints) 32L else 8L
+    val hits = grams
+      .join(duplicatedFirstOccurrences(grams, keyBytes), Seq("h"))
+      .filter(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
+      .select(col("doc_id"), col("pos"))
+    val spanLists = mergeSpans(hits, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    base
+      .join(spanLists, Seq("doc_id"), "left")
+      .withColumn(
+        "kept",
+        when(col("spans").isNull, col("a"))
+          .otherwise(filter(col("a"), (_, i) =>
+            !exists(col("spans"), sp =>
+              (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("kept")).as("texte_nettoye"),
+        size(col("kept")).cast("long").as("n_tokens_gardes"))
   }
 
   /** MinHash + LSH near-duplicate pairs.

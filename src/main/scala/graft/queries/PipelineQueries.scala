@@ -1793,6 +1793,79 @@ object PipelineQueries {
       |ORDER BY arr.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d31 — duplicated-span REMOVAL (the apply side of d30, ExactSubstr
+  // style): every corpus-duplicated ≥8-token run is scrubbed from all
+  // its occurrences EXCEPT the global first (survivor in (doc_id, pos)
+  // order), so duplicated content survives exactly once. The oracle
+  // re-derives the grams, the survivor pick, the island merge AND the
+  // rebuilt text (ORDER BY position string_agg) entirely in SQL.
+  // ---------------------------------------------------------------------
+  private def d31(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .spanScrub(Tables.documents(spark, dir), "doc_id", "text", gramTokens = 8)
+      .orderBy(col("doc_id"))
+  private val d31Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), gpos AS (
+      |  SELECT doc_id, a, unnest(range(1, len(a) - 8 + 2)) AS pos
+      |  FROM arr WHERE len(a) >= 8
+      |), grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(a[pos:pos+7], ' ')) AS h FROM gpos
+      |), occ AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS c
+      |  FROM grams
+      |), hits AS (
+      |  SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), isl AS (
+      |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk
+      |), spans AS (
+      |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY 1, 2
+      |), tv AS (
+      |  SELECT doc_id, i, a[i] AS t
+      |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM arr)
+      |), removed AS (
+      |  SELECT DISTINCT tv.doc_id, tv.i
+      |  FROM tv JOIN spans s ON tv.doc_id = s.doc_id AND tv.i BETWEEN s.s AND s.e
+      |), keptv AS (
+      |  SELECT tv.doc_id, tv.i, tv.t
+      |  FROM tv LEFT JOIN removed r ON tv.doc_id = r.doc_id AND tv.i = r.i
+      |  WHERE r.i IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS texte_nettoye,
+      |         CAST(COUNT(*) AS BIGINT) AS n_tokens_gardes
+      |  FROM keptv GROUP BY doc_id
+      |)
+      |SELECT arr.doc_id,
+      |  COALESCE(rebuilt.texte_nettoye, '') AS texte_nettoye,
+      |  COALESCE(rebuilt.n_tokens_gardes, 0) AS n_tokens_gardes
+      |FROM arr LEFT JOIN rebuilt ON arr.doc_id = rebuilt.doc_id
+      |ORDER BY arr.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d32 — d30's PRODUCTION fast path: identical span detection with
+  // xxhash64 gram keys (8-byte longs) instead of 32-hex-char md5 —
+  // ~4× less key weight through the frequency exchange, the hottest
+  // shuffle of the span tier (the d05 md5-gated / xxhash64-production
+  // precedent). Gated with d30's OWN oracle: absent a 64-bit collision
+  // (birthday-bounded ≈ 3e-10 at gate scale) the spans are identical.
+  // ---------------------------------------------------------------------
+  private def d32(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .spanDedup(Tables.documents(spark, dir), "doc_id", "text", gramTokens = 8,
+        exactFingerprints = false)
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // p02 — the round-11 curation pipeline composed end to end: duplicated-
   // span screen (d30) → corpus-LM scoring (d29) → keep docs at/above the
   // in-query exact MEDIAN score with span coverage < 0.5 → per-source
@@ -2284,6 +2357,8 @@ object PipelineQueries {
     Q("d24_quality_classifier", "hashed-NB quality filter; oracle recomputes training and dot products", d24, Some(d24Sql)),
     Q("d29_lm_perplexity", "corpus bigram-LM perplexity scoring; oracle retrains the smoothed model in SQL", d29, Some(d29Sql)),
     Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),
+    Q("d31_span_scrub", "duplicated-span removal keeping the first-occurrence survivor (apply side of d30)", d31, Some(d31Sql)),
+    Q("d32_span_dedup_fast", "d30's xxhash64 production fast path == the md5-gated spans", d32, Some(d30Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),

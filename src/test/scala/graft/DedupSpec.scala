@@ -61,6 +61,63 @@ class DedupSpec extends SparkSpec {
     assert(got(11L) == ((12L, 1L, 12L)))
   }
 
+  test("spanScrub: survivor occurrence kept, unaligned span removed where chunk scrub misses") {
+    // the shared 6-token run sits at pos 1 in doc 1 and pos 3 in doc 2:
+    // doc 1 holds the global first occurrence of every duplicated gram
+    // (the survivor) and must keep its full text; doc 2 loses exactly
+    // the run — REGARDLESS of chunk alignment (chunkScrub at width 4
+    // sees different chunks in the two docs and removes nothing).
+    val run = "r1 r2 r3 r4 r5 r6"
+    val df = Seq(
+      (1L, s"$run u1 u2 u3"),
+      (2L, s"v1 v2 $run w1"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"), // nothing shared → untouched
+      (4L, "y1 y2"),                       // sub-width → untouched (unlike chunkScrub)
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((s"$run u1 u2 u3", 9L)),
+      2L -> (("v1 v2 w1", 3L)),
+      3L -> (("x1 x2 x3 x4 x5 x6 x7 x8 x9", 9L)),
+      4L -> (("y1 y2", 2L)),
+      5L -> (("", 0L))
+    ))
+    // the chunk-grain scrub misses the doc-2 occurrence entirely at
+    // width 4 with these alignments — that gap is WHY spanScrub exists
+    val chunked = Dedup.chunkScrub(df, "doc_id", "text", chunkTokens = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunked(2L) === 2L, "chunk scrub keeps both doc-2 chunks (no aligned duplicate)")
+  }
+
+  test("spanScrub: within-doc repeat loses its second occurrence; full duplicate scrubs to empty") {
+    val df = Seq(
+      (10L, "a b c p q r a b c"),    // "a b c" repeats at pos 1 and 7: keep the first
+      (11L, "m n o q s t u"),        // global first occurrence of the whole doc
+      (12L, "m n o q s t u")         // exact copy → every gram non-first → empty
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      10L -> (("a b c p q r", 6L)),
+      11L -> (("m n o q s t u", 7L)),
+      12L -> (("", 0L))
+    ))
+  }
+
+  test("span operators: the xxhash64 fast path equals the md5-gated path (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(
+      rows(Dedup.spanDedup(docs, "doc_id", "text", 8, exactFingerprints = false)) ==
+        rows(Dedup.spanDedup(docs, "doc_id", "text", 8, exactFingerprints = true)))
+    assert(
+      rows(Dedup.spanScrub(docs, "doc_id", "text", 8, exactFingerprints = false)) ==
+        rows(Dedup.spanScrub(docs, "doc_id", "text", 8, exactFingerprints = true)))
+  }
+
   test("chunkDedup: cross-doc boilerplate, within-doc repeats, short and blank docs") {
     val df = Seq(
       (1L, "a b c d e f g h"),         // "a b c d" shared with doc 2

@@ -186,15 +186,19 @@ class PlanSpec extends SparkSpec {
       s"d29 must never exchange on (doc, w1, w2): ${mixedKeys.mkString("; ")}\n$p")
   }
 
-  test("d30: dup grams broadcast under budget; the island window keys on doc_id, never the gram") {
-    val p = plan(SparkEntry.queries("d30_span_dedup")(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"),
-      s"d30: the duplicated-fingerprint set must broadcast under the budget:\n$p")
-    // every Window must partition by doc_id — a gram-keyed window would
-    // serialize hot boilerplate fingerprints through one task
-    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowSpecs.nonEmpty && windowSpecs.forall(_.contains("doc_id")),
-      s"d30 windows must partition by doc_id:\n${windowSpecs.mkString("\n")}")
+  test("d30/d31/d32: dup grams broadcast under budget; island windows key on doc_id, never the gram") {
+    for (q <- Seq("d30_span_dedup", "d31_span_scrub", "d32_span_dedup_fast")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the duplicated-fingerprint set must broadcast under the budget:\n$p")
+      // every Window must partition by doc_id — a gram-keyed window would
+      // serialize hot boilerplate fingerprints through one task (and for
+      // d31 specifically, an (h)-keyed ROW_NUMBER survivor pick would too;
+      // the survivor must come from the map-side-combinable min(struct))
+      val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windowSpecs.nonEmpty && windowSpecs.forall(_.contains("doc_id")),
+        s"$q windows must partition by doc_id:\n${windowSpecs.mkString("\n")}")
+    }
   }
 
   test("d19: the repetition pass is pure map — no exchange except the presentation sort") {
