@@ -61,8 +61,10 @@ object LangModel {
     * build the index list when >= 2 tokens.
     */
   private def rawBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol), tokenArray(col(textCol)).as("a"))
+    rawBigramsFromTokens(docs.select(col(idCol), tokenArray(col(textCol)).as("a")), idCol)
+
+  private def rawBigramsFromTokens(base: DataFrame, idCol: String): DataFrame =
+    base
       .where(size(col("a")) >= 2)
       .select(
         col(idCol),
@@ -79,16 +81,25 @@ object LangModel {
     * aggregation collapses to bigram TYPES before the exchange) plus
     * one driver scalar (the vocabulary count, not the corpus).
     */
-  def train(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): BigramLm = {
-    val bic = rawBigrams(docs, idCol, textCol)
+  def train(docs: DataFrame, idCol: String, textCol: String, k: Double = 0.5): BigramLm =
+    trainTokens(docs.select(col(idCol), tokenArray(col(textCol)).as("a")), idCol, "a", k)
+
+  /** [[train]] over a PRE-TOKENIZED relation (idCol, tokensCol) — the
+    * composition entry point (see [[Dedup.spanDedupTokens]]): a pipeline
+    * that also span-screens or packs tokenizes the corpus ONCE and feeds
+    * every stage the same relation.
+    */
+  def trainTokens(toks: DataFrame, idCol: String, tokensCol: String, k: Double = 0.5): BigramLm = {
+    val base = toks.select(col(idCol), col(tokensCol).as("a"))
+    val bic = rawBigramsFromTokens(base, idCol)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     // first-position counts fold out of the bigram-type counts — the
     // input here is the vocabulary-bounded model, NOT a second expansion
     // of the corpus (c(w1,·) = Σ_w2 c(w1,w2) exactly)
     val uni = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val v = docs
-      .select(explode(tokenArray(col(textCol))).as("tok"))
+    val v = base
+      .select(explode(col("a")).as("tok"))
       .agg(countDistinct(col("tok")))
       .head()
       .getLong(0)
@@ -107,12 +118,18 @@ object LangModel {
     * first-position count (so probabilities sum to 1 over the observed
     * vocabulary) and V the training corpus distinct-token count.
     */
-  def scoreWith(model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scoreWith(model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithTokens(model, docs.select(col(idCol), tokenArray(col(textCol)).as("a")), idCol, "a")
+
+  /** [[scoreWith]] over a PRE-TOKENIZED relation (idCol, tokensCol). */
+  def scoreWithTokens(
+      model: BigramLm, toks: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val base = toks.select(col(idCol), col(tokensCol).as("a"))
     // raw occurrences join the (AQE-broadcastable) model, then roll up
     // straight to doc_id: partial aggregation collapses map-side because
     // a document's bigrams are scan-contiguous — the exchange carries
     // ~|docs| rows, never a row per token
-    val scored = rawBigrams(docs, idCol, textCol)
+    val scored = rawBigramsFromTokens(base, idCol)
       .join(model.bic, Seq("w1", "w2"), "left")
       .join(model.uni, Seq("w1"), "left")
       .groupBy(col(idCol))
@@ -123,7 +140,7 @@ object LangModel {
             (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(model.k * model.vocabSize)))
         ).as("s")
       )
-    docs
+    base
       .select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(

@@ -1877,14 +1877,24 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   private def p02(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE corpus tokenization, eagerly materialized (localCheckpoint —
+    // blocks released by the ContextCleaner, the repo convention): the
+    // span screen's two gram passes, LM train, LM score, the vocab scan
+    // and the kept projection all read the same tokenized relation. The
+    // pre-round-12 composition re-tokenized the corpus ~4× — the
+    // heaviest 100× cell in SCALE.md r11 (49.3 s); results are
+    // bit-identical (same tokens), so the gate hash is unchanged.
+    val toks = docs
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("a"))
+      .localCheckpoint(true)
     val spans = Dedup
-      .spanDedup(docs, "doc_id", "text", gramTokens = 8)
+      .spanDedupTokens(toks, "doc_id", "a", gramTokens = 8)
       .select(col("doc_id"), col("ratio_duplique"))
     val lm = LangModel
-      .bigramScore(docs, "doc_id", "text")
+      .scoreWithTokens(LangModel.trainTokens(toks, "doc_id", "a"), toks, "doc_id", "a")
       .select(col("doc_id"), col("lm_score"))
     val med = lm.agg(expr("percentile(lm_score, 0.5)").as("med"))
-    val kept = docs
+    val kept = toks
       .select(col("doc_id"), col("source"))
       .join(spans, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
