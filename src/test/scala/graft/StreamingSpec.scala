@@ -139,6 +139,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("composed curate stream (s10) equals the one-shot dedup→quality→pack composition") {
+    import org.apache.spark.sql.functions.col
+    val wd = s"${System.getProperty("java.io.tmpdir")}/graft_s10_spec"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val oneShot = graft.streaming.IngestCurate
+      .oneShot(spark, sfDir, wd).collect().map(key).toSet
+    val streamedRows = graft.streaming.IngestCurate
+      .run(spark, sfDir, wd).collect().map(key)
+    val streamed = streamedRows.toSet
+    assert(streamed == oneShot,
+      "micro-batched curation must emit exactly the one-shot composition")
+    assert(streamedRows.length == oneShot.size, "no duplicate appends")
+    assert(streamed.nonEmpty)
+    // each stage must actually bite on this fixture: the feed is every
+    // 50th doc (planted near-dups of their predecessors — most get
+    // flagged by the dedup screen), and the median bar halves the rest
+    val nFeed = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") > 0).count()
+    assert(streamed.size < nFeed,
+      s"the composed screens kept all $nFeed feed docs — nothing was screened")
+  }
+
   test("watermark drops late events: out-of-order feed across micro-batches (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
