@@ -464,9 +464,15 @@ object PipelineQueries {
     )
     val corpus = em.unionByName(jittered)
     val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 3)
+    // production-config adjudication knob (SCALE.md): nProbe < 16 mines
+    // APPROXIMATE hard negatives at nList/nProbe of the probe cost.
+    // Only the scale harness sets it — the driver's Verify/Bench never
+    // do, so the gated config stays exhaustive (= the oracle); recall
+    // of the production config is pinned in SimilaritySpec.
+    val nProbe = sys.env.get("SPARK_GRAFT_E07_NPROBE").map(_.toInt).getOrElse(16)
     Similarity
       .tripletMine(corpus, "vec_id", "embedding", threshold = 0.99, cents,
-        nProbe = 16, maxAnchors = 256)
+        nProbe = nProbe, maxAnchors = 256)
       .orderBy(col("anchor_id"))
   }
   private val e07Sql =

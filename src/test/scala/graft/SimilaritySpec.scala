@@ -179,6 +179,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("tripletMine production nProbe: negative recall vs the exhaustive probe (e07 scale config)") {
+    // e07's GATE runs nProbe = |cents| so the hard negative is exact;
+    // production divides the probe cost by nList/nProbe (the SCALE.md
+    // adjudication). The approximation is one-sided: an IVF probe scans
+    // a SUBSET of the corpus, so the approximate negative's cosine can
+    // only be ≤ the exact one, and the probe ranking puts most exact
+    // negatives inside the top cells.
+    val em = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.trainCentroids(em, "vec_id", "embedding", k = 16, iters = 3)
+    def mine(nProbe: Int) = Similarity
+      .tripletMine(em, "vec_id", "embedding", threshold = 0.45, cents,
+        nProbe = nProbe, maxAnchors = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    val exact = mine(16)
+    val prod = mine(4)
+    assert(exact.nonEmpty)
+    // anchors can only be LOST (every probed neighbor a dup), never added
+    assert(prod.keySet.subsetOf(exact.keySet))
+    assert(prod.size.toDouble / exact.size >= 0.9,
+      s"production probe kept ${prod.size}/${exact.size} anchors")
+    // one-sided approximation
+    prod.foreach { case (a, (_, negCos)) => assert(negCos <= exact(a)._2 + 1e-9) }
+    val hit = prod.keys.count(a => prod(a)._1 == exact(a)._1)
+    assert(hit.toDouble / prod.size >= 0.7,
+      s"production negative == exact negative for only $hit/${prod.size} anchors")
+  }
+
   test("tripletMine at realistic nProbe: negatives stay non-dups with sane margins") {
     // the driver fixture has no 0.99-cosine pairs, so lower the bar to
     // catch organically-similar vectors as positives
