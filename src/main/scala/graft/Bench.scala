@@ -118,6 +118,14 @@ object Bench {
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
+      // harness parity with ScaleStress.run / OneQuery: drop blocks
+      // pinned by PREVIOUS queries (eager localCheckpoints survive
+      // until their RDD is GC'd) before starting the clock — retained
+      // block-manager state from checkpoint-carrying queries otherwise
+      // bleeds into every later cell (r12: s07 measured 5.4 s in-bench
+      // vs 2.9 s isolated with zero code delta, and the d22/d25 cells
+      // inflated the same way)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune per-row computed columns out of select-only

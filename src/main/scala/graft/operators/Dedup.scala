@@ -706,6 +706,71 @@ object Dedup {
         .as("sig"))
     .filter(col("sig").isNotNull)
 
+  /** The degenerate-bucket census over a published signature store —
+    * the corpus-only half of [[minhashLshAgainst]]'s `maxBucket`
+    * pruning, factored out so ingest pipelines compute it ONCE when the
+    * corpus is published (beside [[signatures]]) instead of paying a
+    * corpus-band exchange on EVERY micro-batch: the hot list depends
+    * only on the corpus, never on the arriving batch. Returns the
+    * (bb) rows of buckets holding more than `maxBucket` docs — tiny
+    * (boilerplate buckets only), broadcast by the screen's anti join.
+    * `bands`/`k` must match the store's signature scheme (the setup
+    * fingerprint convention carries them).
+    */
+  def hotBandBuckets(
+      sigs: DataFrame,
+      k: Int = 64,
+      bands: Int = 32,
+      maxBucket: Int = 512
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    sigs
+      .select(explode(
+        org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig"), bands, r)).as("bb"))
+      .groupBy(col("bb")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxBucket)
+      .select(col("bb"))
+  }
+
+  /** The pruned corpus band index (id_corpus, sig_c, bb): the exploded
+    * band rows of a published signature store minus the degenerate
+    * buckets — the corpus-side relation every [[minhashLshAgainst]]
+    * probe joins. Corpus-only, so a screen draining MANY batches
+    * against one corpus builds it ONCE (and typically persists it for
+    * the drain: first batch pays materialization, the rest scan
+    * executor memory instead of re-exploding the sig store per
+    * trigger — the IngestDedup/IngestCurate pattern). Derived state,
+    * rebuilt from the sig store at will; ~bands × sig bytes per doc in
+    * cache, spill-safe under MEMORY_AND_DISK.
+    */
+  def bandIndex(
+      sigs: DataFrame,
+      k: Int = 64,
+      bands: Int = 32,
+      maxBucket: Int = 512,
+      hotBuckets: Option[DataFrame] = None,
+      narrow: Boolean = false
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val bandsC = sigs
+      .select(col(sigs.columns.head).as("id_corpus"), col("sig").as("sig_c"))
+      .select(
+        col("id_corpus"),
+        col("sig_c"),
+        explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_c"), bands, r)).as("bb"))
+    val hot = hotBuckets.getOrElse(
+      bandsC.select("id_corpus", "bb").groupBy(col("bb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") > maxBucket).select("bb"))
+    val pruned = bandsC.join(broadcast(hot), Seq("bb"), "left_anti")
+    // narrow drops the signature payload from the cached rows (16 B vs
+    // ~sig bytes per band row) — ONLY valid when the sig store itself
+    // fits the broadcast budget, because the probe then re-attaches
+    // sig_c from a broadcast of the store ([[minhashLshAgainst]])
+    if (narrow) pruned.select(col("id_corpus"), col("bb")) else pruned
+  }
+
   def minhashLshAgainst(
       batch: DataFrame,
       corpus: DataFrame,
@@ -716,7 +781,9 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5,
       maxBucket: Int = 512,
-      corpusSigs: Option[DataFrame] = None
+      corpusSigs: Option[DataFrame] = None,
+      hotBuckets: Option[DataFrame] = None,
+      corpusBands: Option[DataFrame] = None
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -727,27 +794,47 @@ object Dedup {
           .minhashSig(Text.tokens(col(textCol)), shingleN, k)
           .as(sigAs))
       .filter(col(sigAs).isNotNull)
-    def bandsOf(sig: DataFrame, idName: String, sigName: String) = sig.select(
-      col(idName),
-      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col(sigName), bands, r)).as("bb"))
-
-    val sigB = sigOf(batch, "id_batch", "sig_b").cache()
+    val sigB = sigOf(batch, "id_batch", "sig_b")
     val sigC = corpusSigs
       .map(_.select(col(idCol).as("id_corpus"), col("sig").as("sig_c")))
       .getOrElse(sigOf(corpus, "id_corpus", "sig_c"))
-    val bandsB = bandsOf(sigB, "id_batch", "sig_b")
+    // ONE batch-side broadcast: the band rows CARRY sig_b, so the probe
+    // and the estimate kill ride a single broadcast join (two separate
+    // broadcasts — bands then sigs — paid a second build + join per
+    // screen call, which a multi-trigger drain multiplies)
+    val bandsB = sigB.select(
+      col("id_batch"),
+      col("sig_b"),
+      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_b"), bands, r)).as("bb"))
     // corpus bands CARRY sig_c: the column is wide in flight but these
     // rows are never shuffled — every step below down to the estimate
-    // kill is map-side, so only kill survivors reach an exchange
-    val bandsC = sigC.select(
-      col("id_corpus"),
-      col("sig_c"),
-      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_c"), bands, r)).as("bb"))
-    // cap degenerate corpus buckets (the corpus carries the boilerplate);
-    // the hot list is tiny → broadcast anti join, same as minhashLsh
-    val hot = bandsC.select("id_corpus", "bb").groupBy(col("bb")).agg(count(lit(1)).as("m"))
-      .filter(col("m") > maxBucket).select("bb")
-    val prunedC = bandsC.join(broadcast(hot), Seq("bb"), "left_anti")
+    // kill is map-side, so only kill survivors reach an exchange.
+    // Degenerate corpus buckets are capped (the corpus carries the
+    // boilerplate); the hot list is tiny → broadcast anti join, same
+    // as minhashLsh. A published hot list ([[hotBandBuckets]]) skips
+    // the census — and with it the SECOND corpus band explode; a
+    // published/persisted [[bandIndex]] skips the corpus side here
+    // entirely (the multi-batch drain shape).
+    // A narrow (id_corpus, bb) index — [[bandIndex]]'s `narrow = true`
+    // shape, bands × 16 B/doc in cache instead of bands × sig bytes —
+    // re-attaches sig_c map-side from a BROADCAST of the sig store;
+    // only valid when the caller has checked the store against the
+    // broadcast budget (the sigBroadcastBytes convention). Past the
+    // budget the fat index stays the shape: sig_c rides the band rows
+    // and nothing is ever shuffled to fetch it.
+    val prunedC0 = corpusBands.getOrElse {
+      val bandsC = sigC.select(
+        col("id_corpus"),
+        col("sig_c"),
+        explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_c"), bands, r)).as("bb"))
+      val hot = hotBuckets.getOrElse(
+        bandsC.select("id_corpus", "bb").groupBy(col("bb")).agg(count(lit(1)).as("m"))
+          .filter(col("m") > maxBucket).select("bb"))
+      bandsC.join(broadcast(hot), Seq("bb"), "left_anti")
+    }
+    val prunedC =
+      if (prunedC0.columns.contains("sig_c")) prunedC0
+      else prunedC0.join(broadcast(sigC), Seq("id_corpus"))
     val sigma = math.sqrt(threshold * (1 - threshold) / k)
     val cut = math.max(0.0, threshold - 3 * sigma)
     val est = org.apache.spark.sql.graft.TextExpr
@@ -758,8 +845,7 @@ object Dedup {
     // broadcast batch sigs — raw band collisions die in place; the only
     // exchange in candidate generation is the distinct over survivors
     val candidates = prunedC
-      .join(broadcast(bandsB.select("id_batch", "bb")), Seq("bb"))
-      .join(broadcast(sigB), Seq("id_batch"))
+      .join(broadcast(bandsB), Seq("bb"))
       .withColumn("e", est)
       .filter(col("e") >= cut)
       .select("id_batch", "id_corpus")
@@ -778,7 +864,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_batch"), col("id_corpus"), col("jaccard"))
       .localCheckpoint(true)
-    sigB.unpersist()
     candidates.unpersist()
     verified
   }

@@ -52,7 +52,7 @@ object IngestDedup {
     * re-stages instead of screening new-code batches against old-code
     * persisted signatures.
     */
-  private val sigFormat = "minhash-shingle3-k64-v1"
+  private val sigFormat = "minhash-shingle3-k64-v2"
 
   def setup(spark: SparkSession, dir: String, workDir: String): Unit = synchronized {
     // hadoop FS status, not java.io.File: the latter silently returns
@@ -75,6 +75,11 @@ object IngestDedup {
       // ingest-time signature store: computed once, read by every batch
       Dedup.signatures(docs.filter(!isBatch), "doc_id", "text")
         .write.mode("overwrite").parquet(s"$workDir/corpus_sigs")
+      // publish-time degenerate-bucket census: corpus-only, so every
+      // batch's maxBucket pruning probes this list instead of paying a
+      // corpus-band exchange per trigger
+      Dedup.hotBandBuckets(spark.read.parquet(s"$workDir/corpus_sigs"))
+        .write.mode("overwrite").parquet(s"$workDir/corpus_hot_bb")
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
   }
@@ -88,14 +93,33 @@ object IngestDedup {
     val corpus = docs.filter(!isBatch)
     val feedDir = s"$workDir/feed"
     val outDir = s"$workDir/pairs"
+    // drain-scoped corpus-side persists: the sig store and its pruned
+    // band index are corpus-only — the first trigger materializes
+    // them, every later trigger scans executor memory instead of
+    // re-exploding the store (spill-safe; released after the drain).
+    // Within the sig broadcast budget the index is NARROW (16 B/band
+    // row; the probe re-attaches sig_c from a broadcast of the
+    // persisted store); past it the index carries sig_c so nothing is
+    // ever shuffled to fetch it — the honest large-corpus shape.
     val corpusSigs = spark.read.parquet(s"$workDir/corpus_sigs")
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("id_batch", LongType),
-          StructField("id_corpus", LongType),
-          StructField("jaccard", DoubleType))))
-      .write.mode("overwrite").parquet(outDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotBb = spark.read.parquet(s"$workDir/corpus_hot_bb")
+    val budget = Dedup.clampToDriverLimit(spark,
+      spark.conf.getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(Dedup.parseBytes).getOrElse(512L * 1024 * 1024))
+    val narrow = corpusSigs.count() * (64L * 8 + 16) <= budget
+    val bandIdx = Dedup.bandIndex(corpusSigs, hotBuckets = Some(hotBb), narrow = narrow)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairSchema = StructType(Seq(
+      StructField("id_batch", LongType),
+      StructField("id_corpus", LongType),
+      StructField("jaccard", DoubleType)))
+    // log reset is a pure filesystem op; the final read passes the
+    // schema explicitly so an empty log needs no schema file
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
 
     val q = spark.readStream
       .schema(docSchema)
@@ -106,7 +130,8 @@ object IngestDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           Dedup
-            .minhashLshAgainst(batch, corpus, "doc_id", "text", corpusSigs = Some(corpusSigs))
+            .minhashLshAgainst(batch, corpus, "doc_id", "text",
+              corpusSigs = Some(corpusSigs), corpusBands = Some(bandIdx))
             .write.mode("append").parquet(outDir)
         }
         ()
@@ -114,6 +139,8 @@ object IngestDedup {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    bandIdx.unpersist(false)
+    corpusSigs.unpersist(false)
+    spark.read.schema(pairSchema).parquet(outDir)
   }
 }

@@ -74,20 +74,26 @@ object IngestPack {
       StructField("seq_fin", LongType),
       StructField("n_seqs", LongType)
     ))
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packedSchema)
-      .write.mode("overwrite").parquet(outDir)
+    // log reset is a pure filesystem op (mkdir of the emptied dir) —
+    // an empty-DataFrame write would cost a Spark job + parquet commit
+    // for zero rows; readers pass packedSchema explicitly so an empty
+    // log needs no schema file
+    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
 
     // the running offset: RECOVERED from the log once at start (so a
     // restarted loader continues correctly — the IncrementalEtl month-
     // catalog pattern), then carried in the loader across batches.
     // Re-deriving it from the full log EVERY batch would re-scan
     // O(total packed) per trigger — quadratic over the stream's life.
+    // A log with no part files is trivially at offset 0 — checked with
+    // a listing, not a Spark job.
     def storedOffset(): Long = {
-      val row = spark.read.schema(packedSchema).parquet(outDir)
+      val hasParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .exists(_.getPath.getName.startsWith("part-"))
+      if (!hasParts) 0L
+      else spark.read.schema(packedSchema).parquet(outDir)
         .agg(coalesce(max(col("tok_debut") + col("n_tokens")), lit(0L)))
-        .collect()(0)
-      row.getLong(0)
+        .collect()(0).getLong(0)
     }
     var offset = storedOffset()
 
@@ -97,21 +103,19 @@ object IngestPack {
       .parquet(feedDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // the packed rows are NARROW (ids + counts + offsets, no
-          // text): one eager checkpoint materializes the two-phase
-          // prefix sum ONCE, the append writes from it, and the
-          // batch's token total advances the offset from the same
-          // blocks — O(batch) per trigger, no log re-scan
-          val packed = Pack
-            .sequences(batch, "doc_id", "text", seqTokens, startOffset = offset)
-            .localCheckpoint(true)
-          packed.write.mode("append").parquet(outDir)
-          offset = packed
-            .agg(coalesce(max(col("tok_debut") + col("n_tokens")), lit(offset)))
-            .collect()(0).getLong(0)
-        }
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // the running offset rides the append itself (observe): ONE
+        // action per trigger computes the two-phase prefix sum, writes
+        // the narrow packed rows, and surfaces the new high-water mark
+        // — no per-trigger checkpoint, no second offset job, still
+        // O(batch) per trigger with no log re-scan. An empty batch
+        // appends nothing and the coalesce keeps the offset.
+        val obs = org.apache.spark.sql.Observation(s"pack_off_${bid}_${System.nanoTime()}")
+        Pack
+          .sequences(batch, "doc_id", "text", seqTokens, startOffset = offset)
+          .observe(obs, coalesce(max(col("tok_debut") + col("n_tokens")), lit(offset)).as("off"))
+          .write.mode("append").parquet(outDir)
+        offset = obs.get("off").asInstanceOf[Long]
         ()
       }
       .start()

@@ -105,14 +105,17 @@ object IngestQuality {
     setup(spark, dir, workDir)
     val model = storedModel(spark, workDir)
     val outDir = s"$workDir/scores"
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("n_bigrams", LongType),
-          StructField("lm_score", DoubleType),
-          StructField("ppl", DoubleType))))
-      .write.mode("overwrite").parquet(outDir)
+    val scoreSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bigrams", LongType),
+      StructField("lm_score", DoubleType),
+      StructField("ppl", DoubleType)))
+    // log reset is a pure filesystem op; the final read passes the
+    // schema explicitly so an empty log needs no schema file
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
 
     val q = spark.readStream
       .schema(feedSchema)
@@ -131,7 +134,7 @@ object IngestQuality {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    spark.read.schema(scoreSchema).parquet(outDir)
   }
 
   /** The one-shot twin: the whole feed scored in one call (what the

@@ -103,13 +103,16 @@ object IngestSemantic {
     val bits = corpusBits(spark, dir)
     val sketches = spark.read.parquet(s"$workDir/corpus_sketches")
     val outDir = s"$workDir/pairs"
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("id_batch", LongType),
-          StructField("id_corpus", LongType),
-          StructField("cosine", DoubleType))))
-      .write.mode("overwrite").parquet(outDir)
+    val pairSchema = StructType(Seq(
+      StructField("id_batch", LongType),
+      StructField("id_corpus", LongType),
+      StructField("cosine", DoubleType)))
+    // log reset is a pure filesystem op; the final read passes the
+    // schema explicitly so an empty log needs no schema file
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
 
     val q = spark.readStream
       .schema(emSchema)
@@ -130,7 +133,7 @@ object IngestSemantic {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(outDir)
+    spark.read.schema(pairSchema).parquet(outDir)
   }
 
   /** The one-shot twin: the whole feed screened in one call (what the
