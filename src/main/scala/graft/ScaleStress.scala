@@ -149,7 +149,7 @@ object ScaleStress {
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
     "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
     "d26_semantic_scrub", "d29_lm_perplexity", "d30_span_dedup", "d31_span_scrub",
-    "d32_span_dedup_fast",
+    "d32_span_dedup_fast", "d33_budget_select", "d34_best_survivors", "d35_training_order",
     "p01_pipeline_composed", "p02_curated_sample",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
     "e05_knn_pq", "e06_knn_ivf_pq", "e07_triplet_mine")
@@ -175,8 +175,20 @@ object ScaleStress {
   private def plantEnabled: Boolean =
     sys.env.get("SPARK_GRAFT_PLANT_SUPERLINEAR").contains("1")
 
-  private[graft] def names: Seq[String] =
-    (if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames) ++ eventNames
+  private[graft] def names: Seq[String] = {
+    val all = (if (plantEnabled) baseNames :+ "z99_planted_superlinear" else baseNames) ++
+      eventNames
+    // subset runs (SPARK_GRAFT_ONLY=d33_budget_select,d34_...): measure
+    // just-added operators against an existing growth table without
+    // paying a full catalog pass per tier — cells merge into SCALE.md
+    // under the same quiet-run discipline
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(filter) =>
+        val wanted = filter.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        all.filter(wanted)
+      case None => all
+    }
+  }
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     planted.getOrElse(name, SparkEntry.queries(name))

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Corpus-curation selectors: token-budget selection, deterministic
+  * training order, and quality-aware duplicate-cluster survivors —
+  * the decisions a training-data pipeline makes AFTER scoring and
+  * deduplication (reference scope: the FilmDB warehouse's ranked
+  * top-n-with-threshold idiom — sql/datawarehouse/requetes_clees.sql:25-33
+  * `ORDER BY ca DESC ... HAVING ... LIMIT 10` — generalized to corpus
+  * curation, where "top n" becomes "top tokens under a budget").
+  *
+  * Scale design (the Pack/Surrogate two-phase contract): every global
+  * "running total over an order" here is a range-partitioned
+  * distributed sort + ONE narrow (partition, total) row per partition
+  * to the driver + a second per-partition pass applying prefix
+  * offsets. A `sum().over(Window.orderBy(...))` would plan an
+  * Exchange SinglePartition — one task sorting and scanning the whole
+  * corpus — which is exactly the plan shape these operators exist to
+  * avoid (CurateSpec pins its absence). The shuffle carries only the
+  * order key and the weight; text never moves.
+  *
+  * Single-materialization contract (Pack.scala:32-42): Spark's
+  * RangePartitioner seeds boundary sampling with the RDD id, so the
+  * totals job and the data pass MUST share one RDD instance or two
+  * independent executions of the same `repartitionByRange` could
+  * disagree on boundary rows and corrupt their offsets.
+  */
+object Curate {
+
+  /** Global (rang, cum) over `df` ordered by `orderCols`: rank is the
+    * 1-based position in the total order, cum the running sum of
+    * `weightCol` INCLUDING the current row. Two-phase — see the object
+    * scaladoc. The order must be total (include a unique tiebreaker in
+    * `orderCols`) or peers land in sampler-chosen partitions and the
+    * result is still deterministic only per materialized shuffle.
+    */
+  private def runningTotals(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      weightCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    // one narrow (rows, weight-total) pair per partition
+    val partTotals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L; var s = 0L
+        it.foreach { r => n += 1L; s += r.getLong(wIdx) }
+        Iterator((i, n, s))
+      }
+      .collect().sortBy(_._1)
+    val rankOffsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val cumOffsets = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("rang", LongType), StructField("cum", LongType)))
+    spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var rank = rankOffsets(i)
+        var acc = cumOffsets(i)
+        it.map { r =>
+          rank += 1L; acc += r.getLong(wIdx)
+          Row.fromSeq(r.toSeq ++ Seq(rank, acc))
+        }
+      }, outSchema)
+  }
+
+  /** Greedy token-budget selection: keep the highest-`scoreCol`
+    * documents, tiebroken by ascending `idCol`, while the running
+    * `weightCol` total stays within `budget` — the "best N tokens"
+    * curation step (data-constrained training mixes budget corpus
+    * slices by token count, not doc count). A document that would
+    * cross the budget is NOT taken, and neither is anything after it
+    * (prefix semantics, same as the SQL cumulative-window
+    * formulation — the oracle's `SUM(...) OVER (ORDER BY ...)`).
+    *
+    * Input is a PREPARED relation (idCol, scoreCol, weightCol, ...):
+    * scoring stays composable — feed it d03's quality, an LM score, a
+    * classifier margin, or any blend.
+    *
+    * Output: (idCol, scoreCol, weightCol, rang, cum) for the selected
+    * prefix, where rang is the 1-based selection rank and cum the
+    * running token total through this document.
+    *
+    * Scale: the corpus pays one narrow range exchange on
+    * (score, id); output ∝ budget; no single-partition window.
+    */
+  def budgetSelect(
+      prepared: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    runningTotals(
+      prepared.select(col(idCol), col(scoreCol), col(weightCol)),
+      Seq(col(scoreCol).desc, col(idCol).asc),
+      weightCol
+    ).filter(col("cum") <= budget)
+  }
+
+  /** Deterministic training-order shuffle: every document ranked by
+    * md5(seed ":" id) — a seed-stable, engine-portable permutation
+    * (the d13 split-assign hash convention; one hash per DOCUMENT, so
+    * unlike the per-gram span/fingerprint keys there is no xxhash64
+    * fast path to need). Epoch reshuffles are a seed change; any
+    * engine recomputing the same md5 agrees on the full order.
+    *
+    * Output: (idCol, cle_melange, rang) — rang is the 1-based global
+    * position, dense and gapless (the two-phase rank, never a
+    * single-partition ROW_NUMBER).
+    */
+  def trainingOrder(docs: DataFrame, idCol: String, seed: String): DataFrame =
+    runningTotals(
+      docs.select(
+        col(idCol),
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("cle_melange"),
+        lit(1L).as("poids")),
+      Seq(col("cle_melange").asc, col(idCol).asc),
+      "poids"
+    ).select(col(idCol), col("cle_melange"), col("rang"))
+
+  /** Quality-aware duplicate-cluster survivors: for each near-dup
+    * cluster keep the HIGHEST-scoring member (ties → lowest id)
+    * instead of [[Dedup.clusters]]' canonical minimum id — the
+    * curation-correct survivor choice (first-occurrence keeps
+    * whatever crawled first; this keeps the best-quality copy).
+    *
+    * `clusters` is any (id, cluster_id) labeling ([[Dedup.clusters]]
+    * output); `scored` any (idCol, scoreCol, ...) relation. Returns
+    * one row per cluster: (cluster_id, doc_id_garde, score_garde,
+    * n_membres).
+    *
+    * Scale: a single map-side-combinable groupBy(cluster_id) —
+    * max(struct(score, -id)) combines partially, so the exchange
+    * carries one row per cluster, never per member; NOT a
+    * Window.partitionBy(cluster_id) (a boilerplate mega-cluster
+    * would buffer entirely inside one task's window state).
+    */
+  def bestSurvivors(
+      scored: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("score"), (-col("id")).as("nid"), col("id"))).as("best"),
+        count(lit(1)).as("n_membres"))
+      .select(
+        col("cluster_id"),
+        col("best.id").as("doc_id_garde"),
+        col("best.score").as("score_garde"),
+        col("n_membres"))
+}

@@ -1981,6 +1981,138 @@ object PipelineQueries {
         exactFingerprints = false)
       .orderBy(col("doc_id"))
 
+  // the d03 quality expression as DuckDB SQL, shared by the curation
+  // oracles (d33/d34 select BY this score, so the oracle must rebuild
+  // the exact rounded value)
+  private val qualityExprSql: String = {
+    val nTok = """len(regexp_split_to_array(trim(text), '\s+'))"""
+    val stop = """len(regexp_extract_all(text, '\b(the|a|of|to|in|and|is|it|that|for)\b'))"""
+    val punct = """len(regexp_extract_all(text, '[.,!?;:]'))"""
+    s"""ROUND((
+       |    (CASE WHEN $nTok >= 10 AND $nTok <= 100000 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok >= 2
+       |            AND (CAST(length(text) AS DOUBLE) - ($nTok - 1)) / $nTok <= 12 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+       |    + (CASE WHEN CAST($stop AS DOUBLE) / greatest(CAST($nTok AS DOUBLE), 1.0) > 0 THEN 1.0 ELSE 0.0 END)
+       |  ) / 4.0, 6)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // d33 — token-BUDGET selection: keep the highest-quality documents
+  // (d03's score, ties → ascending doc_id) while the running token
+  // total stays within a global budget — the data-constrained "best N
+  // tokens" curation step. Spark runs Curate.budgetSelect's two-phase
+  // prefix sum (range exchange on (score, id), one narrow row per
+  // partition to the driver, NEVER a single-partition window — pinned
+  // in CurateSpec); the oracle is the textbook cumulative window.
+  // ---------------------------------------------------------------------
+  private def d33(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.qualityScore(col("text")).as("qualite"),
+      Text.tokenCount(col("text")).cast("long").as("n_jetons"))
+    graft.operators.Curate
+      .budgetSelect(prepared, "doc_id", "qualite", "n_jetons", budget = 10000L)
+      .withColumnRenamed("cum", "jetons_cumules")
+      .orderBy(col("rang"))
+  }
+  private val d33Sql =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    $qualityExprSql AS qualite,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_jetons
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, qualite, n_jetons,
+       |    ROW_NUMBER() OVER (ORDER BY qualite DESC, doc_id) AS rang,
+       |    SUM(n_jetons) OVER (ORDER BY qualite DESC, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS jetons_cumules
+       |  FROM q
+       |)
+       |SELECT doc_id, qualite, n_jetons,
+       |  CAST(rang AS BIGINT) AS rang,
+       |  CAST(jetons_cumules AS BIGINT) AS jetons_cumules
+       |FROM w WHERE jetons_cumules <= 10000
+       |ORDER BY rang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d34 — quality-aware duplicate-cluster survivors: d09's near-dup
+  // clusters re-adjudicated to keep each cluster's BEST-quality member
+  // (ties → lowest id) instead of the canonical minimum id — the
+  // curation-correct survivor (first-occurrence keeps whatever crawled
+  // first). One map-side-combinable groupBy(cluster) over the labels;
+  // the oracle recomputes the exhaustive-Jaccard components, the
+  // quality scores, and the deterministic argmax in SQL.
+  // ---------------------------------------------------------------------
+  private def d34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    val scored = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("qualite"))
+    graft.operators.Curate
+      .bestSurvivors(scored, Dedup.clusters(pairs), "doc_id", "qualite")
+      .orderBy(col("cluster_id"))
+  }
+  private val d34Sql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+       |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+       |           regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+       |           regexp_split_to_array(trim(text), '\\s+')[i+2])) AS s
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+       |), labels AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), q AS (
+       |  SELECT doc_id, $qualityExprSql AS score FROM documents
+       |), m AS (
+       |  SELECT l.cluster_id, l.id, q.score,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS nm
+       |  FROM labels l JOIN q ON q.doc_id = l.id
+       |)
+       |SELECT cluster_id, id AS doc_id_garde, score AS score_garde,
+       |  CAST(nm AS BIGINT) AS n_membres
+       |FROM m WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d35 — deterministic training-order shuffle: every document ranked
+  // by md5(seed ":" id) — the seed-stable, engine-portable epoch
+  // permutation (d13's hash convention applied to ORDER instead of
+  // split). Spark assigns the dense global rank with the two-phase
+  // prefix pass (range exchange on the hash key, no single-partition
+  // ROW_NUMBER); the oracle is the literal window formulation.
+  // ---------------------------------------------------------------------
+  private def d35(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curate
+      .trainingOrder(Tables.documents(spark, dir), "doc_id", seed = "melange42")
+      .orderBy(col("rang"))
+  private val d35Sql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5('melange42:' || CAST(doc_id AS VARCHAR)) AS cle_melange
+      |  FROM documents
+      |)
+      |SELECT doc_id, cle_melange,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cle_melange, doc_id) AS BIGINT) AS rang
+      |FROM k ORDER BY rang""".stripMargin
+
   // ---------------------------------------------------------------------
   // p02 — the round-11 curation pipeline composed end to end: duplicated-
   // span screen (d30) → corpus-LM scoring (d29) → keep docs at/above the
@@ -2492,6 +2624,9 @@ object PipelineQueries {
     Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),
     Q("d31_span_scrub", "duplicated-span removal keeping the first-occurrence survivor (apply side of d30)", d31, Some(d31Sql)),
     Q("d32_span_dedup_fast", "d30's xxhash64 production fast path == the md5-gated spans", d32, Some(d30Sql)),
+    Q("d33_budget_select", "token-budget curation: best-quality docs under a global token budget (two-phase prefix sum)", d33, Some(d33Sql)),
+    Q("d34_best_survivors", "quality-aware near-dup survivors: each cluster keeps its best-quality member", d34, Some(d34Sql)),
+    Q("d35_training_order", "deterministic seeded training-order shuffle with dense global ranks", d35, Some(d35Sql)),
     Q("d09_dedup_clusters", "connected-component duplicate clusters", d09, Some(d09Sql)),
     Q("d10_tfidf_keywords", "per-doc TF-IDF top-3 keywords", d10, Some(d10Sql)),
     Q("d11_vocab_bigrams", "corpus top-20 bigram vocabulary", d11, Some(d11Sql)),

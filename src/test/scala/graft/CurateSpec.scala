@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curate
+
+/** The curation selectors (d33/d34/d35): token-budget selection,
+  * deterministic training order, quality-aware cluster survivors —
+  * exact boundary semantics and the two-phase plan shape (no
+  * single-partition exchange anywhere in the selection path).
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def noSinglePartitionExchange(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"selection path planned a single-partition exchange:\n$plan")
+  }
+
+  test("budgetSelect: greedy prefix under the budget, ties broken by id") {
+    val prepared = Seq(
+      // (id, score, weight)
+      (1L, 1.0, 40L), (2L, 0.5, 30L), (3L, 1.0, 40L), (4L, 0.25, 10L), (5L, 0.5, 25L)
+    ).toDF("doc_id", "score", "poids")
+    // order: 1 (1.0), 3 (1.0), 2 (0.5), 5 (0.5), 4 (0.25)
+    // cums:  40, 80, 110, 135, 145 — budget 110 keeps 1, 3, 2
+    val got = Curate.budgetSelect(prepared, "doc_id", "score", "poids", budget = 110L)
+      .orderBy(col("rang"))
+      .select(col("doc_id"), col("rang"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 40L), (3L, 2L, 80L), (2L, 3L, 110L)))
+  }
+
+  test("budgetSelect: a document crossing the budget is dropped with everything after it") {
+    val prepared = Seq((1L, 2.0, 60L), (2L, 1.0, 50L), (3L, 0.5, 5L))
+      .toDF("doc_id", "score", "poids")
+    // cums 60, 110, 115 — budget 100 keeps only doc 1 (prefix semantics:
+    // doc 3 alone would fit, but the running total is already past)
+    val got = Curate.budgetSelect(prepared, "doc_id", "score", "poids", budget = 100L)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("budgetSelect: budget 0 selects nothing; budget >= total selects and ranks everything") {
+    val prepared = Seq((1L, 1.0, 10L), (2L, 0.5, 10L)).toDF("doc_id", "score", "poids")
+    assert(Curate.budgetSelect(prepared, "doc_id", "score", "poids", 0L).count() == 0L)
+    val all = Curate.budgetSelect(prepared, "doc_id", "score", "poids", 1000L)
+      .orderBy(col("rang")).select(col("doc_id"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("budgetSelect plans the two-phase pass, never a single-partition window") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val prepared = docs.select(
+      col("doc_id"),
+      functions.Text.qualityScore(col("text")).as("q"),
+      functions.Text.tokenCount(col("text")).cast("long").as("w"))
+    noSinglePartitionExchange(Curate.budgetSelect(prepared, "doc_id", "q", "w", 5000L))
+  }
+
+  test("trainingOrder: a dense deterministic permutation, stable across runs") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val a = Curate.trainingOrder(docs, "doc_id", "epoch1")
+    val rows = a.collect()
+    assert(rows.length == n)
+    // dense gapless ranks 1..n
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+    // deterministic: a second independent run agrees exactly
+    val b = Curate.trainingOrder(docs, "doc_id", "epoch1").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toMap ==
+      b.map(r => (r.getLong(0), r.getLong(2))).toMap)
+    // a different seed is a different permutation
+    val c = Curate.trainingOrder(docs, "doc_id", "epoch2").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toMap !=
+      c.map(r => (r.getLong(0), r.getLong(2))).toMap)
+    noSinglePartitionExchange(Curate.trainingOrder(docs, "doc_id", "epoch1"))
+  }
+
+  test("bestSurvivors: highest score wins, ties go to the lowest id, singletons pass through") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L), (30L, 3L))
+      .toDF("id", "cluster_id")
+    val scored = Seq(
+      (10L, 0.5), (11L, 0.75), (12L, 0.75), // tie at 0.75 -> 11 (lowest id)
+      (20L, 0.25), (21L, 1.0),              // clear max -> 21
+      (30L, 0.0)                            // singleton -> itself
+    ).toDF("doc_id", "q")
+    val got = Curate.bestSurvivors(scored, clusters, "doc_id", "q")
+      .orderBy(col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 11L, 0.75, 3L),
+      (2L, 21L, 1.0, 2L),
+      (3L, 30L, 0.0, 1L)))
+  }
+
+  test("bestSurvivors plans a partial-aggregating groupBy, not a per-cluster window") {
+    val clusters = Seq((10L, 1L), (11L, 1L)).toDF("id", "cluster_id")
+    val scored = Seq((10L, 0.5), (11L, 0.75)).toDF("doc_id", "q")
+    val plan = Curate.bestSurvivors(scored, clusters, "doc_id", "q")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"expected an aggregate-based argmax:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must not plan a window:\n$plan")
+  }
+}
