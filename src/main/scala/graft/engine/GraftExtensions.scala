@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{ChunksOf, CosineSim, DotProduct, LangQualityCounts, Md5SimHashBits, Md5WinnowSketch, MinHashSig, NgramsOf, RandomProjections, RepetitionCounts, RollingHash, SigMatchCount, SimHash64, WinnowSketch}
+import org.apache.spark.sql.graft.{ChunksOf, CosineSim, DotProduct, LangQualityCounts, Md5SimHashBits, Md5WinnowSketch, MinHashSig, NgramsOf, RandomProjections, RepetitionCounts, RepetitionScrub, RollingHash, SigMatchCount, SimHash64, WinnowSketch}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the graft kernels (SURVEY §2.11) — registered through
@@ -138,6 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_repetition_counts",
       "Gopher repetition counters over a token array: [n_tok, top_tok, n_bg, top_bg, dup_bg]") {
       args => arity("graft_repetition_counts", args, 1); RepetitionCounts(args.head)
+    }
+    inject(ext, "graft_repetition_scrub",
+      "kept tokens after intra-document duplicated-k-gram span removal: (tokens, k)") { args =>
+      arity("graft_repetition_scrub", args, 2)
+      RepetitionScrub(args.head, intLit(args(1), "graft_repetition_scrub", "k"))
     }
     inject(ext, "graft_md5_winnow_sketch",
       "whole-document md5 winnowing (empreinte, sketch): (tokens, n, w)") { args =>

@@ -120,6 +120,12 @@ object TextExpr {
     */
   def repetitionCounts(tokens: Column): Column = col(RepetitionCounts(expr(tokens)))
 
+  /** Kept tokens after intra-document duplicated-k-gram span removal —
+    * see [[TextKernels.repetitionScrub]].
+    */
+  def repetitionScrub(tokens: Column, k: Int): Column =
+    col(RepetitionScrub(expr(tokens), k))
+
   /** Whole-document md5 winnowing: (empreinte, sketch) struct — the
     * pure-map replacement for the posexplode + windows formulation.
     */
@@ -576,6 +582,56 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Intra-document duplicated-span removal — the in-row APPLY side of
+    * the d19 repetition signals and the doc-scoped twin of the corpus
+    * span scrub: a k-gram occurrence whose gram text appeared at an
+    * EARLIER position in the same document is a removal hit; every
+    * token covered by a hit window [pos, pos+k-1] drops; the first
+    * occurrence always survives. Marking each hit's own window is
+    * exactly the d30/d31 gaps-and-islands coverage: consecutive hits on
+    * the same island sit ≤ k apart, so their windows overlap or touch
+    * and their union IS the merged span — no interval merge needed.
+    * Sub-width documents (< k tokens) keep every token. Pure per-row
+    * work: no exchange at any corpus size.
+    */
+  def repetitionScrub(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < k) {
+      val out = new Array[AnyRef](n)
+      var i = 0
+      while (i < n) {
+        val t = a.getUTF8String(i)
+        out(i) = if (t == null) UTF8String.EMPTY_UTF8 else t.clone()
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val nGrams = n - k + 1
+    val seen = new java.util.HashSet[UTF8String](nGrams * 2)
+    var covered: Array[Boolean] = null
+    var i = 0
+    while (i < nGrams) {
+      val g = joinWindow(a, i, k)
+      if (!seen.add(g)) {
+        if (covered == null) covered = new Array[Boolean](n)
+        var j = i
+        val e = i + k
+        while (j < e) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val buf = new java.util.ArrayList[AnyRef](n)
+    var t = 0
+    while (t < n) {
+      if (covered == null || !covered(t)) {
+        val s = a.getUTF8String(t)
+        buf.add(if (s == null) UTF8String.EMPTY_UTF8 else s.clone())
+      }
+      t += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
 }
 
 case class RollingHash(child: Expression)
@@ -897,5 +953,28 @@ case class RepetitionCounts(child: Expression)
       x => s"org.apache.spark.sql.graft.TextKernels.repetitionCounts($x)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
+/** Intra-document duplicated-span removal over a token array — returns
+  * the kept tokens (see [[TextKernels.repetitionScrub]]). The whole
+  * operator is one compiled per-row call inside WholeStageCodegen.
+  */
+case class RepetitionScrub(child: Expression, k: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k > 0, "k must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_repetition_scrub"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionScrub(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.repetitionScrub($x, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionScrub =
     copy(child = newChild)
 }

@@ -423,6 +423,39 @@ object Dedup {
         size(col("kept")).cast("long").as("n_tokens_gardes"))
   }
 
+  /** Intra-document repetition scrub — the APPLY side of the d19
+    * Gopher repetition signals and the doc-scoped twin of [[spanScrub]]:
+    * within each document, every k-token gram occurrence that repeats
+    * an EARLIER same-document gram is dropped with its full window (the
+    * first occurrence survives); the text is rebuilt from the kept
+    * tokens. Collapses repeated runs (a phrase pasted 50 times keeps
+    * one copy; a 20-token run of one word collapses to that word)
+    * without touching cross-document content — the cleanup the
+    * corpus-level span scrub deliberately leaves alone when a document
+    * is globally unique.
+    *
+    * Scale shape: the ideal one — the entire operator is ONE compiled
+    * per-row kernel (graft_repetition_scrub) inside WholeStageCodegen.
+    * No exchange, no state, no model, no broadcast: at 100 TB this runs
+    * at scan speed on every executor independently.
+    */
+  def repetitionScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 8
+  ): DataFrame =
+    tokenBase(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.TextExpr
+          .repetitionScrub(col("a"), gramTokens)
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("kept")).as("texte_nettoye"),
+        size(col("kept")).cast("long").as("n_tokens_gardes"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n) → k-signature (custom MinHashSig expression, pure map) →

@@ -1968,6 +1968,63 @@ object PipelineQueries {
       |ORDER BY arr.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d36 — INTRA-document repetition scrub (the apply side of d19's
+  // repetition signals; the doc-scoped twin of d31): every 3-gram
+  // occurrence repeating an earlier same-document gram drops with its
+  // window, first occurrence kept. The Spark side is one compiled
+  // per-row kernel (zero exchange at any scale); the oracle re-derives
+  // grams, per-document first occurrences, island coverage and the
+  // rebuilt text the expensive way in SQL — d31's machinery with the
+  // occurrence window re-scoped from corpus to document. Gate gram = 3:
+  // the fixture's Zipfian 27-word vocabulary plants real intra-doc
+  // trigram repeats (27 docs / 29 removals at sf0.01) while 8-grams
+  // never repeat within one random doc.
+  // ---------------------------------------------------------------------
+  private def d36(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .repetitionScrub(Tables.documents(spark, dir), "doc_id", "text", gramTokens = 3)
+      .orderBy(col("doc_id"))
+  private val d36Sql =
+    """WITH arr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+      |  FROM documents
+      |), gpos AS (
+      |  SELECT doc_id, a, unnest(range(1, len(a) - 3 + 2)) AS pos
+      |  FROM arr WHERE len(a) >= 3
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(a[pos:pos+2], ' ') AS h FROM gpos
+      |), occ AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rn
+      |  FROM grams
+      |), hits AS (
+      |  SELECT doc_id, pos FROM occ WHERE rn > 1
+      |), spans AS (
+      |  SELECT doc_id, pos AS s, pos + 2 AS e FROM hits
+      |), tv AS (
+      |  SELECT doc_id, i, a[i] AS t
+      |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM arr)
+      |), removed AS (
+      |  SELECT DISTINCT tv.doc_id, tv.i
+      |  FROM tv JOIN spans s ON tv.doc_id = s.doc_id AND tv.i BETWEEN s.s AND s.e
+      |), keptv AS (
+      |  SELECT tv.doc_id, tv.i, tv.t
+      |  FROM tv LEFT JOIN removed r ON tv.doc_id = r.doc_id AND tv.i = r.i
+      |  WHERE r.i IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS texte_nettoye,
+      |         CAST(COUNT(*) AS BIGINT) AS n_tokens_gardes
+      |  FROM keptv GROUP BY doc_id
+      |)
+      |SELECT arr.doc_id,
+      |  COALESCE(rebuilt.texte_nettoye, '') AS texte_nettoye,
+      |  COALESCE(rebuilt.n_tokens_gardes, 0) AS n_tokens_gardes
+      |FROM arr LEFT JOIN rebuilt ON arr.doc_id = rebuilt.doc_id
+      |ORDER BY arr.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d32 — d30's PRODUCTION fast path: identical span detection with
   // xxhash64 gram keys (8-byte longs) instead of 32-hex-char md5 —
   // ~4× less key weight through the frequency exchange, the hottest
@@ -2623,6 +2680,7 @@ object PipelineQueries {
     Q("d29_lm_perplexity", "corpus bigram-LM perplexity scoring; oracle retrains the smoothed model in SQL", d29, Some(d29Sql)),
     Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),
     Q("d31_span_scrub", "duplicated-span removal keeping the first-occurrence survivor (apply side of d30)", d31, Some(d31Sql)),
+    Q("d36_repetition_scrub", "intra-document repeated-span removal, one in-row kernel (apply side of d19)", d36, Some(d36Sql)),
     Q("d32_span_dedup_fast", "d30's xxhash64 production fast path == the md5-gated spans", d32, Some(d30Sql)),
     Q("d33_budget_select", "token-budget curation: best-quality docs under a global token budget (two-phase prefix sum)", d33, Some(d33Sql)),
     Q("d34_best_survivors", "quality-aware near-dup survivors: each cluster keeps its best-quality member", d34, Some(d34Sql)),

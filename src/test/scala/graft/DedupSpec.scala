@@ -106,6 +106,43 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("repetitionScrub: intra-doc repeats collapse to first occurrence, cross-doc content untouched") {
+    val df = Seq(
+      (1L, "a b c p q r a b c"),          // "a b c" repeats at pos 7: keep the first only
+      (2L, "x x x x x x x x x x"),        // one gram repeated: collapses to the survivor window's start
+      (3L, "m n o q s t u"),              // no intra-doc repeat → unchanged
+      (4L, "m n o q s t u"),              // exact copy of doc 3 — CROSS-doc dup must be ignored here
+      (5L, "y1 y2"),                      // sub-width → untouched
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repetitionScrub(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      // grams at pos 1..7; pos 7 "a b c" repeats pos 1 → tokens 7-9 drop
+      1L -> (("a b c p q r", 6L)),
+      // grams at pos 1..8 all "x x x": hits 2..8 cover tokens 2..10 → first token survives
+      2L -> (("x", 1L)),
+      3L -> (("m n o q s t u", 7L)),
+      4L -> (("m n o q s t u", 7L)),
+      5L -> (("y1 y2", 2L)),
+      6L -> (("", 0L))
+    ))
+  }
+
+  test("repetitionScrub: disjoint islands each drop their repeat; whitespace is normalized") {
+    val df = Seq(
+      // "a b c" repeats at 7 (island 1); "d e f" from pos 4 repeats at 13 (island 2)
+      (1L, "a b c d e f a b c z1 z2 z3 d e f"),
+      (2L, "  w1   w2  w3 ")               // no repeat, messy spacing → normalized rebuild
+    ).toDF("doc_id", "text")
+    val got = Dedup.repetitionScrub(df, "doc_id", "text", gramTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("a b c d e f z1 z2 z3", 9L)),
+      2L -> (("w1 w2 w3", 3L))
+    ))
+  }
+
   test("span operators: the xxhash64 fast path equals the md5-gated path (sf0.001)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =

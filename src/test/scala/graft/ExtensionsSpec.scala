@@ -106,6 +106,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_repetition_scrub from SQL: intra-doc repeat collapses, matches the DataFrame API") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        """SELECT graft_repetition_scrub(
+          |  array('a', 'b', 'c', 'p', 'q', 'r', 'a', 'b', 'c'), 3) AS kept""".stripMargin)
+        .collect().head
+      assert(r.getSeq[String](0) == Seq("a", "b", "c", "p", "q", "r"))
+      val api = s.range(1)
+        .select(org.apache.spark.sql.graft.TextExpr
+          .repetitionScrub(typedLit(Seq("a", "b", "c", "p", "q", "r", "a", "b", "c")), 3)
+          .as("kept"))
+        .collect().head
+      assert(r.getSeq[String](0) == api.getSeq[String](0))
+    }
+  }
+
   test("vector kernels from SQL: dot, cosine, sig match count") {
     withExtendedSession { s =>
       val r = s.sql(
