@@ -162,15 +162,22 @@ object ScaleStress {
     */
   private val planted: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z99_planted_superlinear" -> { (spark, dir) =>
-      // n²/10 pairs, each paying an md5 — heavy enough that the larger
-      // tier clears the gate's stage-floor exemption (a quadratic plan
-      // that stays sub-floor at every tested tier is, by definition,
-      // not yet a problem the gate needs to catch)
+      // n²/10 pairs, each paying a 12-deep md5 chain. The chain depth is
+      // deliberately fat: the control's MEASURED growth is
+      // (work10 + floor)/(work1 + floor), and on a slow box the 1× cell
+      // is floor-dominated — the round-12 re-exercise measured the
+      // 3-deep chain at 8.6×/decade (1.40 s → 11.97 s) on a box whose
+      // per-query floor is ~1.3 s, sliding a TRUE quadratic under the
+      // 12× limit. At 12 deep the pair work dominates the floor at BOTH
+      // tiers on any box in the fleet's speed range (~2 s → ~45 s here,
+      // ≈ 24×/decade measured), so the gate fires on slow and fast boxes
+      // alike; a quadratic that stays sub-floor at every tested tier is,
+      // by definition, not yet a problem the gate needs to catch.
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), pmod(col("doc_id"), lit(10)).as("k"))
+      val pair = concat(col("a.doc_id"), lit(":"), col("b.doc_id"))
       docs.as("a").join(docs.as("b"), "k")
-        .select(md5(md5(md5(concat(
-          col("a.doc_id"), lit(":"), col("b.doc_id"))))).as("h"))
+        .select((1 to 12).foldLeft(pair)((c, _) => md5(c)).as("h"))
     })
 
   private def plantEnabled: Boolean =
