@@ -136,6 +136,73 @@ object Curate {
       "poids"
     ).select(col(idCol), col("cle_melange"), col("rang"))
 
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * ingest-monitoring selector: KL(source ‖ corpus) over the corpus's
+    * top-K vocabulary with add-½ smoothing, plus each source's top
+    * drift contributor. A drifted feed (new boilerplate, language-mix
+    * shift, truncation bug) moves its KL long before any downstream
+    * training metric does.
+    *
+    * Scale shape: the corpus pays ONE pure-map tokenize + explode into
+    * a map-side-combinable groupBy(source, token) whose output is
+    * (sources × vocabulary)-bounded — past the partial aggregation
+    * nothing is proportional to corpus tokens. The top-K vocabulary is
+    * a vocab-bounded rollup of that same relation (no second corpus
+    * pass), taken with a deterministic (count desc, token asc) top-k
+    * and broadcast back; the KL itself aggregates sources·K narrow
+    * rows, with per-source totals joined (never windowed) and the top
+    * contributor picked by a combinable min(struct) argmax.
+    */
+  def sourceDrift(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      topK: Int = 500
+  ): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+    val top = st
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("token").asc)
+      .limit(topK)
+    val qTot = top.agg(sum(col("ct")).as("nq"), count(lit(1)).as("kk"))
+    val cells = nd
+      .select(col("source"))
+      .crossJoin(broadcast(top))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), col("ct"), coalesce(col("c"), lit(0L)).as("c"))
+    val perSrc = cells.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val scored = cells
+      .join(perSrc, Seq("source"))
+      .crossJoin(broadcast(qTot))
+      .withColumn("p",
+        (col("c").cast("double") + 0.5) / (col("ns").cast("double") + lit(0.5) * col("kk")))
+      .withColumn("q",
+        (col("ct").cast("double") + 0.5) / (col("nq").cast("double") + lit(0.5) * col("kk")))
+      .withColumn("contrib", col("p") * log(col("p") / col("q")))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        round(sum(col("contrib")), 6).as("kl"),
+        min(struct((-col("contrib")).as("nc"), col("token"))).as("t"),
+        sum(col("c")).as("n_tokens_vocab"))
+      .join(nd, Seq("source"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens_vocab"),
+        col("kl"),
+        col("t.token").as("token_principal"),
+        round(-col("t.nc"), 6).as("contrib_principal"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-aware duplicate-cluster survivors: for each near-dup
     * cluster keep the HIGHEST-scoring member (ties → lowest id)
     * instead of [[Dedup.clusters]]' canonical minimum id — the

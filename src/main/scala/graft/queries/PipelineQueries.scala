@@ -2063,6 +2063,65 @@ object PipelineQueries {
   // partition to the driver, NEVER a single-partition window — pinned
   // in CurateSpec); the oracle is the textbook cumulative window.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // d37 — per-source token-distribution drift: KL(source ‖ corpus) over
+  // the corpus top-K vocabulary with add-half smoothing, plus each
+  // source's top drift contributor — the ingest-monitoring selector. The
+  // Spark side is one pure-map explode into a (source, token) rollup
+  // whose output is vocabulary-bounded; the oracle recomputes the
+  // vocabulary, the smoothed probabilities, every contribution and the
+  // argmax in SQL.
+  // ---------------------------------------------------------------------
+  private def d37(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curate
+      .sourceDrift(Tables.documents(spark, dir), "doc_id", "text", "source", topK = 500)
+  private val d37Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |), tok AS (
+      |  SELECT source, unnest(toks) AS token FROM t
+      |), st AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      |), top AS (
+      |  SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1
+      |  ORDER BY SUM(c) DESC, token ASC LIMIT 500
+      |), nd AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+      |), qt AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS nq, CAST(COUNT(*) AS BIGINT) AS kk FROM top
+      |), cells AS (
+      |  SELECT s.source, p.token, p.ct, COALESCE(st.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN top p
+      |  LEFT JOIN st ON st.source = s.source AND st.token = p.token
+      |), tot AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cells GROUP BY 1
+      |), contribs AS (
+      |  SELECT c.source, c.token, c.c,
+      |    ((CAST(c.c AS DOUBLE) + 0.5) / (CAST(tt.ns AS DOUBLE) + 0.5 * qt.kk))
+      |      * ln(((CAST(c.c AS DOUBLE) + 0.5) / (CAST(tt.ns AS DOUBLE) + 0.5 * qt.kk))
+      |           / ((CAST(c.ct AS DOUBLE) + 0.5) / (CAST(qt.nq AS DOUBLE) + 0.5 * qt.kk)))
+      |      AS contrib
+      |  FROM cells c JOIN tot tt USING (source) CROSS JOIN qt
+      |), ranked AS (
+      |  SELECT source, token, contrib,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY contrib DESC, token ASC) AS rn
+      |  FROM contribs
+      |), agg AS (
+      |  SELECT source, ROUND(SUM(contrib), 6) AS kl,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens_vocab
+      |  FROM contribs GROUP BY 1
+      |)
+      |SELECT a.source, nd.n_docs, a.n_tokens_vocab, a.kl,
+      |  r.token AS token_principal, ROUND(r.contrib, 6) AS contrib_principal
+      |FROM agg a
+      |JOIN nd USING (source)
+      |JOIN ranked r ON r.source = a.source AND r.rn = 1
+      |ORDER BY a.source""".stripMargin
+
   private def d33(spark: SparkSession, dir: String): DataFrame = {
     val prepared = Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -2681,6 +2740,7 @@ object PipelineQueries {
     Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),
     Q("d31_span_scrub", "duplicated-span removal keeping the first-occurrence survivor (apply side of d30)", d31, Some(d31Sql)),
     Q("d36_repetition_scrub", "intra-document repeated-span removal, one in-row kernel (apply side of d19)", d36, Some(d36Sql)),
+    Q("d37_source_drift", "per-source KL drift vs the corpus distribution over the top-K vocabulary", d37, Some(d37Sql)),
     Q("d32_span_dedup_fast", "d30's xxhash64 production fast path == the md5-gated spans", d32, Some(d30Sql)),
     Q("d33_budget_select", "token-budget curation: best-quality docs under a global token budget (two-phase prefix sum)", d33, Some(d33Sql)),
     Q("d34_best_survivors", "quality-aware near-dup survivors: each cluster keeps its best-quality member", d34, Some(d34Sql)),

@@ -104,4 +104,43 @@ class CurateSpec extends SparkSpec {
       s"expected an aggregate-based argmax:\n$plan")
     assert(!plan.contains("Window"), s"argmax must not plan a window:\n$plan")
   }
+
+  test("sourceDrift: a single source IS the corpus — KL exactly zero, argmax tie goes to token asc") {
+    val docs = Seq((1L, "a b", "s0"), (2L, "b", "s0")).toDF("doc_id", "text", "source")
+    val got = Curate.sourceDrift(docs, "doc_id", "text", "source").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "s0" && r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0, "p == q exactly when the source is the whole corpus")
+    assert(r.getString(4) == "a", "all contributions tie at 0.0 — smallest token wins")
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("sourceDrift: two divergent sources match the hand formula; top contributor is the enriched token") {
+    val docs = Seq(
+      (1L, "x x x", "A"),
+      (2L, "y", "B"),
+      (3L, null.asInstanceOf[String], "B") // counted in n_docs, contributes no tokens
+    ).toDF("doc_id", "text", "source")
+    val got = Curate.sourceDrift(docs, "doc_id", "text", "source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    // vocab = {x: 3, y: 1}, K = 2, Nq = 4; add-half smoothing
+    def p(c: Long, n: Long) = (c + 0.5) / (n + 0.5 * 2)
+    def contrib(c: Long, n: Long, ct: Long) =
+      p(c, n) * math.log(p(c, n) / p(ct, 4))
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klA = r6(contrib(3, 3, 3) + contrib(0, 3, 1))
+    val klB = r6(contrib(0, 1, 3) + contrib(1, 1, 1))
+    assert(got("A") == ((1L, 3L, klA, "x", r6(contrib(3, 3, 3)))))
+    assert(got("B") == ((2L, 1L, klB, "y", r6(contrib(1, 1, 1)))))
+    assert(got("A")._3 > 0.0 && got("B")._3 > 0.0)
+  }
+
+  test("sourceDrift plans aggregates only — no window, and the KL path never windows the corpus") {
+    val docs = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("doc_id", "text", "source")
+    val plan = Curate.sourceDrift(docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"drift must aggregate, never window:\n$plan")
+  }
 }

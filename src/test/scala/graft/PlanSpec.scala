@@ -211,6 +211,18 @@ class PlanSpec extends SparkSpec {
       s"d19 must use the compiled kernel:\n$p")
   }
 
+  test("d36: the repetition scrub is pure map — no exchange except the presentation sort") {
+    // the apply side shares d19's contract: removal happens in-row, so
+    // a regression that reintroduces a (doc, gram) exchange or a window
+    // is a scale defect, not a style choice
+    val p = plan(SparkEntry.queries("d36_repetition_scrub")(spark, sfDir))
+    assert(!p.contains("hashpartitioning"),
+      s"d36 must not shuffle gram rows for an intra-doc rewrite:\n$p")
+    assert(!p.contains("Window"), s"d36 must not window:\n$p")
+    assert(p.contains("graft_repetition_scrub"),
+      s"d36 must use the compiled kernel:\n$p")
+  }
+
   test("d18/d20: packing never plans a single-partition exchange") {
     for (q <- Seq("d18_sequence_pack", "d20_pack_manifest")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
