@@ -98,6 +98,9 @@ object Bench {
     // s10's feed staging + signature/LM/threshold stores: same category
     try { graft.queries.PipelineQueries.s10Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s11's feed staging + corpus vocabulary-distribution store: same category
+    try { graft.queries.PipelineQueries.s11Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

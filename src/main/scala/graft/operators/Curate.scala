@@ -160,17 +160,46 @@ object Curate {
       sourceCol: String,
       topK: Int = 500
   ): DataFrame = {
-    val st = docs
-      .select(col(sourceCol).as("source"),
-        explode(graft.functions.Text.tokens(col(textCol))).as("token"))
-      .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("c"))
-    val nd = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+    val st = sourceTokenCounts(docs, textCol, sourceCol)
     val top = st
       .groupBy(col("token"))
       .agg(sum(col("c")).as("ct"))
       .orderBy(col("ct").desc, col("token").asc)
       .limit(topK)
+    klDrift(st, docsPerSource(docs, sourceCol), top)
+  }
+
+  /** Drift of each source in `docs` against a GIVEN vocabulary
+    * distribution `vocab` = (token, ct) — the streaming-screen path:
+    * the corpus vocabulary is persisted once at publish time and every
+    * arriving micro-batch joins the narrow stored relation instead of
+    * re-deriving the corpus distribution (at 100 TB the re-derivation
+    * would dominate each batch). Same output and semantics as
+    * [[sourceDrift]] with the reference distribution held fixed.
+    */
+  def driftAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vocab: DataFrame
+  ): DataFrame =
+    klDrift(
+      sourceTokenCounts(docs, textCol, sourceCol),
+      docsPerSource(docs, sourceCol),
+      vocab.select(col("token"), col("ct")))
+
+  private def sourceTokenCounts(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
+  private def docsPerSource(docs: DataFrame, sourceCol: String): DataFrame =
+    docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+
+  private def klDrift(st: DataFrame, nd: DataFrame, top: DataFrame): DataFrame = {
     val qTot = top.agg(sum(col("ct")).as("nq"), count(lit(1)).as("kk"))
     val cells = nd
       .select(col("source"))

@@ -1142,6 +1142,85 @@ object PipelineQueries {
       .run(spark, dir, s08WorkDir(dir))
       .orderBy(col("id_batch"), col("id_corpus"))
 
+  private def s11WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s11_${Integer.toHexString(dir.hashCode)}"
+
+  /** Untimed load-phase setup for Bench: feed staging + the stored
+    * corpus vocabulary distribution (the s06/s09 pattern).
+    */
+  def s11Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestDrift.setup(spark, dir, s11WorkDir(dir))
+
+  // ---------------------------------------------------------------------
+  // s11 — streaming ingest DRIFT monitor: micro-batches of arriving
+  // docs (4 synthetic feed sources, one carrying a planted common-token
+  // burst) KL-screened per source against the STORED corpus top-K
+  // vocabulary distribution — the d37 selector applied incrementally,
+  // never re-derived per batch. The feed is staged hash-partitioned by
+  // source so a source never straddles a trigger and the drained log
+  // equals the one-shot screen row-for-row. Oracle re-derives the
+  // corpus vocabulary, rebuilds the feed and recomputes every KL in SQL.
+  // ---------------------------------------------------------------------
+  private def s11(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestDrift
+      .run(spark, dir, s11WorkDir(dir))
+      .orderBy(col("source"))
+  private val s11Sql =
+    """WITH corpus_tok AS (
+      |  SELECT unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+      |  FROM documents
+      |), top AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM corpus_tok GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, token ASC LIMIT 500
+      |), qt AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS nq, CAST(COUNT(*) AS BIGINT) AS kk FROM top
+      |), feed AS (
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    CASE WHEN doc_id % 20 = 0 THEN text || ' key key key key' ELSE text END AS text,
+      |    'feed_' || CAST(doc_id % 4 AS VARCHAR) AS source
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM feed
+      |), tok AS (
+      |  SELECT source, unnest(toks) AS token FROM t
+      |), st AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM feed GROUP BY 1
+      |), cells AS (
+      |  SELECT s.source, p.token, p.ct, COALESCE(st.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM feed) s
+      |  CROSS JOIN top p
+      |  LEFT JOIN st ON st.source = s.source AND st.token = p.token
+      |), tot AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cells GROUP BY 1
+      |), contribs AS (
+      |  SELECT c.source, c.token, c.c,
+      |    ((CAST(c.c AS DOUBLE) + 0.5) / (CAST(tt.ns AS DOUBLE) + 0.5 * qt.kk))
+      |      * ln(((CAST(c.c AS DOUBLE) + 0.5) / (CAST(tt.ns AS DOUBLE) + 0.5 * qt.kk))
+      |           / ((CAST(c.ct AS DOUBLE) + 0.5) / (CAST(qt.nq AS DOUBLE) + 0.5 * qt.kk)))
+      |      AS contrib
+      |  FROM cells c JOIN tot tt USING (source) CROSS JOIN qt
+      |), ranked AS (
+      |  SELECT source, token, contrib,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY contrib DESC, token ASC) AS rn
+      |  FROM contribs
+      |), agg AS (
+      |  SELECT source, ROUND(SUM(contrib), 6) AS kl,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens_vocab
+      |  FROM contribs GROUP BY 1
+      |)
+      |SELECT a.source, nd.n_docs, a.n_tokens_vocab, a.kl,
+      |  r.token AS token_principal, ROUND(r.contrib, 6) AS contrib_principal
+      |FROM agg a
+      |JOIN nd USING (source)
+      |JOIN ranked r ON r.source = a.source AND r.rn = 1
+      |ORDER BY a.source""".stripMargin
+
   private def s09WorkDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_s09_${Integer.toHexString(dir.hashCode)}"
 
@@ -2770,6 +2849,7 @@ object PipelineQueries {
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),
     Q("s09_stream_quality_screen", "streaming perplexity screen against the stored corpus LM (§2.9 composed with d29)", s09, Some(s09Sql)),
     Q("s10_stream_curate", "composed streaming ingest: dedup screen → LM quality screen → incremental pack in one foreachBatch (§2.9, p02's streaming twin)", s10, Some(s10Sql)),
+    Q("s11_stream_drift", "streaming per-source KL drift monitor against the stored corpus distribution (§2.9 composed with d37)", s11, Some(s11Sql)),
     Q("e01_knn_brute", "exact brute-force cosine top-k", e01, Some(e01Sql)),
     Q("e02_knn_ivf", "IVF cell-join top-k, exhaustive probe vs brute oracle", e02, Some(e01Sql)),
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),

@@ -115,6 +115,27 @@ class StreamingSpec extends SparkSpec {
     assert(scored.nonEmpty && scored.forall(_._3.get < 0.0))
   }
 
+  test("streaming drift monitor equals the one-shot screen; the planted burst source fires") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5))
+    val oneShot = graft.streaming.IngestDrift
+      .oneShot(spark, sfDir).collect().map(key).toSet
+    val streamed = graft.streaming.IngestDrift
+      .run(spark, sfDir, s"${System.getProperty("java.io.tmpdir")}/graft_s11_spec")
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      "per-batch drift vs the stored distribution must equal the one-shot screen")
+    assert(streamed.map(_._1) == Set("feed_0", "feed_1", "feed_2", "feed_3"),
+      "each staged source screens exactly once (a source never straddles a trigger)")
+    // the feed_0 burst must fire: its KL strictly above every undrifted
+    // source, and its top contributor is the burst token itself
+    val bySrc = streamed.map(r => r._1 -> r).toMap
+    val driftedKl = bySrc("feed_0")._4
+    assert(Seq("feed_1", "feed_2", "feed_3").forall(s => bySrc(s)._4 < driftedKl),
+      s"planted drift must dominate: $streamed")
+    assert(bySrc("feed_0")._5 == "key", "the burst token is the top contributor")
+  }
+
   test("streaming incremental packing equals the one-shot sequence pack") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, sfDir)
