@@ -169,6 +169,38 @@ object Curate {
     klDrift(st, docsPerSource(docs, sourceCol), top)
   }
 
+  /** Global quality-percentile calibration: every row's exact
+    * percentile rank of `scoreCol` (PERCENT_RANK semantics — tied
+    * scores share a percentile, pct = (rank−1)/(n−1), 0 for a
+    * single-row corpus) plus the dense 1-based global position under
+    * the (score, id) total order. The normalization step before
+    * "keep the top X% by quality": a raw score threshold drifts with
+    * the corpus mix, a percentile does not.
+    *
+    * Scale: the dense rank is the two-phase prefix pass (range
+    * exchange on (score, id) — never a single-partition window); the
+    * tie-sharing rank derives from it with ONE map-side-combinable
+    * groupBy(score) re-joined on the score key; n is one broadcast
+    * scalar. The corpus text never enters the exchange.
+    */
+  def percentileRank(prepared: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val rt = runningTotals(
+      prepared.select(col(idCol), col(scoreCol).as("score"), lit(1L).as("poids")),
+      Seq(col("score").asc, col(idCol).asc),
+      "poids")
+      .select(col(idCol), col("score"), col("rang"))
+    val minRank = rt.groupBy(col("score")).agg(min(col("rang")).as("rmin"))
+    val nTot = rt.agg(count(lit(1)).as("n"))
+    rt.join(minRank, Seq("score"))
+      .crossJoin(broadcast(nTot))
+      .select(
+        col(idCol),
+        col("score").as("qualite"),
+        col("rang"),
+        round((col("rmin") - 1).cast("double") /
+          greatest(col("n") - 1, lit(1L)).cast("double"), 6).as("pct_qualite"))
+  }
+
   /** Drift of each source in `docs` against a GIVEN vocabulary
     * distribution `vocab` = (token, ct) — the streaming-screen path:
     * the corpus vocabulary is persisted once at publish time and every

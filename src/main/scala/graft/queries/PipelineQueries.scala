@@ -2232,6 +2232,33 @@ object PipelineQueries {
        |ORDER BY rang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d38 — global quality-percentile calibration: every doc's exact
+  // PERCENT_RANK of its quality score (ties share a percentile) plus
+  // the dense (score, id) global position — the normalization step
+  // before "keep the top X% by quality" thresholds. Spark runs the
+  // two-phase prefix pass + a score-keyed min rollup (no
+  // single-partition window, pinned in CurateSpec); the oracle is the
+  // literal ROW_NUMBER + PERCENT_RANK window pair.
+  // ---------------------------------------------------------------------
+  private def d38(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.qualityScore(col("text")).as("qualite"))
+    graft.operators.Curate
+      .percentileRank(prepared, "doc_id", "qualite")
+      .orderBy(col("doc_id"))
+  }
+  private val d38Sql =
+    s"""WITH q AS (
+       |  SELECT doc_id, $qualityExprSql AS qualite FROM documents
+       |)
+       |SELECT doc_id, qualite,
+       |  ROW_NUMBER() OVER (ORDER BY qualite, doc_id) AS rang,
+       |  ROUND(CAST(PERCENT_RANK() OVER (ORDER BY qualite) AS DOUBLE), 6) AS pct_qualite
+       |FROM q
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d34 — quality-aware duplicate-cluster survivors: d09's near-dup
   // clusters re-adjudicated to keep each cluster's BEST-quality member
   // (ties → lowest id) instead of the canonical minimum id — the
@@ -2820,6 +2847,7 @@ object PipelineQueries {
     Q("d31_span_scrub", "duplicated-span removal keeping the first-occurrence survivor (apply side of d30)", d31, Some(d31Sql)),
     Q("d36_repetition_scrub", "intra-document repeated-span removal, one in-row kernel (apply side of d19)", d36, Some(d36Sql)),
     Q("d37_source_drift", "per-source KL drift vs the corpus distribution over the top-K vocabulary", d37, Some(d37Sql)),
+    Q("d38_percentile_rank", "global quality-percentile calibration: exact PERCENT_RANK via the two-phase pass", d38, Some(d38Sql)),
     Q("d32_span_dedup_fast", "d30's xxhash64 production fast path == the md5-gated spans", d32, Some(d30Sql)),
     Q("d33_budget_select", "token-budget curation: best-quality docs under a global token budget (two-phase prefix sum)", d33, Some(d33Sql)),
     Q("d34_best_survivors", "quality-aware near-dup survivors: each cluster keeps its best-quality member", d34, Some(d34Sql)),

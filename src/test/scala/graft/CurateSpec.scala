@@ -105,6 +105,33 @@ class CurateSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"argmax must not plan a window:\n$plan")
   }
 
+  test("percentileRank: ties share the percentile, rang stays dense; the (n-1) floor guards a 1-row corpus") {
+    val prepared = Seq(
+      (1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9)
+    ).toDF("doc_id", "q")
+    val got = Curate.percentileRank(prepared, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    // order (q, id): 1 → rang 1 pct 0/3; 2,3 tie at rank 2 → pct 1/3; 4 → rank 4 pct 3/3
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> ((0.2, 1L, 0.0)),
+      2L -> ((0.5, 2L, r6(1.0 / 3))),
+      3L -> ((0.5, 3L, r6(1.0 / 3))),
+      4L -> ((0.9, 4L, 1.0))
+    ))
+    val single = Curate.percentileRank(Seq((7L, 0.4)).toDF("doc_id", "q"), "doc_id", "q")
+      .collect().head
+    assert(single.getLong(2) == 1L && single.getDouble(3) == 0.0)
+    // the scale guard here is "no corpus-order window": the n scalar's
+    // 1-row final aggregate legitimately plans a SinglePartition
+    // exchange carrying one row per partition, but a
+    // percent_rank().over(Window.orderBy(score)) — the formulation this
+    // operator exists to avoid — would sort the corpus in ONE task
+    val plan = Curate.percentileRank(prepared, "doc_id", "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"percentile must derive from the two-phase rank:\n$plan")
+  }
+
   test("sourceDrift: a single source IS the corpus — KL exactly zero, argmax tie goes to token asc") {
     val docs = Seq((1L, "a b", "s0"), (2L, "b", "s0")).toDF("doc_id", "text", "source")
     val got = Curate.sourceDrift(docs, "doc_id", "text", "source").collect()

@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
       "e05_knn_pq",
       "q31_measure_filter", // 1-row grand-total broadcast for the P12 measure threshold
       "p02_curated_sample", // 1-row median-score broadcast gating the keep filter
-      "d37_source_drift") // bounded sources×top-K grid cross + a 1-row corpus-totals broadcast
+      "d37_source_drift", // bounded sources×top-K grid cross + a 1-row corpus-totals broadcast
+      "d38_percentile_rank") // 1-row corpus-count broadcast for the (n-1) denominator
     // these run jobs at construction (writes, streaming, iteration) —
     // their plan shapes are covered by dedicated tests above
     val skip = Set("w01_partitioned_io", "io01_pgcopy_roundtrip", "io02_bucketed_join",
