@@ -193,6 +193,15 @@ object ScaleStress {
     sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(filter) =>
         val wanted = filter.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // fail LOUDLY on names not in the catalog: a typo'd subset run
+        // would otherwise execute nothing (or a partial set) and exit
+        // green — defeating the growth-gate purpose of the subset run
+        val unknown = wanted -- all.toSet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"SPARK_GRAFT_ONLY names not in the stress catalog: ${unknown.toSeq.sorted.mkString(", ")}")
+          sys.exit(1)
+        }
         all.filter(wanted)
       case None => all
     }

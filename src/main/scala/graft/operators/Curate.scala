@@ -51,7 +51,11 @@ object Curate {
     // 500 k docs) vs ~linear once the three passes read one
     // materialization. O(corpus) rows but ~24 B each; blocks released
     // by the ContextCleaner (the repo checkpoint convention).
-    val src = df.localCheckpoint(true)
+    // The weight is cast to long HERE (the public contract accepts any
+    // numeric weight column — an int/double weight would otherwise hit
+    // getLong below as an opaque executor-side ClassCastException);
+    // null weights are rejected with a clear message instead of an NPE.
+    val src = df.withColumn(weightCol, col(weightCol).cast(LongType)).localCheckpoint(true)
     val sorted = src
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -61,7 +65,11 @@ object Curate {
     val partTotals = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var n = 0L; var s = 0L
-        it.foreach { r => n += 1L; s += r.getLong(wIdx) }
+        it.foreach { r =>
+          require(!r.isNullAt(wIdx), s"runningTotals: null weight in column — " +
+            "coalesce the weight column before ordering on it")
+          n += 1L; s += r.getLong(wIdx)
+        }
         Iterator((i, n, s))
       }
       .collect().sortBy(_._1)

@@ -46,6 +46,38 @@ object Dedup {
     math.min(budget, ceiling)
   }
 
+  /** The session's dedup broadcast budget (`spark.graft.dedup
+    * .sigBroadcastBytes`, default 512 MB), clamped to what the driver
+    * can actually collect — the single knob every sig/sketch broadcast
+    * decision in this tier reads.
+    */
+  private[graft] def sigBroadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    clampToDriverLimit(spark,
+      spark.conf
+        .getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+
+  /** Whether a published signature store ((id, sig) rows, the
+    * [[signatures]] contract) fits the dedup broadcast budget — the
+    * decision that lets ingest screens cache the NARROW band index
+    * (16 B/band row) and re-attach sig payloads map-side from a
+    * broadcast of the store. The per-row weight is derived from the
+    * STORE ITSELF (first row's signature length), not a hardcoded k:
+    * the signature scheme is otherwise carried only by the caller's
+    * sigFormat fingerprint string, and a scheme change would silently
+    * under/over-size a hardcoded estimate. Empty stores trivially fit;
+    * comparison is by DIVISION (the embeddingNearDup overflow
+    * convention).
+    */
+  def sigStoreFitsBroadcast(sigs: DataFrame): Boolean = {
+    val budget = sigBroadcastBudget(sigs.sparkSession)
+    sigs.select(size(col("sig")).as("k")).head(1).headOption.forall { r =>
+      val perRow = r.getInt(0) * 8L + 16L
+      sigs.count() <= budget / perRow
+    }
+  }
+
   /** Exact dedup on a key expression (default: the full text). Keeps the
     * smallest id per group — deterministic winner, unlike dropDuplicates
     * (whose survivor is partition-order dependent).
@@ -397,9 +429,32 @@ object Dedup {
       textCol: String,
       gramTokens: Int = 8,
       exactFingerprints: Boolean = true
+  ): DataFrame =
+    spanScrubTokens(tokenBase(docs, idCol, textCol), "doc_id", "a", gramTokens, exactFingerprints)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("jetons_gardes")).as("texte_nettoye"),
+        col("n_tokens_gardes"))
+
+  /** [[spanScrub]] over a PRE-TOKENIZED relation (idCol, tokensCol) —
+    * the composition entry point, [[spanDedupTokens]]' apply-side twin:
+    * a pipeline that scrubs and then screens/scores/packs tokenizes the
+    * corpus ONCE and keeps working in token space. Returns the KEPT
+    * TOKEN ARRAY (`jetons_gardes`) instead of re-concatenated text so
+    * downstream stages (p03's near-dup screen, budget select, packing)
+    * never re-tokenize; [[spanScrub]] is exactly this plus one
+    * concat_ws. Same plan shape as [[spanScrub]] (one Generate over the
+    * corpus, map-side-combinable survivor pass, islands over hits only).
+    */
+  def spanScrubTokens(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
   ): DataFrame = {
     val k = gramTokens
-    val base = tokenBase(docs, idCol, textCol)
+    val base = toks.select(col(idCol).as("doc_id"), col(tokensCol).as("a"))
     val grams = slidingGrams(base, k, exactFingerprints)
     val keyBytes = if (exactFingerprints) 32L else 8L
     val hits = grams
@@ -419,7 +474,7 @@ object Dedup {
               (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
       .select(
         col("doc_id"),
-        concat_ws(" ", col("kept")).as("texte_nettoye"),
+        col("kept").as("jetons_gardes"),
         size(col("kept")).cast("long").as("n_tokens_gardes"))
   }
 
@@ -827,18 +882,27 @@ object Dedup {
           .minhashSig(Text.tokens(col(textCol)), shingleN, k)
           .as(sigAs))
       .filter(col(sigAs).isNotNull)
-    val sigB = sigOf(batch, "id_batch", "sig_b")
+    // cached: consumed by the count below, the probe-side band build
+    // and (past the fat budget) the sig re-attach join
+    val sigB = sigOf(batch, "id_batch", "sig_b").cache()
     val sigC = corpusSigs
       .map(_.select(col(idCol).as("id_corpus"), col("sig").as("sig_c")))
       .getOrElse(sigOf(corpus, "id_corpus", "sig_c"))
-    // ONE batch-side broadcast: the band rows CARRY sig_b, so the probe
-    // and the estimate kill ride a single broadcast join (two separate
-    // broadcasts — bands then sigs — paid a second build + join per
-    // screen call, which a multi-trigger drain multiplies)
-    val bandsB = sigB.select(
-      col("id_batch"),
-      col("sig_b"),
-      explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_b"), bands, r)).as("bb"))
+    // ONE batch-side broadcast by default: the band rows CARRY sig_b, so
+    // the probe and the estimate kill ride a single broadcast join (two
+    // separate broadcasts — bands then sigs — paid a second build + join
+    // per screen call, which a multi-trigger drain multiplies). The fat
+    // shape weighs ~bands × sig bytes per batch doc (~16× the narrow
+    // bands + sigs pair), so it is GATED on the sig broadcast budget:
+    // the same code path serves one-shot screens whose "batch" is a
+    // whole feed split, and an unbudgeted fat broadcast there could
+    // blow the driver ceiling the repo guards everywhere else. Past the
+    // budget the screen degrades to the two-broadcast shape (each side
+    // budget-checked on its own weight), and past THAT to plain
+    // shuffled joins — the honest giant-batch behavior.
+    val nB = sigB.count()
+    val budget = sigBroadcastBudget(batch.sparkSession)
+    val bandsFatFits = nB <= budget / (bands.toLong * (k * 8L + 48L))
     // corpus bands CARRY sig_c: the column is wide in flight but these
     // rows are never shuffled — every step below down to the estimate
     // kill is map-side, so only kill survivors reach an exchange.
@@ -877,8 +941,28 @@ object Dedup {
     // broadcast batch bands, then the estimate kill against the
     // broadcast batch sigs — raw band collisions die in place; the only
     // exchange in candidate generation is the distinct over survivors
-    val candidates = prunedC
-      .join(broadcast(bandsB), Seq("bb"))
+    val probed =
+      if (bandsFatFits) {
+        val bandsB = sigB.select(
+          col("id_batch"),
+          col("sig_b"),
+          explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_b"), bands, r)).as("bb"))
+        prunedC.join(broadcast(bandsB), Seq("bb"))
+      } else {
+        // two-broadcast fallback: narrow (id, bb) bands probe first,
+        // sig_b re-attached on the survivors' id — each side broadcast
+        // only under its own measured weight
+        val bandsNarrow = sigB.select(
+          col("id_batch"),
+          explode(org.apache.spark.sql.graft.TextExpr.minhashBands(col("sig_b"), bands, r)).as("bb"))
+        val bandsSide =
+          if (nB <= budget / (bands.toLong * 48L)) broadcast(bandsNarrow) else bandsNarrow
+        val sigSide = sigB.select(col("id_batch"), col("sig_b"))
+        val sigAttach =
+          if (nB <= budget / (k * 8L + 48L)) broadcast(sigSide) else sigSide
+        prunedC.join(bandsSide, Seq("bb")).join(sigAttach, Seq("id_batch"))
+      }
+    val candidates = probed
       .withColumn("e", est)
       .filter(col("e") >= cut)
       .select("id_batch", "id_corpus")
@@ -898,6 +982,7 @@ object Dedup {
       .select(col("id_batch"), col("id_corpus"), col("jaccard"))
       .localCheckpoint(true)
     candidates.unpersist()
+    sigB.unpersist()
     verified
   }
 

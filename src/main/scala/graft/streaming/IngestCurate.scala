@@ -166,10 +166,8 @@ object IngestCurate {
     // broadcast budget)
     val corpusSigs = spark.read.parquet(s"$workDir/corpus_sigs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val budget = Dedup.clampToDriverLimit(spark,
-      spark.conf.getOption("spark.graft.dedup.sigBroadcastBytes")
-        .map(Dedup.parseBytes).getOrElse(512L * 1024 * 1024))
-    val narrow = corpusSigs.count() * (64L * 8 + 16) <= budget
+    // store-derived per-row weight (Dedup helper) — see IngestDedup
+    val narrow = Dedup.sigStoreFitsBroadcast(corpusSigs)
     val bandIdx = Dedup
       .bandIndex(corpusSigs,
         hotBuckets = Some(spark.read.parquet(s"$workDir/corpus_hot_bb")),

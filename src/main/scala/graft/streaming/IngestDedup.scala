@@ -104,10 +104,10 @@ object IngestDedup {
     val corpusSigs = spark.read.parquet(s"$workDir/corpus_sigs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hotBb = spark.read.parquet(s"$workDir/corpus_hot_bb")
-    val budget = Dedup.clampToDriverLimit(spark,
-      spark.conf.getOption("spark.graft.dedup.sigBroadcastBytes")
-        .map(Dedup.parseBytes).getOrElse(512L * 1024 * 1024))
-    val narrow = corpusSigs.count() * (64L * 8 + 16) <= budget
+    // per-row weight derived from the store itself (Dedup helper), not
+    // a hardcoded k=64 — a signature-scheme change cannot silently
+    // mis-size the narrow-index decision
+    val narrow = Dedup.sigStoreFitsBroadcast(corpusSigs)
     val bandIdx = Dedup.bandIndex(corpusSigs, hotBuckets = Some(hotBb), narrow = narrow)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairSchema = StructType(Seq(

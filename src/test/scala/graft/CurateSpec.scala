@@ -31,6 +31,18 @@ class CurateSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 40L), (3L, 2L, 80L), (2L, 3L, 110L)))
   }
 
+  test("budgetSelect: a non-long weight column is cast, not a runtime ClassCastException") {
+    // the public contract advertises arbitrary prepared relations —
+    // an INT (or DOUBLE) weight must behave like its long value
+    val prepared = Seq((1L, 1.0, 40), (2L, 0.5, 30), (3L, 0.25, 10))
+      .toDF("doc_id", "score", "poids")
+    val got = Curate.budgetSelect(prepared, "doc_id", "score", "poids", budget = 70L)
+      .orderBy(col("rang"))
+      .select(col("doc_id"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 40L), (2L, 70L)))
+  }
+
   test("budgetSelect: a document crossing the budget is dropped with everything after it") {
     val prepared = Seq((1L, 2.0, 60L), (2L, 1.0, 50L), (3L, 0.5, 5L))
       .toDF("doc_id", "score", "poids")

@@ -84,6 +84,15 @@ class DedupSpec extends SparkSpec {
       4L -> (("y1 y2", 2L)),
       5L -> (("", 0L))
     ))
+    // tokenized entry-point parity: spanScrubTokens over a
+    // pre-tokenized relation rebuilds to the same rows as the raw
+    // entry (the p03 composition contract — tokenize once, scrub in
+    // token space)
+    val toks = df.select(col("doc_id").as("id"), Text.tokens(col("text")).as("jetons"))
+    val viaToks = Dedup.spanScrubTokens(toks, "id", "jetons", gramTokens = 3)
+      .select(col("doc_id"), concat_ws(" ", col("jetons_gardes")), col("n_tokens_gardes"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(viaToks == got)
     // the chunk-grain scrub misses the doc-2 occurrence entirely at
     // width 4 with these alignments — that gap is WHY spanScrub exists
     val chunked = Dedup.chunkScrub(df, "doc_id", "text", chunkTokens = 4).collect()
