@@ -2453,6 +2453,222 @@ object PipelineQueries {
       |ORDER BY stratum, rang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p03 — the FULL batch curation pipeline composed end to end (the
+  // artifact this engine exists to produce): intra-doc repetition scrub
+  // (d36, gram 3) → corpus duplicated-span scrub (d31, gram 8) →
+  // near-dup scrub (d06 pairs → d09 components → d25 removal) → quality
+  // scoring (d03) → token-budget selection (d33) → deterministic
+  // training order (d35) → sequence pack + SHARD EMIT (d18/d22), with
+  // the per-doc pack evidence read BACK from the emitted files — a
+  // green gate proves the bytes ON DISK are the selected corpus re-cut
+  // in training order. The oracle recomputes every stage in SQL over
+  // the REBUILT intermediate text: d36's per-doc occurrence windows,
+  // d31's corpus survivor pick + island merge on the stage-1 output,
+  // exhaustive 3-shingle Jaccard + recursive components on the stage-2
+  // output, the d03 quality expression, the budget window, the seeded
+  // md5 permutation and the d18 prefix-sum pack over it.
+  // Scale shape: ONE corpus tokenization feeds both scrub stages (the
+  // p02 shared-token discipline from the start — stage 1 is a compiled
+  // in-row kernel ON the token relation, stage 2 scrubs its output in
+  // token space via spanScrubTokens, so the corpus text is never
+  // re-tokenized between them); the near-dup screen keeps its gated
+  // banded plan over the scrubbed docs; quality/budget/order ride the
+  // two-phase prefix machinery on narrow relations; the pack stage is
+  // the d22 emit. Cost target: ≈ the heaviest stage (the span screen)
+  // plus bounded overhead — the p02 1.13× precedent.
+  // ---------------------------------------------------------------------
+  private[graft] def p03ShardDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p03_${Integer.toHexString(dir.hashCode)}"
+
+  private def p03(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // tokenize + repetition scrub as ONE fused compiled map (no
+    // exchange) — deliberately NOT checkpointed although the span
+    // screen reads it three times: the row is a WIDE token array, and
+    // materializing it measured STRICTLY worse than recomputing the
+    // codegen'd kernels (7.1 s → 3.5 s for the whole span stage at
+    // sf0.1 — the embeddingNearDup projection precedent: storage and
+    // serialization pressure dwarf pure-CPU map work)
+    val rep = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpr
+          .repetitionScrub(Text.tokens(col("text")), 3).as("a1"))
+    // corpus span scrub in TOKEN space (spanScrubTokens) on xxhash64
+    // gram keys — the d32 production fast path; the oracle's md5 spans
+    // are identical absent a 64-bit collision (d32's gating argument),
+    // and the rebuilt text is what the gate hashes. The text is rebuilt
+    // exactly once here; fully-scrubbed docs leave the pipeline.
+    // Checkpointed — consumed by the near-dup screen (two scans),
+    // quality scoring, the pack join and the fingerprint, each of which
+    // would otherwise re-run the whole span stage.
+    val scrubbed = Dedup
+      .spanScrubTokens(rep, "doc_id", "a1", gramTokens = 8, exactFingerprints = false)
+      .select(col("doc_id"),
+        concat_ws(" ", col("jetons_gardes")).as("texte"),
+        col("n_tokens_gardes").as("n_jetons"))
+      .filter(col("n_jetons") > 0)
+      .localCheckpoint(true)
+    // near-dup scrub over the scrubbed text: banded pairs → star-
+    // contraction components → drop non-canonical members (the d25
+    // min-id survivor contract)
+    val pairs = Dedup.minhashLsh(scrubbed, "doc_id", "texte",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+    val remove = Dedup.clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val kept = scrubbed.join(remove, Seq("doc_id"), "left_anti")
+    // quality → token-budget selection (two-phase prefix pass on a
+    // narrow prepared relation). The selection is BUDGET-BOUNDED
+    // (≤ budget/min-doc-tokens rows at ANY corpus size), so the
+    // selected set — consumed by the order pass, the pack input and
+    // the final join — is eagerly materialized: every downstream
+    // action would otherwise re-run the corpus-scale quality anti-join
+    // lineage.
+    val selected = graft.operators.Curate
+      .budgetSelect(
+        kept.select(col("doc_id"),
+          Text.qualityScore(col("texte")).as("qualite"), col("n_jetons")),
+        "doc_id", "qualite", "n_jetons", budget = 10000L)
+      .select(col("doc_id"), col("qualite"), col("n_jetons"), col("cum").as("jetons_cumules"))
+      .localCheckpoint(true)
+    // deterministic training order of the selected set (seed-stable)
+    val ordered = graft.operators.Curate
+      .trainingOrder(selected.select(col("doc_id")), "doc_id", seed = "p03")
+      .select(col("doc_id"), col("rang"))
+    // pack + shard emit in training order (rang is the unique pack
+    // key), then read the per-doc sequence ranges BACK from disk.
+    // packIn is budget-bounded and feeds writeShards' THREE internal
+    // passes (range sampler, totals job, data/write pass) — checkpoint
+    // it so none of them re-runs the selection joins; the pack runs at
+    // 4 partitions (32 range partitions of a budget-bounded set paid
+    // pure task floor; a larger budget scales this knob with
+    // budget/seqTokens).
+    val out = p03ShardDir(dir)
+    val packIn = ordered
+      .join(kept.select(col("doc_id"), col("texte")), Seq("doc_id"))
+      .localCheckpoint(true)
+    Pack.writeShards(packIn, "rang", "texte",
+      seqTokens = 256, seqsPerShard = 8, outDir = out, numPartitions = 4)
+    val fromDisk = Pack.readShards(spark, out)
+      .select(col("seq_id"), explode(col("docs")).as("d"))
+      .groupBy(col("d.doc_id").as("rang"))
+      .agg(min(col("seq_id")).as("seq_debut"), max(col("seq_id")).as("seq_fin"))
+    selected
+      .join(ordered, Seq("doc_id"))
+      .join(fromDisk, Seq("rang"))
+      .join(kept.select(col("doc_id"), md5(col("texte")).as("empreinte")), Seq("doc_id"))
+      .select(col("rang"), col("doc_id"), col("empreinte"), col("qualite"),
+        col("n_jetons"), col("jetons_cumules"), col("seq_debut"), col("seq_fin"))
+      .orderBy(col("rang"))
+  }
+  private val p03Sql =
+    s"""WITH RECURSIVE arr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS a
+       |  FROM documents
+       |), tv0 AS (
+       |  SELECT doc_id, i, a[i] AS t
+       |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM arr)
+       |), g3 AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, array_to_string(a[pos:pos+2], ' ')
+       |                         ORDER BY pos) AS rn
+       |    FROM (SELECT doc_id, a, unnest(range(1, len(a) - 3 + 2)) AS pos
+       |          FROM arr WHERE len(a) >= 3)
+       |  ) WHERE rn > 1
+       |), rem1 AS (
+       |  SELECT DISTINCT tv0.doc_id, tv0.i
+       |  FROM tv0 JOIN g3 s ON tv0.doc_id = s.doc_id AND tv0.i BETWEEN s.pos AND s.pos + 2
+       |), a1 AS (
+       |  SELECT arr.doc_id, COALESCE(k.a, CAST([] AS VARCHAR[])) AS a
+       |  FROM arr LEFT JOIN (
+       |    SELECT tv0.doc_id, list(tv0.t ORDER BY tv0.i) AS a
+       |    FROM tv0 LEFT JOIN rem1 r ON tv0.doc_id = r.doc_id AND tv0.i = r.i
+       |    WHERE r.i IS NULL GROUP BY tv0.doc_id
+       |  ) k USING (doc_id)
+       |), g8 AS (
+       |  SELECT doc_id, pos, md5(array_to_string(a[pos:pos+7], ' ')) AS h
+       |  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 8 + 2)) AS pos
+       |        FROM a1 WHERE len(a) >= 8)
+       |), occ AS (
+       |  SELECT doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |    COUNT(*) OVER (PARTITION BY h) AS c
+       |  FROM g8
+       |), hits AS (
+       |  SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1
+       |), brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+       |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |), isl AS (
+       |  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk
+       |), spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY 1, 2
+       |), tv1 AS (
+       |  SELECT doc_id, i, a[i] AS t
+       |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM a1)
+       |), rem2 AS (
+       |  SELECT DISTINCT tv1.doc_id, tv1.i
+       |  FROM tv1 JOIN spans s ON tv1.doc_id = s.doc_id AND tv1.i BETWEEN s.s AND s.e
+       |), scrub AS (
+       |  SELECT tv1.doc_id, list(tv1.t ORDER BY tv1.i) AS a,
+       |         string_agg(tv1.t, ' ' ORDER BY tv1.i) AS texte,
+       |         CAST(COUNT(*) AS BIGINT) AS n_jetons
+       |  FROM tv1 LEFT JOIN rem2 r ON tv1.doc_id = r.doc_id AND tv1.i = r.i
+       |  WHERE r.i IS NULL GROUP BY tv1.doc_id
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(a) - 1),
+       |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s
+       |  FROM scrub WHERE len(a) >= 3
+       |), prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM prs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+       |), labels AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), keptd AS (
+       |  SELECT scrub.* FROM scrub
+       |  LEFT JOIN (SELECT id FROM labels WHERE id <> cluster_id) rm ON scrub.doc_id = rm.id
+       |  WHERE rm.id IS NULL
+       |), q AS (
+       |  SELECT doc_id, $qualityExprSql AS qualite, n_jetons
+       |  FROM (SELECT doc_id, texte AS text, n_jetons FROM keptd)
+       |), w AS (
+       |  SELECT doc_id, qualite, n_jetons,
+       |    SUM(n_jetons) OVER (ORDER BY qualite DESC, doc_id ROWS UNBOUNDED PRECEDING) AS jc
+       |  FROM q
+       |), sel AS (
+       |  SELECT * FROM w WHERE jc <= 10000
+       |), rk AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY md5('p03:' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
+       |  FROM sel
+       |), pk AS (
+       |  SELECT rk.doc_id, rk.rang, sel.n_jetons,
+       |    CAST(SUM(sel.n_jetons) OVER (ORDER BY rk.rang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM rk JOIN sel USING (doc_id)
+       |)
+       |SELECT CAST(pk.rang AS BIGINT) AS rang, pk.doc_id,
+       |  md5(keptd.texte) AS empreinte,
+       |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules,
+       |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
+       |  (pk.cum - 1) // 256 AS seq_fin
+       |FROM pk JOIN sel USING (doc_id) JOIN keptd USING (doc_id)
+       |ORDER BY rang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
   // kept, lowercased), with document frequency, deterministic
   // lexicographic tiebreak. Map-side-combined hash aggregate on bigram +
@@ -2872,6 +3088,7 @@ object PipelineQueries {
     Q("d22_shard_emit", "materialized packed shards read back, per-shard content fingerprints", d22, Some(d22Sql)),
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("p02_curated_sample", "composed curation: span screen → LM median filter → per-source quota sample", p02, Some(p02Sql)),
+    Q("p03_curation_pipeline", "full batch curation: repetition scrub → span scrub → near-dup scrub → quality budget select → training order → shard emit read back", p03, Some(p03Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),

@@ -161,4 +161,35 @@ class PackSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("p03 shard round-trip: the emitted bytes reassemble every selected doc to its gate fingerprint") {
+    // run the full pipeline gate, then prove the FILES it emitted
+    // reconstruct each selected document exactly: reassembling a doc's
+    // slices across sequences (in global token order) must hash to the
+    // empreinte the gate reported for that doc — so the fingerprints
+    // the oracle verifies describe the bytes on disk, not just the
+    // in-memory annotation.
+    val res = SparkEntry.queries("p03_curation_pipeline")(spark, sfDir)
+      .select(col("rang"), col("empreinte"), col("n_jetons")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(res.nonEmpty)
+    val shards = Pack.readShards(spark, graft.queries.PipelineQueries.p03ShardDir(sfDir))
+    val rebuilt = shards
+      .select(col("seq_id"), explode(col("docs")).as("d"), col("tokens"))
+      .select(col("d.doc_id").as("rang"),
+        (col("seq_id") * 256 + col("d.debut_dans_seq")).as("pos"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("rang"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("pos"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+      .select(col("rang"), md5(concat_ws(" ", col("toks"))).as("h"),
+        size(col("toks")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rebuilt == res,
+      "shard slices must reassemble to the gate's per-doc fingerprints and token counts")
+    // every emitted sequence except the last is exactly the 256-token budget
+    val seqs = shards.select(col("seq_id"), size(col("tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    assert(seqs.init.forall(_._2 == 256))
+  }
 }
