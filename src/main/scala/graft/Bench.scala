@@ -101,6 +101,10 @@ object Bench {
     // s11's feed staging + corpus vocabulary-distribution store: same category
     try { graft.queries.PipelineQueries.s11Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // e08/s12's query-feed staging + IVF-PQ index store: published once
+    // when the corpus lands; the measured queries are the serve paths
+    try { graft.queries.PipelineQueries.e08Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

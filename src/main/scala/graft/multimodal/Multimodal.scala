@@ -94,6 +94,38 @@ object Multimodal {
     ds.toDF("media_id", "media_type", "features")
   }
 
+  /** Centered byte-histogram feature for the ORACLE-GATED media
+    * near-dup screen (m05): bucket the payload bytes mod `featDim`,
+    * then center with EXACT integer arithmetic — c_j = featDim·S_j − ΣS
+    * (cosine is scale-invariant, so the un-normalized integer form is
+    * the centered mean up to a positive factor). Centering matters:
+    * raw byte-sum features of text-like payloads all point near the
+    * all-ones direction (natural cosines > 0.99 — no usable threshold);
+    * centered, distinct payloads decorrelate (max natural cosine ≈ 0.97
+    * on the fixture) while near-copies stay ≈ 1. Exact integers make
+    * the vector — and every downstream dot product, which stays well
+    * under 2^53 — bit-reproducible by ANY engine from the raw bytes in
+    * any summation order, unlike [[fakeDecode]]'s float mean, whose
+    * centering would be order-sensitive. Same per-partition batch loop
+    * as [[extractFeatures]] (a real visual embedding would replace the
+    * kernel, not the plumbing).
+    */
+  def centeredByteFeatures(media: DataFrame, featDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val acc = new Array[Long](featDim)
+        var i = 0
+        while (i < payload.length) { acc(i % featDim) += (payload(i) & 0xff); i += 1 }
+        val total = acc.sum
+        (id, Array.tabulate(featDim)(j => (featDim * acc(j) - total).toDouble))
+      })
+      .toDF("media_id", "features")
+  }
+
   /** STUB resize kernel for image rows: scales the payload byte count
     * proportionally to the pixel-count ratio and rewrites the metadata
     * dims — a real implementation decodes, resamples, re-encodes in the

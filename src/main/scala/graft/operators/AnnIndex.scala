@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Persisted IVF-PQ vector index — the stored-model pattern
+  * (IngestDedup's signature store, IngestQuality's LM store) applied to
+  * ANN search: the index is TRAINED AND ENCODED ONCE when the corpus is
+  * published, and every later consumer — batch queries (e08), streaming
+  * vector screens (s12) — serves from the store without touching the
+  * raw corpus again except for the final exact re-rank.
+  *
+  * Store layout under `dir`:
+  *   - `centroids/`  (cell INT, v ARRAY&lt;DOUBLE&gt;) — the nList coarse
+  *     centroids; tiny, read driver-side, shipped as a task reference.
+  *   - `codebooks/`  (sub INT, code INT, v ARRAY&lt;DOUBLE&gt;) — the m PQ
+  *     sub-codebooks; same footprint class as one centroid set.
+  *   - `codes/`      (idCol, cell INT, codes ARRAY&lt;INT&gt;) — one row per
+  *     corpus vector: its coarse cell plus m small-int PQ codes. This
+  *     is the scan target at serve time — a few bytes per vector
+  *     against dim·4 raw, which is what fits in cluster memory at
+  *     100 TB while the float vectors stay in the cold exact store.
+  *
+  * Versioning: callers fingerprint the store with the corpus file
+  * status plus a format string carrying (nList, m, codes, iters) — the
+  * IngestDrift.setup convention — so a parameter or corpus change
+  * re-publishes instead of serving stale codes.
+  */
+object AnnIndex {
+
+  /** Train (driver-side, bounded deterministic sample — O(1) in corpus
+    * size) and encode (one compiled map pass over the corpus), then
+    * persist all three store components.
+    */
+  def write(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nList: Int = 16,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 3
+  ): Unit = {
+    import org.apache.spark.sql.graft.VectorExpr
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nList, iters)
+    val books = Similarity.trainPqCodebooks(corpus, idCol, vecCol, m, codes, iters)
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex
+      .flatMap { case (b, s) => b.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) } }.toSeq
+      .toDF("sub", "code", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // the corpus-scale component: pure map (assign + encode), no shuffle
+    corpus
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v_c"))
+      .select(col(idCol),
+        VectorExpr.argMaxIndex(VectorExpr.centroidScores(col("v_c"), cents)).as("cell"),
+        VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Read the two model components back (tiny — driver-side arrays,
+    * cell/sub/code order restored from the stored keys).
+    */
+  def readModel(spark: SparkSession, dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    (cents, books)
+  }
+
+  /** The stored per-vector index rows (idCol, cell, codes). */
+  def codes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+}

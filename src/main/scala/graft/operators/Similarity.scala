@@ -312,8 +312,6 @@ object Similarity {
       shortlist: Int
   ): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpr
-    require(shortlist >= k, "shortlist must be at least k")
-    val codesPerSub = books(0).length
     val vecs = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
     // the stored index rows: (id, cell, codes) — built once per corpus
@@ -321,6 +319,32 @@ object Similarity {
       .withColumn("cell", nearestCell(col("v_c"), cents))
       .select(col("neighbor_id"), col("cell"),
         VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+    pqKnnIvfCoded(coded, vecs, queries, idCol, vecCol, k, cents, books, nProbe, shortlist)
+  }
+
+  /** [[pqKnnIvf]] against PRE-BUILT index rows — the stored-index serve
+    * path ([[graft.operators.AnnIndex]]): `coded` is the (neighbor_id,
+    * cell, codes) relation written once at publish time, `vecs` the
+    * exact (neighbor_id, v_c) store touched only by the re-rank.
+    * Queries never retrain or re-encode anything; the models ship as
+    * task references. A streaming drain persists `coded`/`vecs` across
+    * triggers (the IngestDedup corpus-side pattern).
+    */
+  def pqKnnIvfCoded(
+      coded: DataFrame,
+      vecs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpr
+    require(shortlist >= k, "shortlist must be at least k")
+    val codesPerSub = books(0).length
     val qBase = queries
       .select(col(idCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("v_q"))
     val qProbes = qBase

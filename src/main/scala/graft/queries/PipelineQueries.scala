@@ -514,6 +514,44 @@ object PipelineQueries {
       |ORDER BY b.anchor_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // e08 — IVF-PQ served from the PERSISTED index store (AnnIndex): the
+  // centroids, PQ codebooks and per-vector code rows are written ONCE
+  // at publish time (the IngestDedup/IngestQuality stored-model
+  // pattern) and the query serves from the store without retraining or
+  // re-encoding anything — raw vectors are touched only by the exact
+  // re-rank. Gated in the exhaustive configuration (nProbe = nList,
+  // full shortlist ⇒ equals brute force, the e05/e06 pattern), so the
+  // brute oracle checks the store write → read → serve composition
+  // bit-for-bit; production nProbe recall is spec-tested.
+  // ---------------------------------------------------------------------
+  private def e08WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_e08_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish-time staging (query feed + index store) — Bench runs this
+    * untimed; shared by e08 (batch serve) and s12 (streaming serve).
+    */
+  def e08Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestAnn.setup(spark, dir, e08WorkDir(dir))
+
+  private def e08(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestAnn
+      .oneShot(spark, dir, e08WorkDir(dir))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---------------------------------------------------------------------
+  // s12 — streaming ANN serve (§2.9 composed with e08): query-vector
+  // micro-batches probe the SAME stored IVF-PQ index inside
+  // foreachBatch; the drained log must equal the one-shot serve (empty
+  // stream state — per-query independence), and the exhaustive gated
+  // configuration makes that equal brute force, so the e01 oracle gates
+  // the whole staged-feed → stored-index → per-trigger-serve path.
+  // ---------------------------------------------------------------------
+  private def s12(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestAnn
+      .run(spark, dir, e08WorkDir(dir))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
   // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
   // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
@@ -756,6 +794,73 @@ object PipelineQueries {
       |  md5(fhx) AS digest
       |FROM sl
       |ORDER BY media_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m05 — media near-dup screen (the SemDeDup shape on media): image
+  // payloads → deterministic centered byte-histogram features
+  // (mapPartitions batch kernel, exact integer centering — engine-
+  // reproducible from the raw bytes) → hyperplane-LSH embedding
+  // near-dup pairs at cosine ≥ 0.99. The fixture plants a near-copy of
+  // every 5th image (id + 1e6, last byte incremented — feature cosine
+  // ≈ 0.99999 to its source, vs ≤ ~0.977 between distinct payloads);
+  // the oracle recomputes the features from the UTF-8 hex bytes and ALL
+  // pairs exhaustively, so the gate checks LSH recall AND the exact
+  // cosine verification. The production path runs the same screen over
+  // imageGridFeatures (real decoded pixels) — MultimodalSpec.
+  // ---------------------------------------------------------------------
+  private def m05(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val planted = base
+      .filter(pmod(col("media_id"), lit(15)) === 0)
+      .select(
+        (col("media_id") + 1000000L).as("media_id"),
+        concat(
+          expr("substring(text, 1, length(text) - 1)"),
+          expr("char(ascii(substring(text, -1, 1)) + 1)")).as("text"))
+    val media = base.unionByName(planted)
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val feats = Multimodal.centeredByteFeatures(media, featDim = 16)
+    // the feature relation is computed (not a scan), so the bucket
+    // width is sized explicitly from the known media row count — one
+    // narrow count over the projection, the documented contract
+    val bits = Dedup.autoBits(media.count())
+    Dedup
+      .embeddingNearDup(feats, "media_id", "features",
+        threshold = 0.99, nBits = bits, nTables = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val m05Sql =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+      |), planted AS (
+      |  SELECT media_id + 1000000 AS media_id,
+      |    substr(text, 1, length(text) - 1) || chr(ascii(substr(text, -1, 1)) + 1) AS text
+      |  FROM img WHERE media_id % 15 = 0
+      |), media AS (
+      |  SELECT media_id, text FROM img UNION ALL SELECT media_id, text FROM planted
+      |), by AS (
+      |  SELECT media_id, hex(encode(text)) AS hx,
+      |    unnest(range(octet_length(encode(text)))) AS i
+      |  FROM media
+      |), f AS (
+      |  SELECT media_id, CAST(i % 16 AS INT) AS j,
+      |    CAST(SUM(CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)) AS BIGINT) AS s
+      |  FROM by GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT media_id, CAST(SUM(s) AS BIGINT) AS st FROM f GROUP BY 1
+      |), vecs AS (
+      |  SELECT f.media_id, list(CAST(16 * f.s - tot.st AS DOUBLE) ORDER BY f.j) AS v
+      |  FROM f JOIN tot USING (media_id) GROUP BY f.media_id
+      |), pairs AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |    ROUND(list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+      |  FROM vecs a JOIN vecs b ON a.media_id < b.media_id
+      |)
+      |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // u01 — MERGE upsert semantics (SURVEY §2.1 S7): an updates batch (every
@@ -3100,12 +3205,15 @@ object PipelineQueries {
     Q("e04_knn_ivf_trained", "k-means-trained IVF top-k, exhaustive probe", e04, Some(e01Sql)),
     Q("e05_knn_pq", "product-quantization ADC + exact re-rank, full shortlist vs brute oracle", e05, Some(e01Sql)),
     Q("e06_knn_ivf_pq", "composed IVF-PQ: cell-pruned ADC scan + exact re-rank, exhaustive config vs brute oracle", e06, Some(e01Sql)),
+    Q("e08_knn_stored_index", "IVF-PQ served from the persisted index store (no retraining), exhaustive config vs brute oracle", e08, Some(e01Sql)),
+    Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),
     Q("m03_media_resize", "stub resize with real batch plumbing", m03, Some(m03Sql)),
     Q("m04_frame_sample", "n-slice frame sampling over video payloads", m04, Some(m04Sql)),
+    Q("m05_media_neardup", "media near-dup screen: centered byte-histogram features -> hyperplane-LSH pairs vs exhaustive-cosine oracle", m05, Some(m05Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),

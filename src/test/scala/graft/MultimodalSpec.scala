@@ -150,4 +150,48 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).forall(v => v > 0.99f), s"white image features: ${f(1L)}")
     assert(f(2L).forall(v => v < 0.01f), s"black image features: ${f(2L)}")
   }
+
+  /** Gradient PNG parameterized by a seed — distinct seeds give
+    * distinct pixel patterns, a near-copy perturbs one corner pixel.
+    */
+  private def gradientPng(seed: Int, perturbed: Boolean = false): Array[Byte] = {
+    val w = 16; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // (seed%5, seed%3) is pairwise-distinct over seeds 0..11, so
+        // every image gets its own (x, y) slope pair — no two distinct
+        // gradients share a pattern up to brightness offset
+        val g = (x * (seed % 5 + 2) * 7 + y * (seed % 3 + 2) * 11 + seed * 53) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturbed) img.setRGB(0, 0, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("production media near-dup: REAL grid features of decoded pixels feed the embedding screen (m05's path)") {
+    // 12 distinct gradient images + a near-copy (one perturbed pixel)
+    // of every third one — the m05 composition with the real decode
+    // kernel in place of the oracle-gated byte kernel
+    val rows = (0 until 12).map(i => (i.toLong, "image", gradientPng(i))) ++
+      (0 until 12 by 3).map(i => (i + 1000L, "image", gradientPng(i, perturbed = true)))
+    val media = rows.toDF("media_id", "media_type", "payload")
+    val feats = Multimodal.imageGridFeatures(media, grid = 4)
+    val pairs = graft.operators.Dedup
+      .embeddingNearDup(feats, "media_id", "features",
+        threshold = 0.999, nBits = 6, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0 until 12 by 3).map(i => (i.toLong, i + 1000L)).toSet
+    assert(plantedPairs.subsetOf(pairs),
+      s"every planted near-copy must surface: got $pairs")
+    // distinct gradients must NOT pair at this threshold
+    assert(pairs == plantedPairs, s"spurious pairs: ${pairs -- plantedPairs}")
+  }
 }

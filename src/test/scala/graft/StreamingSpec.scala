@@ -96,6 +96,27 @@ class StreamingSpec extends SparkSpec {
     assert(planted == nBatch, s"expected all $nBatch planted pairs, found $planted")
   }
 
+  test("streaming ANN serve equals the one-shot stored-index query, which equals the in-query-trained IVF-PQ") {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_s12_spec"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val oneShot = graft.streaming.IngestAnn.oneShot(spark, sfDir, w).collect().map(key).toSet
+    val streamed = graft.streaming.IngestAnn.run(spark, sfDir, w).collect().map(key).toSet
+    assert(streamed == oneShot, "drained ANN log must equal the one-shot stored-index serve")
+    assert(streamed.nonEmpty)
+    // the store round-trip changes nothing vs training + encoding
+    // inside the query (e06's shape, same params) — the persisted
+    // model IS the in-query model
+    import org.apache.spark.sql.functions.col
+    val em = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.trainCentroids(em, "vec_id", "embedding", 16, 3)
+    val books = graft.operators.Similarity.trainPqCodebooks(em, "vec_id", "embedding", 8, 16, 3)
+    val inQuery = graft.operators.Similarity
+      .pqKnnIvf(em, em.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        cents, books, nProbe = 16, shortlist = Int.MaxValue)
+      .collect().map(key).toSet
+    assert(oneShot == inQuery, "stored-index results must equal the in-query-trained IVF-PQ")
+  }
+
   test("streaming quality screen equals the one-shot LM scoring of the feed") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1),
