@@ -210,7 +210,11 @@ object ScaleStress {
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     planted.getOrElse(name, SparkEntry.queries(name))
 
-  private def runOne(spark: SparkSession, name: String, dir: String): (Double, Long) = {
+  /** (sec, rows, shuffleReadBytes, shuffleWriteBytes) per cell: the
+    * byte columns meter every task the query ran (ShuffleMeter), in
+    * the unit a real cluster bills — box-independent, unlike seconds.
+    */
+  private def runOne(spark: SparkSession, name: String, dir: String): (Double, Long, Long, Long) = {
     val t0 = System.nanoTime()
     // noop write + observe, NOT count(): count() lets the optimizer
     // eliminate unique-key left joins entirely (d15/d16's per-doc
@@ -218,17 +222,20 @@ object ScaleStress {
     // prune per-row computed columns — the observation rides the one
     // real execution, so rows and time come from the same full run
     val obs = org.apache.spark.sql.Observation(s"scale_${name}_${System.nanoTime()}")
-    queryFn(name)(spark, dir)
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode("overwrite").format("noop").save()
+    val (_, shRead, shWrite) = org.apache.spark.graft.ShuffleMeter.measure(spark.sparkContext) {
+      queryFn(name)(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").format("noop").save()
+    }
     val rows = obs.get("rows").asInstanceOf[Long]
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows")
-    (sec, rows)
+    println(f"[scale]   $name%-24s $sec%8.2fs $rows%10d rows " +
+      f"${shRead / 1e6}%10.1f MB shr ${shWrite / 1e6}%10.1f MB shw")
+    (sec, rows, shRead, shWrite)
   }
 
-  private def run(spark: SparkSession, dir: String): Map[String, (Double, Long)] = {
+  private def run(spark: SparkSession, dir: String): Map[String, (Double, Long, Long, Long)] = {
     // drop cached/checkpointed blocks from previous queries: pinned
     // localCheckpoint RDDs otherwise accumulate block-manager pressure
     // across the session and add ±50% noise to the iterative queries
@@ -283,21 +290,31 @@ object ScaleStress {
       spark.conf.set("spark.graft.stream.statePartitions", stateParts(t).toString)
       t -> run(spark, dirs(t))
     }.toMap
-    val header = tiers.map(t => s"${t}x sec | ${t}x rows").mkString("| query | ", " | ", " | growth/decade |")
+    val header = tiers.map(t => s"${t}x sec | ${t}x rows | ${t}x shw MB")
+      .mkString("| query | ", " | ", " | growth/decade | shw growth |")
     println(header)
-    println("|---" * (2 * tiers.length + 2) + "|")
+    println("|---" * (3 * tiers.length + 3) + "|")
     names.foreach { n =>
       val cells = tiers.map { t =>
-        val (sec, rows) = results(t)(n); f"$sec%.2f | $rows"
+        val (sec, rows, _, shw) = results(t)(n); f"$sec%.2f | $rows | ${shw / 1e6}%.1f"
       }.mkString("| " + n + " | ", " | ", " | ")
-      // per-decade time growth between consecutive tiers
+      // per-decade growth between consecutive tiers: wall time (box-
+      // dependent — adjudicate under the quiet-box rule) and shuffle
+      // WRITE bytes (box-independent — what a cluster bills; ~0-byte
+      // cells print "-" instead of a meaningless ratio)
       val growth = tiers.sliding(2).map {
         case Seq(a, b) =>
           val g = results(b)(n)._1 / results(a)(n)._1
           f"$g%.1fx"
         case _ => "-"
       }.mkString("/")
-      println(cells + growth + " |")
+      val bGrowth = tiers.sliding(2).map {
+        case Seq(a, b) =>
+          val (wa, wb) = (results(a)(n)._4, results(b)(n)._4)
+          if (wa < 1000000L) "-" else f"${wb.toDouble / wa}%.1fx"
+        case _ => "-"
+      }.mkString("/")
+      println(cells + growth + " | " + bGrowth + " |")
     }
 
     // ------------------------------------------------------------------
@@ -334,7 +351,7 @@ object ScaleStress {
         tiers.foreach { t =>
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           spark.conf.set("spark.graft.stream.statePartitions", stateParts(t).toString)
-          val (s, _) = runOne(spark, n, dirs(t))
+          val (s, _, _, _) = runOne(spark, n, dirs(t))
           adjudicated((t, n)) = math.min(s, sec(t, n))
         }
       }

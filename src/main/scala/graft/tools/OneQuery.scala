@@ -57,8 +57,14 @@ object OneQuery {
       // went 482 s → 733 s across reps from exactly this)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"ONEQUERY $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // shuffle bytes metered per rep (box-independent, the SCALE.md
+      // byte-column unit) — rep-stable, so rep1's cold-cache caveat
+      // applies to the seconds only
+      val (_, shr, shw) = org.apache.spark.graft.ShuffleMeter.measure(spark.sparkContext) {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }
+      println(f"ONEQUERY $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"shr=${shr / 1e6}%.1f MB shw=${shw / 1e6}%.1f MB")
     }
     spark.stop()
   }
