@@ -158,9 +158,16 @@ object Decontaminate {
           element_at(bloom, (p / 64).cast(IntegerType) + 1),
           (p % 64).cast(IntegerType)).bitwiseAND(lit(1L)) === lit(1L))
         .reduce(_ && _))
-      // exact verify over survivors only — un-hinted, AQE picks the
-      // strategy from the (small) post-bloom sizes
-      .join(evalGrams, Seq("g"), "left_semi")
+      // exact verify over survivors only. The eval side takes the SAME
+      // budgeted broadcast decision as ngramOverlap — leaving it to AQE
+      // is not free: AQE re-plans only after the leaf exchanges
+      // materialize, so the survivor side pays its shuffle WRITE first,
+      // and on a bloom-hostile corpus (tiny vocabulary ⇒ the prune
+      // barely bites) that write is nearly the full gram relation —
+      // measured 422 MB at the adversarial 100× stress tier vs ~30 MB
+      // hinted. Past the budget (the vocabulary the bloom exists for)
+      // the un-hinted shuffle IS the honest plan, over survivors only.
+      .join(verifySide(train.sparkSession, evalGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_partages"))
     train
@@ -172,5 +179,21 @@ object Decontaminate {
         coalesce(col("n_partages"), lit(0L)).as("n_partages"),
         (coalesce(col("n_partages"), lit(0L)) > 0).as("contamine")
       )
+  }
+
+  /** The verify-join eval side under the gram broadcast budget (the
+    * ngramOverlap sizing: UTF-8 payload + 48 B/row, driver-clamped).
+    */
+  private def verifySide(
+      spark: org.apache.spark.sql.SparkSession, evalGrams: DataFrame): DataFrame = {
+    val budget = Dedup.clampToDriverLimit(spark,
+      spark.conf
+        .getOption("spark.graft.decontaminate.gramBroadcastBytes")
+        .map(Dedup.parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+    val Array(gramBytes) = evalGrams
+      .agg(coalesce(sum(octet_length(col("g")) + lit(48L)), lit(0L)))
+      .collect().map(_.getLong(0))
+    if (budget > 0 && gramBytes <= budget) broadcast(evalGrams) else evalGrams
   }
 }

@@ -125,13 +125,30 @@ object LangModel {
   def scoreWithTokens(
       model: BigramLm, toks: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val base = toks.select(col(idCol), col(tokensCol).as("a"))
-    // raw occurrences join the (AQE-broadcastable) model, then roll up
-    // straight to doc_id: partial aggregation collapses map-side because
-    // a document's bigrams are scan-contiguous — the exchange carries
-    // ~|docs| rows, never a row per token
+    // STATIC broadcast of the model sides when vocabSize — a driver
+    // scalar the model already carries — proves them bounded: uni rows
+    // ≤ vocab, bic rows ≤ vocab², so each side broadcasts iff its
+    // worst-case payload fits the dedup broadcast budget. Leaving this
+    // to AQE is not free: AQE only re-plans after the leaf exchanges
+    // MATERIALIZE, so the corpus-scale bigram relation pays its two
+    // full shuffle WRITES (on (w1,w2) then on (w1) — measured 330 MB
+    // at the 100× tier, 10×/decade) before the runtime flip; the
+    // static hint removes both writes. A production corpus whose
+    // unbounded vocabulary fails the check keeps the linear SMJ — the
+    // honest plan once the model genuinely outgrows executor memory
+    // (CCNet-style pipelines bound the vocab precisely to avoid this).
+    val budget = Dedup.sigBroadcastBudget(toks.sparkSession)
+    val uniFits = model.vocabSize > 0 && model.vocabSize <= budget / 48L
+    val bicFits = uniFits && model.vocabSize <= math.sqrt(budget / 48.0).toLong
+    val bicSide = if (bicFits) broadcast(model.bic) else model.bic
+    val uniSide = if (uniFits) broadcast(model.uni) else model.uni
+    // raw occurrences join the model, then roll up straight to doc_id:
+    // partial aggregation collapses map-side because a document's
+    // bigrams are scan-contiguous — the exchange carries ~|docs| rows,
+    // never a row per token
     val scored = rawBigramsFromTokens(base, idCol)
-      .join(model.bic, Seq("w1", "w2"), "left")
-      .join(model.uni, Seq("w1"), "left")
+      .join(bicSide, Seq("w1", "w2"), "left")
+      .join(uniSide, Seq("w1"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("nb"),
