@@ -105,6 +105,9 @@ object Bench {
     // when the corpus lands; the measured queries are the serve paths
     try { graft.queries.PipelineQueries.e08Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // e09's publish + append staging: same category
+    try { graft.queries.PipelineQueries.e09Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

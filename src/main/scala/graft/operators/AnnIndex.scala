@@ -65,6 +65,29 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Incremental store maintenance: encode an ARRIVING batch with the
+    * PUBLISHED model — centroids and codebooks are FROZEN at publish
+    * time (the IVF-PQ operating contract: retraining is a re-publish
+    * decision, taken when recall drift says so, never per batch) — and
+    * append its code rows to `codes/`. Pure map over the batch + an
+    * append write: the standing corpus is never touched, so daily
+    * ingest keeps the index current at the cost of encoding the day's
+    * vectors only. Served results over the appended store are
+    * identical to a store whose codes were written in one shot with
+    * the same model (the e09 gate proves it against the brute oracle
+    * over the union corpus).
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    import org.apache.spark.sql.graft.VectorExpr
+    val (cents, books) = readModel(batch.sparkSession, dir)
+    batch
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v_c"))
+      .select(col(idCol),
+        VectorExpr.argMaxIndex(VectorExpr.centroidScores(col("v_c"), cents)).as("cell"),
+        VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Read the two model components back (tiny — driver-side arrays,
     * cell/sub/code order restored from the stored keys).
     */

@@ -274,8 +274,19 @@ object PipelineQueries {
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // static budget-gated broadcast of the vocabulary-bounded DF side:
+    // leaving it to AQE pays the tf relation's full shuffle WRITE on
+    // tok before the runtime flip (the d29/d28 lesson — AQE re-plans
+    // only after leaf exchanges materialize). Sizing the DF side is
+    // ONE vocab-bounded rollup over the ALREADY-CHECKPOINTED tf (no
+    // corpus re-pass); past the budget the skew-splittable shuffle
+    // join remains the honest unbounded-vocabulary plan.
+    val dfBudget = Dedup.clampToDriverLimit(spark,
+      spark.conf.getOption("spark.graft.dedup.sigBroadcastBytes")
+        .map(Dedup.parseBytes).getOrElse(512L * 1024 * 1024))
+    val dfSide = if (df.count() <= dfBudget / 64L) broadcast(df) else df
     val scored = tf
-      .join(df, "tok")
+      .join(dfSide, "tok")
       .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     scored
@@ -537,6 +548,86 @@ object PipelineQueries {
     graft.streaming.IngestAnn
       .oneShot(spark, dir, e08WorkDir(dir))
       .orderBy(col("query_id"), col("rank"))
+
+  // ---------------------------------------------------------------------
+  // e09 — incremental index maintenance: a published IVF-PQ store takes
+  // an arriving vector batch (e03/s08's deterministic jittered feed)
+  // through AnnIndex.append — encoded with the FROZEN publish-time
+  // model, no retraining, corpus codes untouched — and then serves
+  // queries over the grown corpus. Gated exhaustively (nProbe = nList,
+  // full shortlist ⇒ model-independent ⇒ equals brute force over the
+  // UNION corpus), so the oracle proves the append round-trip lost,
+  // duplicated and corrupted nothing. The production claim — appended
+  // codes ARE what a one-shot publish would have written — follows
+  // because both paths encode with the same frozen model.
+  // ---------------------------------------------------------------------
+  private def e09WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_e09_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish + one append — load-phase staging (Bench runs untimed). */
+  def e09Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint = s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-append-v1"
+    val w = e09WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      val em = Tables.embeddings(spark, dir)
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", s"$w/index",
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.append(
+        graft.streaming.IngestSemantic.batchFeed(em), "vec_id", "embedding", s"$w/index")
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def e09(spark: SparkSession, dir: String): DataFrame = {
+    e09Setup(spark, dir)
+    val w = e09WorkDir(dir)
+    val (cents, books) = graft.operators.AnnIndex.readModel(spark, s"$w/index")
+    val coded = graft.operators.AnnIndex.codes(spark, s"$w/index")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val em = Tables.embeddings(spark, dir)
+    val union = em.select(col("vec_id"), col("embedding"))
+      .unionByName(graft.streaming.IngestSemantic.batchFeed(em)
+        .select(col("vec_id"), col("embedding")))
+    val vecs = union.select(col("vec_id").as("neighbor_id"),
+      Vectors.toDouble(col("embedding")).as("v_c"))
+    Similarity
+      .pqKnnIvfCoded(coded, vecs, union.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cents, books, nProbe = 16, shortlist = Int.MaxValue)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val e09Sql =
+    """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |jit AS (
+      |  SELECT src_id + 1000000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE) * (1.0 + (((src_id * 31 + (i - 1) * 7) % 100) / 100.0 - 0.5) * 0.04) AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig WHERE vec_id % 10 = 0)
+      |),
+      |allv AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM jit
+      |),
+      |q AS (SELECT * FROM allv WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cosine
+      |  FROM q CROSS JOIN allv c
+      |  WHERE q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, neighbor_id, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // s12 — streaming ANN serve (§2.9 composed with e08): query-vector
@@ -3206,6 +3297,7 @@ object PipelineQueries {
     Q("e05_knn_pq", "product-quantization ADC + exact re-rank, full shortlist vs brute oracle", e05, Some(e01Sql)),
     Q("e06_knn_ivf_pq", "composed IVF-PQ: cell-pruned ADC scan + exact re-rank, exhaustive config vs brute oracle", e06, Some(e01Sql)),
     Q("e08_knn_stored_index", "IVF-PQ served from the persisted index store (no retraining), exhaustive config vs brute oracle", e08, Some(e01Sql)),
+    Q("e09_index_append", "incremental index maintenance: frozen-model append to the published store, served over the grown corpus vs union brute oracle", e09, Some(e09Sql)),
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),

