@@ -178,8 +178,22 @@ object Pack {
   ): DataFrame = {
     val b = lit(seqTokens.toLong)
     val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
-    val slices = sequences(docs, idCol, textCol, seqTokens, numPartitions)
+    val ann = sequences(docs, idCol, textCol, seqTokens, numPartitions)
       .filter(col("n_tokens") > 0) // zero-token docs hold no slice
+    // budget-gated static broadcast of the NARROW range annotation
+    // (one ~64 B row per doc) into the token join: un-hinted, the
+    // corpus token arrays paid their doc_id shuffle WRITE before AQE's
+    // runtime flip (the d29/d28/d10 lesson — SCALE.md r13 measured the
+    // d22 join inflating its byte growth exactly at the threshold
+    // crossing). Sized from scan metadata only (no hidden job); inputs
+    // whose cardinality is not metadata-derivable, and corpora past
+    // the budget (~8 M docs at the default), keep the shuffled join —
+    // the honest both-sides-huge plan.
+    val annSide = graft.sources.ScanStats.exactRowCountNoJob(docs) match {
+      case Some(n) if n <= Dedup.sigBroadcastBudget(docs.sparkSession) / 64L => broadcast(ann)
+      case _ => ann
+    }
+    val slices = annSide
       .join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("tok_debut"), col("n_tokens"), col("toks"),
         explode(sequence(col("seq_debut"), col("seq_fin"))).as("seq_id"))

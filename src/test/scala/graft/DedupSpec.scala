@@ -269,6 +269,27 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("minhashLshAgainst: past the sig budget the two-broadcast/shuffled fallbacks screen identically") {
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    def pairs() = Dedup
+      .minhashLshAgainst(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fat = pairs() // default budget: single fat batch-band broadcast
+    try {
+      // a budget too small for the fat band broadcast but enough for
+      // the narrow bands + sig pair → the two-broadcast shape
+      spark.conf.set("spark.graft.dedup.sigBroadcastBytes", "20000")
+      assert(pairs() == fat, "two-broadcast fallback must screen identically")
+      // a budget too small for anything → plain shuffled joins
+      spark.conf.set("spark.graft.dedup.sigBroadcastBytes", "1")
+      assert(pairs() == fat, "fully shuffled fallback must screen identically")
+    } finally spark.conf.unset("spark.graft.dedup.sigBroadcastBytes")
+    assert(fat.nonEmpty)
+  }
+
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs on sf0.001 docs") {
     val docs = Tables.documents(spark, sfDir)
     val got = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3, k = 64, bands = 32, threshold = 0.5)
