@@ -188,6 +188,33 @@ class PlanSpec extends SparkSpec {
       s"d29 must never exchange on (doc, w1, w2): ${mixedKeys.mkString("; ")}\n$p")
   }
 
+  test("static broadcast hints survive stats-blind planning (the AQE-write-before-flip guards)") {
+    // AQE's broadcast flip happens only AFTER leaf exchanges
+    // materialize, so the r13 fixes placed budget-gated STATIC hints on
+    // the bounded model sides (d29 LM, d10 DF, d28 verify set, the pack
+    // annotation). Stats-based planning would broadcast these at test
+    // scale anyway — disabling it proves the HINTS carry the decision,
+    // so a dropped hint fails here instead of resurfacing as a
+    // corpus-scale shuffle write at the stress tiers.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p29 = plan(SparkEntry.queries("d29_lm_perplexity")(spark, sfDir))
+      assert("BroadcastHashJoin".r.findAllIn(p29).length >= 2,
+        s"d29: bic and uni must broadcast by HINT, not stats:\n$p29")
+      val p10 = plan(SparkEntry.queries("d10_tfidf_keywords")(spark, sfDir))
+      assert(p10.contains("BroadcastHashJoin"),
+        s"d10: the DF side must broadcast by hint:\n$p10")
+      val p28 = plan(SparkEntry.queries("d28_decontaminate_bloom")(spark, sfDir))
+      assert(p28.contains("BroadcastHashJoin"),
+        s"d28: the verify eval side must broadcast by hint:\n$p28")
+      val pack = plan(graft.operators.Pack.packedSequences(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", 128))
+      assert(pack.contains("BroadcastHashJoin"),
+        s"packedSequences: the range annotation must broadcast by hint:\n$pack")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("d30/d31/d32: dup grams broadcast under budget; island windows key on doc_id, never the gram") {
     for (q <- Seq("d30_span_dedup", "d31_span_scrub", "d32_span_dedup_fast")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
