@@ -53,21 +53,38 @@ object Curate {
     // by the ContextCleaner (the repo checkpoint convention).
     // The weight is cast to long HERE (the public contract accepts any
     // numeric weight column — an int/double weight would otherwise hit
-    // getLong below as an opaque executor-side ClassCastException);
-    // null weights are rejected with a clear message instead of an NPE.
-    val src = df.withColumn(weightCol, col(weightCol).cast(LongType)).localCheckpoint(true)
+    // getLong below as an opaque executor-side ClassCastException).
+    // The cast must be VALUE-PRESERVING: a plain cast(LongType)
+    // truncates fractions toward zero (a 0.9 weight would consume no
+    // budget, changing budgetSelect's semantics), so exactness is
+    // checked against the ORIGINAL column (long→double round-trip
+    // compare; null-safe). try_cast keeps the failure OURS: under ANSI
+    // a malformed string would throw CAST_INVALID_INPUT before the
+    // check runs — try_cast folds it to null so null, non-numeric and
+    // non-integral weights all fail the one require below with the
+    // integral-token-counts message.
+    val wOk = "__graft_w_exact"
+    val src = df
+      .withColumn(wOk, col(weightCol).isNotNull &&
+        (col(weightCol).try_cast(LongType).cast("double") ===
+          col(weightCol).try_cast("double")))
+      .withColumn(weightCol, col(weightCol).try_cast(LongType))
+      .localCheckpoint(true)
     val sorted = src
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val rdd = sorted.rdd
     val wIdx = sorted.schema.fieldIndex(weightCol)
+    val okIdx = sorted.schema.fieldIndex(wOk)
     // one narrow (rows, weight-total) pair per partition
     val partTotals = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var n = 0L; var s = 0L
         it.foreach { r =>
-          require(!r.isNullAt(wIdx), s"runningTotals: null weight in column — " +
-            "coalesce the weight column before ordering on it")
+          require(!r.isNullAt(okIdx) && r.getBoolean(okIdx),
+            "runningTotals: weight column has a null, non-numeric, or " +
+              "non-integral value — weights are integral token counts; " +
+              "coalesce/round the weight column before ordering on it")
           n += 1L; s += r.getLong(wIdx)
         }
         Iterator((i, n, s))
@@ -75,7 +92,7 @@ object Curate {
       .collect().sortBy(_._1)
     val rankOffsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
     val cumOffsets = partTotals.map(_._3).scanLeft(0L)(_ + _)
-    val outSchema = StructType(sorted.schema.fields ++ Seq(
+    val outSchema = StructType(sorted.schema.fields.filterNot(_.name == wOk) ++ Seq(
       StructField("rang", LongType), StructField("cum", LongType)))
     spark.createDataFrame(
       rdd.mapPartitionsWithIndex { case (i, it) =>
@@ -83,7 +100,7 @@ object Curate {
         var acc = cumOffsets(i)
         it.map { r =>
           rank += 1L; acc += r.getLong(wIdx)
-          Row.fromSeq(r.toSeq ++ Seq(rank, acc))
+          Row.fromSeq(r.toSeq.patch(okIdx, Nil, 1) ++ Seq(rank, acc))
         }
       }, outSchema)
   }

@@ -91,9 +91,15 @@ object LangModel {
     */
   def trainTokens(toks: DataFrame, idCol: String, tokensCol: String, k: Double = 0.5): BigramLm = {
     val base = toks.select(col(idCol), col(tokensCol).as("a"))
+    // checkpointed: the model relation is read ≥3 times downstream (uni
+    // folds from it, the broadcast byte-sizing rollup scans it, the
+    // scoring join probes it) — without the checkpoint every read
+    // re-runs the corpus-scale bigram aggregation. Vocabulary-bounded
+    // rows; blocks released by the ContextCleaner (repo convention).
     val bic = rawBigramsFromTokens(base, idCol)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     // first-position counts fold out of the bigram-type counts — the
     // input here is the vocabulary-bounded model, NOT a second expansion
     // of the corpus (c(w1,·) = Σ_w2 c(w1,w2) exactly)
@@ -138,8 +144,19 @@ object LangModel {
     // honest plan once the model genuinely outgrows executor memory
     // (CCNet-style pipelines bound the vocab precisely to avoid this).
     val budget = Dedup.sigBroadcastBudget(toks.sparkSession)
-    val uniFits = model.vocabSize > 0 && model.vocabSize <= budget / 48L
-    val bicFits = uniFits && model.vocabSize <= math.sqrt(budget / 48.0).toLong
+    // Sides sized by MEASURED bytes (the Decontaminate.verifySide
+    // convention), not rows × an assumed width: a long-token vocabulary
+    // near the row ceiling would otherwise broadcast far past the byte
+    // budget (driver-collect / executor-memory risk). The rollup scans
+    // the vocabulary-bounded model relations (bic is checkpointed at
+    // train — never the corpus); a 16 B/row floor on the driver-scalar
+    // vocabSize skips even that for models that cannot possibly fit.
+    def measuredBytes(df: DataFrame, payload: org.apache.spark.sql.Column): Long =
+      df.agg(coalesce(sum(payload.cast(LongType) + lit(48L)), lit(0L))).head().getLong(0)
+    val uniFits = model.vocabSize > 0 && model.vocabSize <= budget / 16L &&
+      measuredBytes(model.uni, octet_length(col("w1"))) <= budget
+    val bicFits = uniFits && model.vocabSize <= math.sqrt(budget / 16.0).toLong &&
+      measuredBytes(model.bic, octet_length(col("w1")) + octet_length(col("w2"))) <= budget
     val bicSide = if (bicFits) broadcast(model.bic) else model.bic
     val uniSide = if (uniFits) broadcast(model.uni) else model.uni
     // raw occurrences join the model, then roll up straight to doc_id:

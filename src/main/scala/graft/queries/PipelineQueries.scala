@@ -2733,15 +2733,23 @@ object PipelineQueries {
       .select(col("doc_id"), col("rang"))
     // pack + shard emit in training order (rang is the unique pack
     // key), then read the per-doc sequence ranges BACK from disk.
-    // packIn is budget-bounded and feeds writeShards' THREE internal
-    // passes (range sampler, totals job, data/write pass) — checkpoint
-    // it so none of them re-runs the selection joins; the pack runs at
-    // 4 partitions (32 range partitions of a budget-bounded set paid
-    // pure task floor; a larger budget scales this knob with
-    // budget/seqTokens).
+    // ONE budget-bounded checkpointed relation carries rang + texte +
+    // every final-report column (fingerprint folded in here): it feeds
+    // writeShards' THREE internal passes (range sampler, totals job,
+    // data/write pass) AND the final report, so the tail pays a single
+    // fromDisk join instead of the previous selected ⋈ ordered ⋈
+    // fromDisk ⋈ kept chain plus a second checkpoint — all of which
+    // re-joined the same ≤ budget/min-tokens rows (the r13 fixed-cost
+    // watch: ~10 stages of plan/codegen floor dominated the cell). The
+    // pack runs at 4 partitions (32 range partitions of a
+    // budget-bounded set paid pure task floor; a larger budget scales
+    // this knob with budget/seqTokens).
     val out = p03ShardDir(dir)
     val packIn = ordered
+      .join(selected, Seq("doc_id"))
       .join(kept.select(col("doc_id"), col("texte")), Seq("doc_id"))
+      .select(col("rang"), col("doc_id"), md5(col("texte")).as("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"), col("texte"))
       .localCheckpoint(true)
     Pack.writeShards(packIn, "rang", "texte",
       seqTokens = 256, seqsPerShard = 8, outDir = out, numPartitions = 4)
@@ -2749,10 +2757,8 @@ object PipelineQueries {
       .select(col("seq_id"), explode(col("docs")).as("d"))
       .groupBy(col("d.doc_id").as("rang"))
       .agg(min(col("seq_id")).as("seq_debut"), max(col("seq_id")).as("seq_fin"))
-    selected
-      .join(ordered, Seq("doc_id"))
+    packIn
       .join(fromDisk, Seq("rang"))
-      .join(kept.select(col("doc_id"), md5(col("texte")).as("empreinte")), Seq("doc_id"))
       .select(col("rang"), col("doc_id"), col("empreinte"), col("qualite"),
         col("n_jetons"), col("jetons_cumules"), col("seq_debut"), col("seq_fin"))
       .orderBy(col("rang"))

@@ -43,6 +43,33 @@ class CurateSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 40L), (2L, 70L)))
   }
 
+  test("budgetSelect: fractional and non-numeric weights are rejected, not truncated") {
+    // cast(LongType) truncates 0.9 → 0 (a doc consuming NO budget) and
+    // turns a non-numeric weight into null — both must fail loudly with
+    // the integral-weights message instead of silently changing the
+    // selection semantics
+    val fractional = Seq((1L, 1.0, 40.9), (2L, 0.5, 30.0))
+      .toDF("doc_id", "score", "poids")
+    val e1 = intercept[Exception] {
+      Curate.budgetSelect(fractional, "doc_id", "score", "poids", budget = 100L).collect()
+    }
+    assert(e1.getMessage.contains("non-integral") || e1.getMessage.contains("integral"))
+    val nonNumeric = Seq((1L, 1.0, "forty"), (2L, 0.5, "30"))
+      .toDF("doc_id", "score", "poids")
+    val e2 = intercept[Exception] {
+      Curate.budgetSelect(nonNumeric, "doc_id", "score", "poids", budget = 100L).collect()
+    }
+    assert(e2.getMessage.contains("non-numeric") || e2.getMessage.contains("integral"))
+    // an integral DOUBLE is a valid long value — it must pass the
+    // exactness check, not be rejected alongside true fractions
+    val integralDouble = Seq((1L, 1.0, 40.0), (2L, 0.5, 30.0))
+      .toDF("doc_id", "score", "poids")
+    val ok = Curate.budgetSelect(integralDouble, "doc_id", "score", "poids", budget = 70L)
+      .orderBy(col("rang")).select(col("doc_id"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq == Seq((1L, 40L), (2L, 70L)))
+  }
+
   test("budgetSelect: a document crossing the budget is dropped with everything after it") {
     val prepared = Seq((1L, 2.0, 60L), (2L, 1.0, 50L), (3L, 0.5, 5L))
       .toDF("doc_id", "score", "poids")
