@@ -570,9 +570,34 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 512,
       sigBroadcastBytes: Long = -1L
+  ): DataFrame =
+    minhashLshTokens(
+      docs.select(col(idCol), Text.tokens(col(textCol)).as("__graft_toks")),
+      idCol, "__graft_toks", shingleN, k, bands, threshold, maxBucket, sigBroadcastBytes)
+
+  /** [[minhashLsh]] over a PRE-TOKENIZED relation (idCol, tokensCol) —
+    * the composition entry point (the spanDedupTokens / trainTokens
+    * convention): a pipeline whose upstream stage already produced the
+    * token arrays (p03's span scrub keeps the rebuilt corpus in token
+    * space) feeds them straight in instead of re-joining the tokens
+    * into a string for this operator to split again. Identical result:
+    * `Text.tokens(concat_ws(" ", a)) == a` for any whitespace-free
+    * token array, and every kernel here consumes tokens.
+    */
+  def minhashLshTokens(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucket: Int = 512,
+      sigBroadcastBytes: Long = -1L
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    val docs = toks
 
     // Signatures via the MinHashSig custom expression: one pass per row,
     // shingle hashed once + k cheap long mixes. Pure map — NO shuffle for
@@ -584,7 +609,7 @@ object Dedup {
       .select(
         col(idCol).as("doc_id"),
         org.apache.spark.sql.graft.TextExpr
-          .minhashSig(Text.tokens(col(textCol)), shingleN, k)
+          .minhashSig(col(tokensCol), shingleN, k)
           .as("sig")
       )
       .filter(col("sig").isNotNull)
@@ -732,10 +757,20 @@ object Dedup {
       .select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
       .distinct()
+    // STATIC budget-gated broadcast of the candidate-doc list into the
+    // corpus-side semi join: un-hinted, the token-carrying corpus
+    // relation pays its full shuffle WRITE before AQE's late flip (the
+    // d29/d28/d10/d22 byte lesson — seconds never showed it). The
+    // count materializes the candidates cache its two later consumers
+    // reuse anyway; the broadcast payload is one id per candidate doc.
+    val nCandPairs = candidates.count()
+    val candSide =
+      if (nCandPairs * 2L * 64L <= broadcastCutoff) broadcast(candDocs) else candDocs
     val shSets = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Text.shingles(col("text"), shingleN).as("sh"))
+      .select(col(idCol).as("doc_id"), col(tokensCol).as("__a"))
+      .join(candSide, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpr.shinglesOf(col("__a"), shingleN).as("sh"))
       .cache()
     val verified = candidates
       .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -1175,6 +1210,32 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var cnt = edges.count()
+    // Budget-gated in-memory finish (the GraphX/Kiveris "finish small"
+    // hybrid): when the DEDUPLICATED edge set — already counted for the
+    // convergence loop, so the decision is free — fits the driver
+    // budget, union-find labels the components in one collect instead
+    // of log(diameter) contraction rounds, each of which pays ~5 fixed
+    // job floors (two checkpointed star passes + count + the exact
+    // set-equality check). At sf0.1 the dup graph is a few hundred
+    // edges and the rounds are pure floor (measured: d09 3.7 s warm →
+    // the collect path is one job); past the budget — the 100 TB LSH
+    // graph — the distributed contraction below is unchanged. Labels
+    // are identical by construction: both paths tag every node with
+    // its component minimum.
+    val ccCap = math.min(
+      pairs.sparkSession.conf
+        .getOption("spark.graft.dedup.ccDriverEdges").map(_.toLong)
+        .getOrElse(2000000L),
+      // ~96 B per collected edge row (two boxed ids + Row + map entry)
+      sigBroadcastBudget(pairs.sparkSession) / 96L)
+    val idType = edges.schema("hi").dataType
+    val comparableId = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (cnt > 0 && cnt <= ccCap && comparableId) return ccUnionFind(edges, idType)
     var converged = cnt == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1216,6 +1277,40 @@ object Dedup {
     // component min as lo; centers label themselves
     edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
       .unionByName(edges.select(col("lo").as("id"), col("lo").as("cluster_id")).distinct())
+  }
+
+  /** The in-memory finish of [[clusters]]: union-find over a collected
+    * budget-bounded edge set, labels = component minimum (the larger
+    * root always links under the smaller, path-compressed find) —
+    * bit-identical to the star-contraction fixpoint. One row per node.
+    */
+  private def ccUnionFind(
+      edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /** Apply side of document-level near-dup — the scrub a training

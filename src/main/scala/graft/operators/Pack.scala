@@ -62,6 +62,33 @@ object Pack {
       seqTokens: Int,
       numPartitions: Int = 0,
       startOffset: Long = 0L
+  ): DataFrame =
+    sequencesCounted(docs, idCol, Text.tokenCount(col(textCol)),
+      seqTokens, numPartitions, startOffset)
+
+  /** [[sequences]] over a PRE-TOKENIZED relation (idCol, tokensCol) —
+    * the id-shard path: a corpus already encoded to trained-tokenizer
+    * ids (array&lt;int&gt;) packs on id counts, so the budget is counted
+    * in the unit a trainer bills (BPE tokens), not whitespace words.
+    */
+  def sequencesTokens(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqTokens: Int,
+      numPartitions: Int = 0,
+      startOffset: Long = 0L
+  ): DataFrame =
+    sequencesCounted(toks, idCol, size(col(tokensCol)),
+      seqTokens, numPartitions, startOffset)
+
+  private def sequencesCounted(
+      docs: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      seqTokens: Int,
+      numPartitions: Int,
+      startOffset: Long
   ): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
     require(startOffset >= 0, "startOffset must be non-negative")
@@ -70,7 +97,7 @@ object Pack {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val counted = docs
-      .select(col(idCol).as("doc_id"), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .select(col(idCol).as("doc_id"), nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     // ONE RDD instance for both jobs (see the scale-design contract
@@ -175,10 +202,25 @@ object Pack {
       textCol: String,
       seqTokens: Int,
       numPartitions: Int = 0
+  ): DataFrame =
+    packedSequencesTokens(
+      docs.select(col(idCol), Text.tokens(col(textCol)).as("__graft_toks")),
+      idCol, "__graft_toks", seqTokens, numPartitions)
+
+  /** [[packedSequences]] over a PRE-TOKENIZED relation — the element
+    * type is free (string words, int BPE ids), the packing arithmetic
+    * identical; emitted `tokens` arrays carry the input element type.
+    */
+  def packedSequencesTokens(
+      docsToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqTokens: Int,
+      numPartitions: Int = 0
   ): DataFrame = {
     val b = lit(seqTokens.toLong)
-    val toks = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
-    val ann = sequences(docs, idCol, textCol, seqTokens, numPartitions)
+    val toks = docsToks.select(col(idCol).as("doc_id"), col(tokensCol).as("toks"))
+    val ann = sequencesTokens(docsToks, idCol, tokensCol, seqTokens, numPartitions)
       .filter(col("n_tokens") > 0) // zero-token docs hold no slice
     // budget-gated static broadcast of the NARROW range annotation
     // (one ~64 B row per doc) into the token join: un-hinted, the
@@ -189,8 +231,8 @@ object Pack {
     // whose cardinality is not metadata-derivable, and corpora past
     // the budget (~8 M docs at the default), keep the shuffled join —
     // the honest both-sides-huge plan.
-    val annSide = graft.sources.ScanStats.exactRowCountNoJob(docs) match {
-      case Some(n) if n <= Dedup.sigBroadcastBudget(docs.sparkSession) / 64L => broadcast(ann)
+    val annSide = graft.sources.ScanStats.exactRowCountNoJob(docsToks) match {
+      case Some(n) if n <= Dedup.sigBroadcastBudget(docsToks.sparkSession) / 64L => broadcast(ann)
       case _ => ann
     }
     val slices = annSide
@@ -232,13 +274,34 @@ object Pack {
       seqsPerShard: Int,
       outDir: String,
       numPartitions: Int = 0
-  ): Unit = {
+  ): Unit =
+    writeShardsOf(packedSequences(docs, idCol, textCol, seqTokens, numPartitions),
+      seqsPerShard, outDir, numPartitions)
+
+  /** [[writeShards]] over a PRE-TOKENIZED relation — the trained-
+    * tokenizer shard emitter: shards carry id sequences (the artifact a
+    * trainer reads), not whitespace words.
+    */
+  def writeShardsTokens(
+      docsToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqTokens: Int,
+      seqsPerShard: Int,
+      outDir: String,
+      numPartitions: Int = 0
+  ): Unit =
+    writeShardsOf(
+      packedSequencesTokens(docsToks, idCol, tokensCol, seqTokens, numPartitions),
+      seqsPerShard, outDir, numPartitions)
+
+  private def writeShardsOf(
+      packed: DataFrame, seqsPerShard: Int, outDir: String, numPartitions: Int): Unit = {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
-    val spark = docs.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    packedSequences(docs, idCol, textCol, seqTokens, numPartitions)
+      else packed.sparkSession.sessionState.conf.numShufflePartitions
+    packed
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
       .repartitionByRange(parts, col("shard_id"), col("seq_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)

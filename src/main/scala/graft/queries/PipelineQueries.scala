@@ -2697,17 +2697,24 @@ object PipelineQueries {
     // Checkpointed — consumed by the near-dup screen (two scans),
     // quality scoring, the pack join and the fingerprint, each of which
     // would otherwise re-run the whole span stage.
+    // the scrubbed corpus STAYS IN TOKEN SPACE (the minhashLshTokens /
+    // writeShardsTokens composition contract): every downstream kernel
+    // consumes tokens, so rebuilding a string here only to re-split it
+    // in the near-dup screen and again in the pack paid two pointless
+    // corpus passes; text materializes exactly where a STRING is the
+    // semantic unit (the quality score and the md5 fingerprint —
+    // Text.tokens(concat_ws(" ", a)) == a, so the gate is unchanged)
     val scrubbed = Dedup
       .spanScrubTokens(rep, "doc_id", "a1", gramTokens = 8, exactFingerprints = false)
       .select(col("doc_id"),
-        concat_ws(" ", col("jetons_gardes")).as("texte"),
+        col("jetons_gardes").as("jetons"),
         col("n_tokens_gardes").as("n_jetons"))
       .filter(col("n_jetons") > 0)
       .localCheckpoint(true)
-    // near-dup scrub over the scrubbed text: banded pairs → star-
+    // near-dup scrub over the scrubbed tokens: banded pairs → star-
     // contraction components → drop non-canonical members (the d25
     // min-id survivor contract)
-    val pairs = Dedup.minhashLsh(scrubbed, "doc_id", "texte",
+    val pairs = Dedup.minhashLshTokens(scrubbed, "doc_id", "jetons",
       shingleN = 3, k = 64, bands = 32, threshold = 0.5)
     val remove = Dedup.clusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
@@ -2723,7 +2730,7 @@ object PipelineQueries {
     val selected = graft.operators.Curate
       .budgetSelect(
         kept.select(col("doc_id"),
-          Text.qualityScore(col("texte")).as("qualite"), col("n_jetons")),
+          Text.qualityScore(concat_ws(" ", col("jetons"))).as("qualite"), col("n_jetons")),
         "doc_id", "qualite", "n_jetons", budget = 10000L)
       .select(col("doc_id"), col("qualite"), col("n_jetons"), col("cum").as("jetons_cumules"))
       .localCheckpoint(true)
@@ -2745,14 +2752,19 @@ object PipelineQueries {
     // budget-bounded set paid pure task floor; a larger budget scales
     // this knob with budget/seqTokens).
     val out = p03ShardDir(dir)
-    val packIn = ordered
-      .join(selected, Seq("doc_id"))
-      .join(kept.select(col("doc_id"), col("texte")), Seq("doc_id"))
-      .select(col("rang"), col("doc_id"), md5(col("texte")).as("empreinte"),
-        col("qualite"), col("n_jetons"), col("jetons_cumules"), col("texte"))
+    // the ordered⋈selected composite is budget-bounded by a DRIVER
+    // scalar (≤ budget/min-doc-tokens rows) — broadcast it STATICALLY
+    // into the corpus-side join: un-hinted, the token-carrying kept
+    // relation pays its full shuffle write before AQE's late flip (the
+    // d29/d28/d10/d22 byte lesson)
+    val packIn = kept.select(col("doc_id"), col("jetons"))
+      .join(broadcast(ordered.join(selected, Seq("doc_id"))), Seq("doc_id"))
+      .select(col("rang"), col("doc_id"),
+        md5(concat_ws(" ", col("jetons"))).as("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"), col("jetons"))
       .localCheckpoint(true)
-    Pack.writeShards(packIn, "rang", "texte",
-      seqTokens = 256, seqsPerShard = 8, outDir = out, numPartitions = 4)
+    Pack.writeShardsTokens(packIn, "rang", "jetons",
+      seqTokens = 256, seqsPerShard = 8, outDir = out, numPartitions = 1)
     val fromDisk = Pack.readShards(spark, out)
       .select(col("seq_id"), explode(col("docs")).as("d"))
       .groupBy(col("d.doc_id").as("rang"))

@@ -349,6 +349,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: union-find finish == distributed contraction on a mixed graph") {
+    // deterministic pseudo-random graph: chains, a star, a cycle, and
+    // duplicate/reversed edges — the two paths must label every node
+    // identically (both tag with the component minimum)
+    val edges = (
+      (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++      // long chain
+        (50L to 60L).map(i => (55L, i)) ++                        // star w/ self-edge
+        Seq((70L, 71L), (71L, 72L), (72L, 70L), (71L, 70L)) ++    // cycle + reverse dup
+        Seq((80L, 81L))
+    ).toDF("id_a", "id_b")
+    val viaUf = Dedup.clusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.dedup.ccDriverEdges", "0")
+    val viaStar =
+      try Dedup.clusters(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.dedup.ccDriverEdges")
+    assert(viaUf == viaStar)
+    assert(viaUf(40L) == 1L && viaUf(60L) == 50L && viaUf(72L) == 70L && viaUf(81L) == 80L)
+  }
+
   test("neardup scrub: keeps min-id survivor per cluster plus all uniques, full rows") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Dedup.neardupScrub(docs, "doc_id", "text",
@@ -369,14 +389,24 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: refuses to return partially-merged labels at maxIters") {
     // a path graph of diameter 9 needs ~9 rounds; capping at 3 must
-    // throw, not hand back one cluster silently split into several
+    // throw, not hand back one cluster silently split into several.
+    // ccDriverEdges=0 forces the DISTRIBUTED contraction — the budget-
+    // gated union-find finish would otherwise label this tiny graph in
+    // one collect and never iterate
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 3) }
-    assert(e.getMessage.contains("did not converge"))
-    // with enough rounds the same chain converges to the min id
-    val got = Dedup.clusters(chain, maxIters = 20).collect()
+    spark.conf.set("spark.graft.dedup.ccDriverEdges", "0")
+    try {
+      val e = intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 3) }
+      assert(e.getMessage.contains("did not converge"))
+      // with enough rounds the same chain converges to the min id
+      val got = Dedup.clusters(chain, maxIters = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.values.toSet == Set(1L) && got.size == 10)
+    } finally spark.conf.unset("spark.graft.dedup.ccDriverEdges")
+    // the union-find finish labels the same chain identically
+    val uf = Dedup.clusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.values.toSet == Set(1L) && got.size == 10)
+    assert(uf.values.toSet == Set(1L) && uf.size == 10)
   }
 
   test("minhash broadcast cutoff follows spark.sql.autoBroadcastJoinThreshold (branch flip, identical pairs)") {
