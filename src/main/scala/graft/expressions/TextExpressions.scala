@@ -70,6 +70,11 @@ object TextExpr {
     */
   def shinglesOf(tokens: Column, n: Int): Column = col(ShinglesOf(expr(tokens), n))
 
+  /** Per-position xxhash64 gram fingerprints of a token array — see
+    * [[TextKernels.gramHashes]].
+    */
+  def gramHashes(tokens: Column, n: Int): Column = col(GramHashes(expr(tokens), n))
+
   /** n-grams with multiplicity — compiled twin of the
     * transform(sequence, concat_ws ∘ slice) HOF, same strings in order.
     */
@@ -178,6 +183,25 @@ object TextKernels {
       j += 1
     }
     hashTok(UTF8String.concat(parts: _*))
+  }
+
+  /** xxhash64 (Spark seed 42) of every n-token window's space-joined
+    * gram, in position order: out(i) = hash of the gram starting at
+    * 0-based i — the compiled twin of transform(sequence(1, len-n+1),
+    * i → xxhash64(concat_ws(' ', slice(a, i, n)))), which evaluated an
+    * interpreted lambda + a fresh string build per corpus gram and
+    * dominated the span-scrub stage. Empty when fewer than n tokens.
+    */
+  def gramHashes(a: ArrayData, n: Int): ArrayData = {
+    val nTok = a.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nTok - n + 1)
+    var i = 0
+    while (i <= nTok - n) {
+      out(i) = shingleHash(a, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def winnowSketch(a: ArrayData, n: Int, w: Int): ArrayData = {
@@ -751,6 +775,25 @@ case class ShinglesOf(child: Expression, n: Int)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.shinglesOf($x, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesOf =
+    copy(child = newChild)
+}
+
+/** Per-position xxhash64 gram fingerprints (compiled window loop). */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0, "n must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.gramHashes($x, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
 }
 

@@ -90,6 +90,84 @@ object Decontaminate {
       )
   }
 
+  /** The APPLY-side reduction of [[ngramOverlap]]: just the distinct ids
+    * of contaminated training docs (any shared n-gram with the eval
+    * set) — what a removal stage consumes. Skips the per-doc overlap
+    * counts and the n_grams census pass entirely: ONE corpus map pass
+    * (gram explode → budgeted-broadcast semi join) plus a distinct over
+    * the collision survivors. Same eval-side sizing as [[ngramOverlap]].
+    */
+  def contaminatedIds(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      gramBroadcastBytes: Long = -1L
+  ): DataFrame =
+    contaminatedGrams(train.sparkSession,
+      train.select(col(idCol).as("doc_id"),
+        explode(Text.shingles(col(textCol), n)).as("g")),
+      eval.select(explode(Text.shingles(col(textCol), n)).as("g")).distinct(),
+      gramBroadcastBytes)
+
+  /** [[contaminatedIds]] with a PRE-TOKENIZED train side — the composed-
+    * pipeline entry point (p04 keeps the scrubbed corpus in token
+    * space); the eval side stays text (benchmarks arrive as raw text).
+    */
+  def contaminatedIdsTokens(
+      trainToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 5,
+      gramBroadcastBytes: Long = -1L
+  ): DataFrame =
+    contaminatedGrams(trainToks.sparkSession,
+      trainToks.select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.graft.TextExpr
+          .shinglesOf(col(tokensCol), n)).as("g")),
+      eval.select(explode(Text.shingles(col(evalTextCol), n)).as("g")).distinct(),
+      gramBroadcastBytes)
+
+  private def contaminatedGrams(
+      spark: org.apache.spark.sql.SparkSession,
+      trainGrams: DataFrame,
+      evalGrams: DataFrame,
+      gramBroadcastBytes: Long
+  ): DataFrame = {
+    val budget = Dedup.clampToDriverLimit(spark,
+      if (gramBroadcastBytes >= 0) gramBroadcastBytes
+      else spark.conf
+        .getOption("spark.graft.decontaminate.gramBroadcastBytes")
+        .map(Dedup.parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+    // the eval side is small BY CONTRACT — collect it in ONE bounded job
+    // (limit = the budget at the 48 B/gram accounting floor, so a
+    // contract-violating eval set short-circuits instead of flooding the
+    // driver), measure the actual payload driver-side, and hand the
+    // corpus screen a broadcast local relation: the ngramOverlap shape
+    // paid three eval-side jobs (distinct, sizing aggregate, broadcast
+    // re-derivation) for the same decision.
+    val maxRows = math.max(1L, budget / 48L)
+    val canCollect = budget > 0 && maxRows < Int.MaxValue
+    val collected =
+      if (canCollect) evalGrams.limit(maxRows.toInt + 1).collect().map(_.getString(0))
+      else Array.empty[String]
+    val fits = canCollect && collected.length <= maxRows &&
+      collected.iterator.map(g => g.getBytes("UTF-8").length + 48L).sum <= budget
+    val evalSide =
+      if (fits) {
+        import spark.implicits._
+        broadcast(collected.toSeq.toDF("g"))
+      } else evalGrams
+    trainGrams
+      .join(evalSide, Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   /** Bloom-pruned variant of [[ngramOverlap]] — EXACTLY the same result
     * (the bloom only prunes; false positives die in an exact verify),
     * with the eval-side payload shrunk from the full gram vocabulary to

@@ -280,20 +280,31 @@ object Dedup {
     * production trade).
     */
   private def slidingGrams(base: DataFrame, k: Int, exactFingerprints: Boolean): DataFrame = {
-    val gramHash: Column => Column =
-      if (exactFingerprints) md5 else (c: Column) => xxhash64(c)
-    base
-      .where(size(col("a")) >= k)
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(col("a")) - k + 1),
-            i => struct(i.as("pos"), gramHash(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
-          )
-        ).as("g")
-      )
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    if (!exactFingerprints) {
+      // compiled per-position fingerprint loop (GramHashes) — the
+      // interpreted transform(sequence(...)) HOF it replaces rebuilt a
+      // string and evaluated a lambda PER CORPUS GRAM, the dominant
+      // cost of the span-scrub stage (identical hashes: xxhash64 seed
+      // 42 over the space-joined window)
+      base
+        .where(size(col("a")) >= k)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graft.TextExpr.gramHashes(col("a"), k))
+            .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    } else
+      base
+        .where(size(col("a")) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(1), size(col("a")) - k + 1),
+              i => struct(i.as("pos"), md5(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
+            )
+          ).as("g")
+        )
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
   }
 
   /** Gaps-and-islands merge of duplicated-gram HIT positions into

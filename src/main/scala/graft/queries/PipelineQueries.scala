@@ -2676,7 +2676,14 @@ object PipelineQueries {
   private[graft] def p03ShardDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_p03_${Integer.toHexString(dir.hashCode)}"
 
-  private def p03(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def p04ShardDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p04_${Integer.toHexString(dir.hashCode)}"
+
+  /** Shared FRONT of the composed curation pipelines (p03/p04):
+    * repetition scrub → corpus span scrub → near-dup scrub, returning
+    * the kept relation (doc_id, jetons, n_jetons) in token space.
+    */
+  private def curationKept(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // tokenize + repetition scrub as ONE fused compiled map (no
     // exchange) — deliberately NOT checkpointed although the span
@@ -2719,7 +2726,17 @@ object PipelineQueries {
     val remove = Dedup.clusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val kept = scrubbed.join(remove, Seq("doc_id"), "left_anti")
+    scrubbed.join(remove, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shared TAIL of the composed curation pipelines: quality scoring →
+    * token-budget selection → deterministic training order → pack +
+    * shard emit → per-doc sequence ranges read BACK from the emitted
+    * files. `seed` keys the training-order permutation; `out` is the
+    * shard directory.
+    */
+  private def curationEmit(
+      spark: SparkSession, kept: DataFrame, seed: String, out: String): DataFrame = {
     // quality → token-budget selection (two-phase prefix pass on a
     // narrow prepared relation). The selection is BUDGET-BOUNDED
     // (≤ budget/min-doc-tokens rows at ANY corpus size), so the
@@ -2736,7 +2753,7 @@ object PipelineQueries {
       .localCheckpoint(true)
     // deterministic training order of the selected set (seed-stable)
     val ordered = graft.operators.Curate
-      .trainingOrder(selected.select(col("doc_id")), "doc_id", seed = "p03")
+      .trainingOrder(selected.select(col("doc_id")), "doc_id", seed = seed)
       .select(col("doc_id"), col("rang"))
     // pack + shard emit in training order (rang is the unique pack
     // key), then read the per-doc sequence ranges BACK from disk.
@@ -2751,7 +2768,6 @@ object PipelineQueries {
     // pack runs at 4 partitions (32 range partitions of a
     // budget-bounded set paid pure task floor; a larger budget scales
     // this knob with budget/seqTokens).
-    val out = p03ShardDir(dir)
     // the ordered⋈selected composite is budget-bounded by a DRIVER
     // scalar (≤ budget/min-doc-tokens rows) — broadcast it STATICALLY
     // into the corpus-side join: un-hinted, the token-carrying kept
@@ -2775,7 +2791,68 @@ object PipelineQueries {
         col("n_jetons"), col("jetons_cumules"), col("seq_debut"), col("seq_fin"))
       .orderBy(col("rang"))
   }
-  private val p03Sql =
+
+  private def p03(spark: SparkSession, dir: String): DataFrame =
+    curationEmit(spark, curationKept(spark, dir), "p03", p03ShardDir(dir))
+
+  // ---------------------------------------------------------------------
+  // p04 — the DECONTAMINATING curation pipeline (p03 + the mandatory
+  // pre-training hygiene stage): between the near-dup scrub and quality
+  // selection, every kept document is screened for n-gram overlap
+  // against the benchmark/eval set (d16's ngramOverlap operator, n=5)
+  // computed on the REBUILT post-scrub text — the cross-stage contract
+  // a real pipeline runs (eval grams must be checked against what will
+  // actually be packed, not the raw text the scrubs already rewrote) —
+  // and contaminated documents are removed before the budget is spent.
+  // The eval set is the d16 convention (doc_id % 50 = 0, raw text,
+  // benchmarks arrive as external text); its scrubbed twins remain in
+  // the train side, so real contamination hits are guaranteed and the
+  // selection provably differs from p03's. Scale shape: the eval-gram
+  // side rides d16's budget-gated broadcast (the train corpus is never
+  // shuffled on the gram key); everything else is the p03 machinery.
+  // ---------------------------------------------------------------------
+  private def p04(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curationKept(spark, dir)
+    val evalDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") > 0)
+      .select(col("doc_id"), col("text").as("texte"))
+    // the removal list is O(contaminated docs) narrow rows — eagerly
+    // materialized so the tail's two checkpoint actions (quality prep,
+    // pack input) re-read ids instead of re-running the corpus-wide
+    // gram screen
+    val contaminated = graft.operators.Decontaminate
+      .contaminatedIdsTokens(kept, "doc_id", "jetons", evalDocs, "texte", n = 5)
+      .localCheckpoint(true)
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    curationEmit(spark, clean, "p04", p04ShardDir(dir))
+  }
+
+  /** The shared curation-pipeline oracle: `seed` keys the training-order
+    * permutation; `decon` inserts the benchmark-decontamination stage
+    * (the d16 semantics recomputed over the REBUILT post-scrub text)
+    * between the near-dup survivors and quality selection.
+    */
+  private def curationSql(seed: String, decon: Boolean): String = {
+    val srcRel = if (decon) "cln" else "keptd"
+    val gram5 = (rel: String, guard: String) =>
+      s"""SELECT doc_id, unnest(CASE WHEN len(a) < 5 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_distinct(list_transform(range(1, len(a) - 3),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4]))
+         |      END) AS g
+         |    FROM $rel$guard""".stripMargin
+    val deconCtes = if (!decon) "" else
+      s""", evg AS (
+         |  SELECT DISTINCT g FROM (
+         |    ${gram5("arr", " WHERE doc_id % 50 = 0 AND doc_id > 0")})
+         |), cont AS (
+         |  SELECT DISTINCT k.doc_id FROM (
+         |    ${gram5("keptd", "")}) k
+         |  JOIN evg USING (g)
+         |), cln AS (
+         |  SELECT keptd.* FROM keptd
+         |  LEFT JOIN cont rm ON keptd.doc_id = rm.doc_id
+         |  WHERE rm.doc_id IS NULL
+         |)""".stripMargin
     s"""WITH RECURSIVE arr AS (
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -2856,9 +2933,9 @@ object PipelineQueries {
        |  SELECT scrub.* FROM scrub
        |  LEFT JOIN (SELECT id FROM labels WHERE id <> cluster_id) rm ON scrub.doc_id = rm.id
        |  WHERE rm.id IS NULL
-       |), q AS (
+       |)$deconCtes, q AS (
        |  SELECT doc_id, $qualityExprSql AS qualite, n_jetons
-       |  FROM (SELECT doc_id, texte AS text, n_jetons FROM keptd)
+       |  FROM (SELECT doc_id, texte AS text, n_jetons FROM $srcRel)
        |), w AS (
        |  SELECT doc_id, qualite, n_jetons,
        |    SUM(n_jetons) OVER (ORDER BY qualite DESC, doc_id ROWS UNBOUNDED PRECEDING) AS jc
@@ -2867,7 +2944,7 @@ object PipelineQueries {
        |  SELECT * FROM w WHERE jc <= 10000
        |), rk AS (
        |  SELECT doc_id,
-       |    ROW_NUMBER() OVER (ORDER BY md5('p03:' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
+       |    ROW_NUMBER() OVER (ORDER BY md5('$seed:' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
        |  FROM sel
        |), pk AS (
        |  SELECT rk.doc_id, rk.rang, sel.n_jetons,
@@ -2875,12 +2952,16 @@ object PipelineQueries {
        |  FROM rk JOIN sel USING (doc_id)
        |)
        |SELECT CAST(pk.rang AS BIGINT) AS rang, pk.doc_id,
-       |  md5(keptd.texte) AS empreinte,
+       |  md5($srcRel.texte) AS empreinte,
        |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules,
        |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
        |  (pk.cum - 1) // 256 AS seq_fin
-       |FROM pk JOIN sel USING (doc_id) JOIN keptd USING (doc_id)
+       |FROM pk JOIN sel USING (doc_id) JOIN $srcRel USING (doc_id)
        |ORDER BY rang""".stripMargin
+  }
+
+  private val p03Sql = curationSql("p03", decon = false)
+  private val p04Sql = curationSql("p04", decon = true)
 
   // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
@@ -3303,6 +3384,7 @@ object PipelineQueries {
     Q("p01_pipeline_composed", "end-to-end screen→score→repetition→chunk-dedup→split pipeline", p01, Some(p01Sql)),
     Q("p02_curated_sample", "composed curation: span screen → LM median filter → per-source quota sample", p02, Some(p02Sql)),
     Q("p03_curation_pipeline", "full batch curation: repetition scrub → span scrub → near-dup scrub → quality budget select → training order → shard emit read back", p03, Some(p03Sql)),
+    Q("p04_decon_pipeline", "decontaminating curation: p03 + benchmark n-gram decontamination on the rebuilt post-scrub text before budget selection", p04, Some(p04Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),

@@ -47,6 +47,19 @@ class DecontaminateSpec extends SparkSpec {
     assert(screen(0L) == expected)
   }
 
+  test("contaminatedIds == ngramOverlap's contaminated set, text and tokens variants, both join paths") {
+    val want = expected.collect { case (id, (_, _, true)) => id }.toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 3)) == want)
+    // budget 0 forces the un-collected eval side (shuffled semi join)
+    assert(ids(Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 3,
+      gramBroadcastBytes = 0L)) == want)
+    val trainToks = train.select($"doc_id", graft.functions.Text.tokens($"text").as("a"))
+    assert(ids(Decontaminate.contaminatedIdsTokens(
+      trainToks, "doc_id", "a", eval, "text", n = 3)) == want)
+  }
+
   test("disjoint corpora: nothing contaminated") {
     val cleanEval = Seq((200L, "p q r s t u v w")).toDF("doc_id", "text")
     val got = Decontaminate.ngramOverlap(train, cleanEval, "doc_id", "text", n = 3)

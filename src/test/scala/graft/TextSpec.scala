@@ -167,6 +167,22 @@ class TextSpec extends SparkSpec {
     assert(compiled.head == Seq("a b", "b a", "a b", "b a"))
   }
 
+  test("gramHashes: compiled expression == xxhash64(concat_ws ∘ slice) HOF, position order") {
+    val docs = Seq("a b c d e f g h i j", "one two three", "tiny", "", "a a a a a a a a")
+      .toDF("text")
+    val toks = Text.tokens($"text")
+    val k = 3
+    val compiled = docs.select(TextExpr.gramHashes(toks, k).as("h")).collect()
+      .map(_.getSeq[Long](0))
+    val hof = docs.select(
+      when(size(toks) < k, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))).as("h")).collect()
+      .map(_.getSeq[Long](0))
+    compiled.zip(hof).foreach { case (c, h) => assert(c == h, s"$c != $h") }
+    assert(compiled(2).isEmpty && compiled(3).isEmpty)
+  }
+
   test("chunksOf: compiled expression == transform(sequence) HOF, full chunks only") {
     val docs = Seq("a b c d e f g h i", "a b c", "ab", "").toDF("text")
     val toks = Text.tokens($"text")
