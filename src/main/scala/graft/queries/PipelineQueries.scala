@@ -2036,6 +2036,60 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d39 — BPE-ID TRAINING SHARDS: the trained tokenizer (d23) composed
+  // into the pack path (d22) — shards carry id sequences, the artifact
+  // a trainer actually reads, not whitespace words. The id stream is
+  // DECODABLE (Bpe.encodeIdStream: a reserved separator id between
+  // words, exactly where the text had spaces), the budget is counted
+  // in BPE ids (sequencesTokens over the id arrays), and the gate is
+  // the d23 losslessness convention LIFTED THROUGH THE SINK: encode →
+  // pack → parquet shards ON DISK → read back → per-doc slice
+  // reassembly (provenance rows) → decode must rebuild every
+  // document's whitespace-normalized text to the oracle's direct md5.
+  // Any dropped/duplicated/reordered id, any wrong sequence boundary,
+  // any vocab corruption breaks the fingerprint. Scale shape: train is
+  // the bounded driver-side fit (top-k word histogram); encode is a
+  // pure map (compiled BpeEncode); pack/emit is the d22 machinery over
+  // id arrays (ints, ~4× narrower than word strings — the production
+  // win of id shards); read-back reassembly shuffles one slice row per
+  // (doc, touched sequence).
+  // ---------------------------------------------------------------------
+  private def d39(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = Bpe.train(docs, "text", numMerges = 256, topWords = 20000)
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_d39_${Integer.toHexString(dir.hashCode)}"
+    Pack.writeShardsTokens(
+      docs.select(col("doc_id"), Bpe.encodeIdStream(model, col("text")).as("ids")),
+      "doc_id", "ids", seqTokens = 512, seqsPerShard = 16, outDir = out)
+    val back = Pack.readShards(spark, out)
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("seq_id"),
+        col("d.debut_dans_seq").as("off"), col("d.n_tokens").as("n"),
+        expr("slice(tokens, off + 1, n)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("seq_id"), col("off"), col("tranche"))))
+        .as("parts"))
+      .select(col("doc_id"),
+        flatten(transform(col("parts"), p => p.getField("tranche"))).as("ids"))
+    // zero-token docs never reach the pack (no slice to carry) — they
+    // reassemble to the empty text, the d23 empty-doc convention
+    docs.select(col("doc_id"))
+      .join(back, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(Bpe.decodeIdStream(model, col("ids")), lit("")))
+          .as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+  private val d39Sql =
+    """SELECT doc_id,
+      |  md5(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
+      |      ELSE array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') END)
+      |    AS empreinte_recomposee
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d24 — hashed-bag-of-words quality classifier (the fastText-style
   // pipeline filter): Naive-Bayes log-odds over md5-hashed token
   // buckets, trained as ONE bounded distributed aggregation (≤ 65 536
@@ -3352,6 +3406,7 @@ object PipelineQueries {
     Q("d07_simhash", "md5-SimHash 64-bit fingerprints", d07, Some(d07Sql)),
     Q("d08_regex_tokens", "BPE-ish regex vs whitespace token counts", d08, Some(d08Sql)),
     Q("d23_bpe_tokenize", "trained BPE subword tokenization, lossless-reconstruction gate", d23, Some(d23Sql)),
+    Q("d39_bpe_shards", "BPE-id training shards: encode → pack → disk → read back → decode rebuilds every doc (d23 losslessness through the sink)", d39, Some(d39Sql)),
     Q("d24_quality_classifier", "hashed-NB quality filter; oracle recomputes training and dot products", d24, Some(d24Sql)),
     Q("d29_lm_perplexity", "corpus bigram-LM perplexity scoring; oracle retrains the smoothed model in SQL", d29, Some(d29Sql)),
     Q("d30_span_dedup", "sliding-gram duplicated-span detection (exact substring dedup shape)", d30, Some(d30Sql)),

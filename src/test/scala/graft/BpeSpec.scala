@@ -116,6 +116,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeIdStream/decodeIdStream: lossless round trip with word boundaries; sep id reserved") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = Bpe.train(docs, "text", numMerges = 120, topWords = 500)
+    assert(Bpe.sepId(model) == model.vocab.size &&
+      !model.vocab.values.exists(_ == Bpe.sepId(model)))
+    val sample = docs.orderBy("doc_id").limit(40)
+      .select(col("text"),
+        Bpe.encodeIdStream(model, col("text")).as("s"),
+        Bpe.decodeIdStream(model, Bpe.encodeIdStream(model, col("text"))).as("d"))
+      .collect()
+    for (r <- sample) {
+      val norm = r.getString(0).trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      // decode is the exact whitespace-normalized inverse — the property
+      // the flat encodeIds stream CANNOT offer (boundaries lost)
+      assert(r.getString(2) == norm)
+      // separator count = word count - 1 (none at the ends)
+      val stream = r.getSeq[Int](1)
+      val nWords = if (norm.isEmpty) 0 else norm.split(" ").length
+      assert(stream.count(_ == Bpe.sepId(model)) == math.max(0, nWords - 1))
+      if (norm.isEmpty) assert(stream.isEmpty)
+    }
+  }
+
   test("deterministic across runs; n_tokens producer plugs into packing budgets") {
     val docs = Tables.documents(spark, sfDir)
     def m() = Bpe.train(docs, "text", numMerges = 60, topWords = 300)

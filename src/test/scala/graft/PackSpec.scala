@@ -162,6 +162,48 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("BPE-id shards: exact sequence lengths in id units; streams decode back to every doc's text") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = graft.functions.Bpe.train(docs, "text", numMerges = 120, topWords = 500)
+    val budget = 96
+    val out = java.nio.file.Files.createTempDirectory("graft_packspec_ids_").toString
+    try {
+      Pack.writeShardsTokens(
+        docs.select(col("doc_id"),
+          graft.functions.Bpe.encodeIdStream(model, col("text")).as("ids")),
+        "doc_id", "ids", budget, seqsPerShard = 4, outDir = out, numPartitions = 5)
+      val shards = Pack.readShards(spark, out).cache()
+      // the budget is counted in BPE ids: every sequence except the
+      // last holds exactly `budget` ids (int element type end to end)
+      val lens = shards.select(col("seq_id"), size(col("tokens")).as("n"))
+        .collect().sortBy(_.getLong(0)).map(_.getInt(1))
+      assert(lens.init.forall(_ == budget), "non-final sequence not at the id budget")
+      // slice reassembly + decode rebuilds every non-empty doc's
+      // whitespace-normalized text (losslessness THROUGH the sink)
+      val rebuilt = shards
+        .select(col("seq_id"), explode(col("docs")).as("d"), col("tokens"))
+        .select(col("d.doc_id").as("doc_id"),
+          (col("seq_id") * budget + col("d.debut_dans_seq")).as("pos"),
+          expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(array_sort(collect_list(struct(col("pos"), col("tranche")))),
+          p => p.getField("tranche"))).as("ids"))
+        .select(col("doc_id"),
+          graft.functions.Bpe.decodeIdStream(model, col("ids")).as("texte"))
+      val diff = rebuilt.as("a")
+        .join(docs.select(col("doc_id"),
+          concat_ws(" ", graft.functions.Text.tokens(col("text"))).as("norm"))
+          .filter(length(col("norm")) > 0).as("b"), Seq("doc_id"), "full_outer")
+        .filter(col("a.texte").isNull || col("b.norm").isNull ||
+          col("a.texte") =!= col("b.norm"))
+        .count()
+      assert(diff == 0L, "every non-empty doc must decode bit-for-bit from id shards")
+      shards.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("p03 shard round-trip: the emitted bytes reassemble every selected doc to its gate fingerprint") {
     // run the full pipeline gate, then prove the FILES it emitted
     // reconstruct each selected document exactly: reassembling a doc's
