@@ -108,6 +108,9 @@ object Bench {
     // e09's publish + append staging: same category
     try { graft.queries.PipelineQueries.e09Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s13's feed staging + index publish: same category
+    try { graft.queries.PipelineQueries.s13Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -104,4 +104,97 @@ object AnnIndex {
   /** The stored per-vector index rows (idCol, cell, codes). */
   def codes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codes")
+
+  /** Recall probe — the measurement behind the RE-PUBLISH decision the
+    * frozen-model contract defers (appends encode with publish-time
+    * centroids/codebooks; as the data distribution drifts away from
+    * them, the PRODUCTION serve configuration silently loses recall).
+    * Serves `queries` (a bounded deterministic sample) from the stored
+    * index at (nProbe, shortlist) and compares against brute force over
+    * `corpus` (the true-vector relation for everything the store
+    * indexes): per query, hits = |served ∩ brute top-k|, recall =
+    * hits / |brute top-k|. Output (query_id, n_verite, n_touches,
+    * rappel). Cost: |sample|·|corpus| brute pass + one probed-cell
+    * serve — O(sample), never O(corpus²).
+    */
+  def recallProbe(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val (cents, books) = readModel(spark, dir)
+    val stored = codes(spark, dir)
+    val storedIdCol = stored.schema.fieldNames.head
+    recallProbeCoded(
+      stored.select(col(storedIdCol).as("neighbor_id"), col("cell"), col("codes")),
+      cents, books, queries, corpus, idCol, vecCol, k, nProbe, shortlist)
+  }
+
+  /** [[recallProbe]] over an explicit code relation + model — the
+    * monitor entry point when the probe must be RESTRICTED (e.g. a
+    * per-batch drift row measures base ∪ this batch only, so the row is
+    * deterministic whatever order earlier appends landed in).
+    */
+  def recallProbeCoded(
+      coded: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
+    val served = Similarity
+      .pqKnnIvfCoded(coded, vecs, queries, idCol, vecCol, k, cents, books, nProbe, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = Similarity
+      .bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    brute
+      .join(served.withColumn("touche", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_verite"),
+        coalesce(sum(col("touche")), lit(0L)).as("n_touches"))
+      .select(col("query_id"), col("n_verite"), col("n_touches"),
+        round(col("n_touches").cast("double") / col("n_verite").cast("double"), 6)
+          .as("rappel"))
+  }
+
+  /** Compact the append-fragmented `codes/` store: every [[append]]
+    * leaves a per-batch file set, and a daily-ingest index accumulates
+    * thousands of small files whose per-file open cost dominates the
+    * serve scan. Range-clusters on (cell, id) — the serve path filters
+    * by probed cell, so cell-contiguous files give the scan min/max
+    * pruning — and swaps the rewrite in atomically (write aside,
+    * delete, rename: the [[graft.operators.Compact]] contract applied
+    * to the index store). Row content is untouched; the e08/e09 serve
+    * gates hold verbatim over the compacted store.
+    */
+  def compact(
+      spark: SparkSession, dir: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val codesDir = s"$dir/codes"
+    val tmpDir = s"$dir/codes_compact_tmp"
+    val idName = spark.read.parquet(codesDir).schema.fieldNames.head
+    Compact.parquet(spark, codesDir, tmpDir,
+      Seq(col("cell"), col(idName)), targetFileBytes)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(codesDir)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = codesPath.getFileSystem(hc)
+    if (!fs.delete(codesPath, true) || !fs.rename(tmpPath, codesPath))
+      throw new IllegalStateException(
+        s"compact: could not swap $tmpDir into $codesDir — store left in the aside dir")
+  }
 }

@@ -569,7 +569,7 @@ object PipelineQueries {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
-    val fingerprint = s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-append-v1"
+    val fingerprint = s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-append-compact-v1"
     val w = e09WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -580,6 +580,10 @@ object PipelineQueries {
         nList = 16, m = 8, codes = 16, iters = 3)
       graft.operators.AnnIndex.append(
         graft.streaming.IngestSemantic.batchFeed(em), "vec_id", "embedding", s"$w/index")
+      // compact the append-fragmented codes/ (cell-clustered rewrite) —
+      // the e09 gate then serves from the COMPACTED store, proving the
+      // maintenance op preserves every code row
+      graft.operators.AnnIndex.compact(spark, s"$w/index")
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
   }
@@ -641,6 +645,36 @@ object PipelineQueries {
     graft.streaming.IngestAnn
       .run(spark, dir, e08WorkDir(dir))
       .orderBy(col("query_id"), col("rank"))
+
+  // ---------------------------------------------------------------------
+  // s13 — ANN recall-drift monitor (the re-publish decision the frozen-
+  // model contract defers, AnnIndex.scala's operating note made
+  // MEASURED): per arriving batch, append frozen-model codes to the
+  // stored index, serve a bounded deterministic sample of the batch in
+  // the PRODUCTION configuration (nProbe 4/16, shortlist 32), compare
+  // against exact brute force over base ∪ batch, and emit one
+  // (lot, n_requetes, k, rappel, alarme) row — alarm past the floor
+  // means "re-publish now". The staged feed plants a drifted
+  // distribution in its last lot (constant component offset — a regime
+  // the frozen quantizer never saw), so healthy lots stay above the
+  // floor and the drifted lot must alarm. NO DuckDB oracle: the recall
+  // number depends on the trained k-means model (centroids + PQ
+  // codebooks), which SQL cannot re-derive — the driver records the
+  // rows-only check, and StreamingSpec recomputes one lot's recall
+  // independently (brute vs served, shared code with neither path) and
+  // pins the planted alarm + the healthy floor.
+  // ---------------------------------------------------------------------
+  private def s13WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s13_${Integer.toHexString(dir.hashCode)}"
+
+  /** Feed staging + store publish — load-phase setup (Bench, untimed). */
+  def s13Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestAnnDrift.setup(spark, dir, s13WorkDir(dir))
+
+  private def s13(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestAnnDrift
+      .run(spark, dir, s13WorkDir(dir))
+      .orderBy(col("lot"))
 
   // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
@@ -3454,6 +3488,7 @@ object PipelineQueries {
     Q("e08_knn_stored_index", "IVF-PQ served from the persisted index store (no retraining), exhaustive config vs brute oracle", e08, Some(e01Sql)),
     Q("e09_index_append", "incremental index maintenance: frozen-model append to the published store, served over the grown corpus vs union brute oracle", e09, Some(e09Sql)),
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
+    Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample, alarm past the floor (re-publish decision; model-dependent — rows-only)", s13, None),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),

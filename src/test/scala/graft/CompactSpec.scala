@@ -43,4 +43,43 @@ class CompactSpec extends SparkSpec {
       assert(overlaps == 0, "range partitions must be disjoint on the sort key")
     }
   }
+
+  test("AnnIndex.compact: append-fragmented codes/ collapses to few cell-clustered files, serve unchanged") {
+    val em = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_compact_ann/index"
+    graft.operators.AnnIndex.write(em.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nList = 8, m = 4, codes = 8, iters = 2)
+    // simulate daily ingest: 6 per-batch appends fragment codes/
+    (0 until 6).foreach { b =>
+      graft.operators.AnnIndex.append(
+        em.filter(col("vec_id") % 2 === 1 && col("vec_id") % 6 === b % 6)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", idx)
+    }
+    val before = graft.operators.AnnIndex.codes(spark, idx)
+    val nFilesBefore = before.inputFiles.length
+    val rowsBefore = before
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(nFilesBefore >= 7, s"appends must fragment the store, saw $nFilesBefore files")
+
+    graft.operators.AnnIndex.compact(spark, idx)
+
+    val after = graft.operators.AnnIndex.codes(spark, idx)
+    // file-count cut + exact row parity (ids, cells, every code byte)
+    assert(after.inputFiles.length < nFilesBefore / 2,
+      s"expected a big file cut, got ${after.inputFiles.length} of $nFilesBefore")
+    val rowsAfter = after
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(rowsAfter.toSeq == rowsBefore.toSeq, "compaction must preserve every code row")
+    // cell-clustered: per-file cell ranges disjoint (the serve path
+    // filters by probed cell — min/max stats prune compacted files)
+    val ranges = after.groupBy(input_file_name().as("f"))
+      .agg(min(col("cell")).as("lo"), max(col("cell")).as("hi"))
+      .collect().sortBy(_.getInt(1))
+    val overlaps = ranges.sliding(2).count {
+      case Array(a, b) => b.getInt(1) < a.getInt(2)
+      case _ => false
+    }
+    assert(overlaps == 0, "compacted files must cover disjoint cell ranges")
+  }
 }

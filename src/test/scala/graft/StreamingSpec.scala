@@ -204,6 +204,57 @@ class StreamingSpec extends SparkSpec {
       s"the composed screens kept all $nFeed feed docs — nothing was screened")
   }
 
+  test("ANN recall-drift monitor (s13): healthy lots above the floor, planted drift alarms; recall recomputed independently") {
+    import org.apache.spark.sql.functions._
+    val wd = s"${System.getProperty("java.io.tmpdir")}/graft_s13_spec"
+    val drained = graft.streaming.IngestAnnDrift.run(spark, sfDir, wd)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(drained.map(_._1).toSeq == Seq(0, 1, 2, 3), "one row per staged lot")
+    assert(drained.forall(_._2 > 0), "every lot must sample at least one query")
+    // healthy jittered lots serve their planted rank-1 truth reliably;
+    // the drifted lot (frozen quantizer never saw the regime) alarms
+    drained.filter(_._1 < 3).foreach { case (lot, _, _, rappel, alarme) =>
+      assert(!alarme && rappel >= 0.8, s"healthy lot $lot under the floor: $rappel")
+    }
+    val (_, _, _, driftR, driftAlarm) = drained(3)
+    assert(driftAlarm && driftR < 0.5, s"planted drift lot must alarm, saw $driftR")
+    // the drained log equals the one-shot twin (per-lot independence)
+    val oneShot = graft.streaming.IngestAnnDrift.oneShot(spark, sfDir, wd)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(oneShot.toSeq == drained.toSeq)
+    // recompute one healthy lot's recall INDEPENDENTLY: served top-1 via
+    // the stored index (library path) vs a hand-rolled brute top-1 over
+    // base ∪ lot — the monitor's number must match exactly
+    val em = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val lot0 = graft.streaming.IngestAnnDrift.batchFeed(
+      graft.sources.Tables.embeddings(spark, sfDir)).filter(col("lot") === 0)
+    val sample = lot0.filter(pmod(col("vec_id"), lit(7L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = em.unionByName(lot0.select(col("vec_id"), col("embedding")))
+    val bruteTop1 = graft.operators.Similarity
+      .bruteForceKnn(corpus, sample, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cents, books) = graft.operators.AnnIndex.readModel(spark, s"$wd/index")
+    val stored = graft.operators.AnnIndex.codes(spark, s"$wd/index")
+    val coded = stored
+      .select(col(stored.schema.fieldNames.head).as("neighbor_id"), col("cell"), col("codes"))
+      .join(corpus.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+    val servedTop1 = graft.operators.Similarity
+      .pqKnnIvfCoded(coded,
+        corpus.select(col("vec_id").as("neighbor_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v_c")),
+        sample, "vec_id", "embedding", 1, cents, books, nProbe = 8, shortlist = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val independent =
+      bruteTop1.count { case (q, n) => servedTop1.get(q).contains(n) }.toDouble / bruteTop1.size
+    assert(math.abs(independent - drained(0)._4) < 1e-6,
+      s"monitor recall ${drained(0)._4} != independent $independent")
+  }
+
   test("watermark drops late events: out-of-order feed across micro-batches (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
