@@ -147,11 +147,12 @@ object ScaleStress {
     "d15_chunk_dedup", "d16_decontaminate", "d17_chunk_scrub",
     "d27_stratified_sample", "d28_decontaminate_bloom",
     "d18_sequence_pack", "d19_repetition_stats", "d20_pack_manifest", "d21_source_mix",
-    "d22_shard_emit", "d23_bpe_tokenize", "d24_quality_classifier",
+    "d22_shard_emit", "d23_bpe_tokenize", "d39_bpe_shards", "d24_quality_classifier",
     "d26_semantic_scrub", "d29_lm_perplexity", "d30_span_dedup", "d31_span_scrub",
     "d32_span_dedup_fast", "d33_budget_select", "d34_best_survivors", "d35_training_order",
     "d36_repetition_scrub", "d37_source_drift", "d38_percentile_rank",
     "p01_pipeline_composed", "p02_curated_sample", "p03_curation_pipeline",
+    "p04_decon_pipeline",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
     "e05_knn_pq", "e06_knn_ivf_pq", "e07_triplet_mine")
 

@@ -120,6 +120,18 @@ object TextExpr {
   def bpeEncode(tokens: Column, codec: graft.functions.BpeCodec): Column =
     col(BpeEncode(expr(tokens), codec))
 
+  /** Flat decodable BPE id stream of a token array — see
+    * [[TextKernels.bpeEncodeIdStream]].
+    */
+  def bpeEncodeIdStream(tokens: Column, idc: graft.functions.BpeIdCodec): Column =
+    col(BpeEncodeIdStream(expr(tokens), idc))
+
+  /** Whitespace-normalized text back from an id stream — see
+    * [[TextKernels.bpeDecodeIdStream]].
+    */
+  def bpeDecodeIdStream(ids: Column, idc: graft.functions.BpeIdCodec): Column =
+    col(BpeDecodeIdStream(expr(ids), idc))
+
   /** Gopher-style repetition counters over a token array — see
     * [[TextKernels.repetitionCounts]].
     */
@@ -503,6 +515,51 @@ object TextKernels {
     * as an empty piece array — losslessness holds for the non-null
     * rows, and nothing NPEs.
     */
+  /** Flat decodable BPE id stream: per word, the piece ids (memoized
+    * codec walk + one hash probe per piece), with the codec's reserved
+    * separator id between consecutive words — one compiled pass per
+    * document (the interpreted transform + element_at(map) formulation
+    * paid a lambda per corpus piece).
+    */
+  def bpeEncodeIdStream(a: ArrayData, idc: graft.functions.BpeIdCodec): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](n * 4)
+    var i = 0
+    while (i < n) {
+      if (i > 0) buf += idc.sepId
+      val ids = idc.idsOf(a.getUTF8String(i).toString)
+      var j = 0
+      while (j < ids.length) { buf += ids(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Exact inverse of [[bpeEncodeIdStream]] for unk-free streams:
+    * separator → single space, every other id → its piece text, one
+    * string build per document. An unknown id fails loudly — a lossy
+    * stream must never decode to silently wrong text.
+    */
+  def bpeDecodeIdStream(ids: ArrayData, idc: graft.functions.BpeIdCodec): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id == idc.sepId) sb.append(' ')
+      else {
+        val p = idc.pieceOf(id)
+        if (p == null) throw new IllegalArgumentException(
+          s"bpeDecodeIdStream: id $id is not in the vocabulary (lossy stream — " +
+            "the corpus carries pieces the tokenizer never learned; re-train it)")
+        sb.append(p)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def bpeEncode(a: ArrayData, codec: graft.functions.BpeCodec): ArrayData = {
     val n = a.numElements()
     val out = new Array[AnyRef](n)
@@ -960,6 +1017,48 @@ case class BpeEncode(child: Expression, codec: graft.functions.BpeCodec)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** Flat decodable BPE id stream (compiled codec walk + vocab probes). */
+case class BpeEncodeIdStream(child: Expression, idc: graft.functions.BpeIdCodec)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeIdStream(input.asInstanceOf[ArrayData], idc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdCodec", idc, classOf[graft.functions.BpeIdCodec].getName)
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.bpeEncodeIdStream($x, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdStream =
+    copy(child = newChild)
+}
+
+/** Inverse of [[BpeEncodeIdStream]] (compiled string rebuild). */
+case class BpeDecodeIdStream(child: Expression, idc: graft.functions.BpeIdCodec)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_decode_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeDecodeIdStream(input.asInstanceOf[ArrayData], idc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdCodec", idc, classOf[graft.functions.BpeIdCodec].getName)
+    defineCodeGen(ctx, ev,
+      x => s"org.apache.spark.sql.graft.TextKernels.bpeDecodeIdStream($x, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIdStream =
     copy(child = newChild)
 }
 

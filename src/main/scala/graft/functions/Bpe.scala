@@ -162,34 +162,35 @@ object Bpe {
     */
   def sepId(model: Model): Int = model.vocab.size
 
+  /** The serializable apply-side ID codec: merges + vocab + the
+    * reserved separator, shipped into the compiled stream expressions
+    * as ONE codegen reference object (the BpeCodec pattern — the
+    * interpreted transform/element_at(map) formulation this replaces
+    * evaluated a lambda and a map probe per corpus PIECE, ~2× the d39
+    * shard-emit cell at the 100× stress tier).
+    */
+  def idCodec(model: Model): BpeIdCodec =
+    new BpeIdCodec(model.codec, model.vocab.toArray, sepId(model))
+
   /** Flat DECODABLE id stream: each word's piece ids, with [[sepId]]
     * between consecutive words (none at either end — exactly the
     * single-space join [[detokenize]] performs). Empty/blank text
     * encodes as the empty array. Unknown pieces become [[UnkId]] and
     * make that document's stream lossy — count them before shipping
     * shards (a training corpus re-trains the tokenizer instead).
+    * Compiled (BpeEncodeIdStream): one kernel pass per document.
     */
-  def encodeIdStream(model: Model, text: Column): Column = {
-    val vm = typedLit(model.vocab)
-    val sep = lit(sepId(model))
-    flatten(transform(encodePieces(model, text), (w, i) => {
-      val ids = transform(w, p => coalesce(element_at(vm, p), lit(UnkId)))
-      when(i === 0, ids).otherwise(concat(array(sep), ids))
-    }))
-  }
+  def encodeIdStream(model: Model, text: Column): Column =
+    org.apache.spark.sql.graft.TextExpr
+      .bpeEncodeIdStream(Text.tokens(text), idCodec(model))
 
   /** Exact inverse of [[encodeIdStream]] for unk-free streams: ids map
     * back to their pieces, the separator to a single space, and the
-    * concatenation IS the whitespace-normalized text — no split/group
-    * machinery, one codegen'd pass per row.
+    * concatenation IS the whitespace-normalized text. Compiled
+    * (BpeDecodeIdStream); an [[UnkId]] in the stream fails loudly.
     */
-  def decodeIdStream(model: Model, ids: Column): Column = {
-    val pieces = model.vocab.toSeq.sortBy(_._2).map(_._1).toArray
-    val arr = typedLit(pieces)
-    array_join(transform(ids,
-      id => when(id === lit(sepId(model)), lit(" "))
-        .otherwise(element_at(arr, id + 1))), "")
-  }
+  def decodeIdStream(model: Model, ids: Column): Column =
+    org.apache.spark.sql.graft.TextExpr.bpeDecodeIdStream(ids, idCodec(model))
 
   /** Reconstruction from pieces: words re-joined with single spaces —
     * equals the whitespace-normalized input whenever encoding is
@@ -262,4 +263,48 @@ final class BpeCodec(val merges: Array[(String, String)]) extends Serializable {
     memo.put(w, s)
     s
   }
+}
+
+/** The serializable id-stream codec: [[BpeCodec]] word→pieces plus a
+  * dense piece→id vocabulary and the reserved word-separator id. One
+  * instance ships per plan as a codegen reference object and serves
+  * every task thread (lazy transient lookup structures, the BpeCodec
+  * concurrency contract).
+  */
+final class BpeIdCodec(
+    val codec: BpeCodec,
+    vocabEntries: Array[(String, Int)],
+    val sepId: Int
+) extends Serializable {
+
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](vocabEntries.length * 2)
+    vocabEntries.foreach { case (p, i) => h.put(p, i) }
+    h
+  }
+
+  @transient private lazy val piecesById: Array[String] = {
+    val a = new Array[String](vocabEntries.length)
+    vocabEntries.foreach { case (p, i) => a(i) = p }
+    a
+  }
+
+  /** Piece ids of one word (unknown piece → [[Bpe.UnkId]]). */
+  def idsOf(word: String): Array[Int] = {
+    val pieces = codec.encodeWord(word)
+    val out = new Array[Int](pieces.length)
+    var i = 0
+    while (i < pieces.length) {
+      val id = vocab.get(pieces(i))
+      out(i) = if (id == null) Bpe.UnkId else id.intValue()
+      i += 1
+    }
+    out
+  }
+
+  /** Piece text of one id; the separator and unknowns are the CALLER's
+    * cases (decode maps sep → space and refuses unknowns loudly).
+    */
+  def pieceOf(id: Int): String =
+    if (id >= 0 && id < piecesById.length) piecesById(id) else null
 }
