@@ -152,7 +152,7 @@ object ScaleStress {
     "d32_span_dedup_fast", "d33_budget_select", "d34_best_survivors", "d35_training_order",
     "d36_repetition_scrub", "d37_source_drift", "d38_percentile_rank",
     "p01_pipeline_composed", "p02_curated_sample", "p03_curation_pipeline",
-    "p04_decon_pipeline",
+    "p04_decon_pipeline", "p05_idshard_pipeline",
     "e01_knn_brute", "e02_knn_ivf", "e03_embedding_neardup", "e04_knn_ivf_trained",
     "e05_knn_pq", "e06_knn_ivf_pq", "e07_triplet_mine")
 

@@ -57,11 +57,25 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       topWords: Int = 50000
+  ): Model =
+    trainTokens(docs.select(Text.tokens(col(textCol)).as("__graft_toks")),
+      "__graft_toks", numMerges, topWords)
+
+  /** [[train]] over a PRE-TOKENIZED relation (array&lt;string&gt; words) —
+    * the token-space composition contract (p05 trains on the already-
+    * scrubbed curation corpus without rebuilding text). Same
+    * deterministic top-`topWords` histogram, same merge loop.
+    */
+  def trainTokens(
+      toks: DataFrame,
+      tokensCol: String,
+      numMerges: Int,
+      topWords: Int = 50000
   ): Model = {
     require(numMerges >= 0, "numMerges must be non-negative")
     require(topWords > 0, "topWords must be positive")
-    val freqs: Array[(String, Long)] = docs
-      .select(explode(Text.tokens(col(textCol))).as("mot"))
+    val freqs: Array[(String, Long)] = toks
+      .select(explode(col(tokensCol)).as("mot"))
       .groupBy(col("mot"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("mot"))

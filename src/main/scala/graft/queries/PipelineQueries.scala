@@ -2767,6 +2767,9 @@ object PipelineQueries {
   private[graft] def p04ShardDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_p04_${Integer.toHexString(dir.hashCode)}"
 
+  private[graft] def p05ShardDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p05_${Integer.toHexString(dir.hashCode)}"
+
   /** Shared FRONT of the composed curation pipelines (p03/p04):
     * repetition scrub → corpus span scrub → near-dup scrub, returning
     * the kept relation (doc_id, jetons, n_jetons) in token space.
@@ -2880,6 +2883,81 @@ object PipelineQueries {
       .orderBy(col("rang"))
   }
 
+  /** The TRAINER-READY tail of the curation pipelines (p05):
+    * [[curationEmit]]'s selection machinery, but the emitted shards
+    * carry BPE-ID streams from a tokenizer trained on the PACKED SET
+    * itself — the artifact a trainer actually reads. Stages:
+    *
+    *  1. quality → token-budget selection → training order, exactly
+    *     [[curationEmit]] (oracle-checkable in whitespace tokens);
+    *  2. ONE budget-bounded checkpointed relation (`packToks`) carries
+    *     rang + jetons + every report column — the tokenizer trains on
+    *     it (O(budget) rows driver-side histogram, the d23 fit), the
+    *     encode maps over it, the final report joins back to it;
+    *  3. [[Pack.writeShardsTokens]] over the id streams — the SEQUENCE
+    *     budget is counted in BPE ids (the unit a trainer bills), the
+    *     emitted arrays are int (≈4× narrower than word strings);
+    *  4. the gate reads the shards BACK from disk, reassembles each
+    *     doc's id stream from its slice provenance (the d39
+    *     convention, keyed on rang), DECODES it, and fingerprints: the
+    *     md5 must equal the oracle's direct hash of the selected text —
+    *     losslessness of encode → pack → disk → reassembly → decode,
+    *     end to end through the decontaminating pipeline.
+    *
+    * Training on the packed selection is the principled choice (the
+    * tokenizer sees exactly the distribution the trainer will) AND the
+    * scale choice: it adds zero corpus-scale passes on top of
+    * [[curationEmit]], and every character of every packed word is
+    * in-vocabulary by construction, so decode cannot hit UnkId.
+    */
+  private def curationEmitIds(
+      spark: SparkSession, kept: DataFrame, seed: String, out: String): DataFrame = {
+    val selected = graft.operators.Curate
+      .budgetSelect(
+        kept.select(col("doc_id"),
+          Text.qualityScore(concat_ws(" ", col("jetons"))).as("qualite"), col("n_jetons")),
+        "doc_id", "qualite", "n_jetons", budget = 10000L)
+      .select(col("doc_id"), col("qualite"), col("n_jetons"), col("cum").as("jetons_cumules"))
+      .localCheckpoint(true)
+    val ordered = graft.operators.Curate
+      .trainingOrder(selected.select(col("doc_id")), "doc_id", seed = seed)
+      .select(col("doc_id"), col("rang"))
+    // the budget-bounded packed set WITH its token arrays (the
+    // curationEmit packIn, jetons kept): selection side broadcast
+    // statically (budget-bounded by a driver scalar — the d29/d28/d10/
+    // d22 byte lesson), checkpointed once for the three consumers
+    val packToks = kept.select(col("doc_id"), col("jetons"))
+      .join(broadcast(ordered.join(selected, Seq("doc_id"))), Seq("doc_id"))
+      .select(col("rang"), col("doc_id"), col("qualite"), col("n_jetons"),
+        col("jetons_cumules"), col("jetons"))
+      .localCheckpoint(true)
+    val model = graft.functions.Bpe.trainTokens(
+      packToks.select(col("jetons")), "jetons", numMerges = 256, topWords = 20000)
+    val idc = graft.functions.Bpe.idCodec(model)
+    Pack.writeShardsTokens(
+      packToks.select(col("rang"),
+        org.apache.spark.sql.graft.TextExpr.bpeEncodeIdStream(col("jetons"), idc).as("ids")),
+      "rang", "ids", seqTokens = 256, seqsPerShard = 8, outDir = out, numPartitions = 1)
+    // read back → per-doc slice reassembly (d39, keyed on rang) → decode
+    val back = Pack.readShards(spark, out)
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("rang"), col("seq_id"),
+        col("d.debut_dans_seq").as("off"), col("d.n_tokens").as("n"),
+        expr("slice(tokens, off + 1, n)").as("tranche"))
+      .groupBy(col("rang"))
+      .agg(sort_array(collect_list(struct(col("seq_id"), col("off"), col("tranche"))))
+        .as("parts"))
+      .select(col("rang"),
+        flatten(transform(col("parts"), p => p.getField("tranche"))).as("ids"))
+    packToks
+      .join(back, Seq("rang"))
+      .select(col("rang"), col("doc_id"),
+        md5(org.apache.spark.sql.graft.TextExpr.bpeDecodeIdStream(col("ids"), idc))
+          .as("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"))
+      .orderBy(col("rang"))
+  }
+
   private def p03(spark: SparkSession, dir: String): DataFrame =
     curationEmit(spark, curationKept(spark, dir), "p03", p03ShardDir(dir))
 
@@ -2899,7 +2977,11 @@ object PipelineQueries {
   // side rides d16's budget-gated broadcast (the train corpus is never
   // shuffled on the gram key); everything else is the p03 machinery.
   // ---------------------------------------------------------------------
-  private def p04(spark: SparkSession, dir: String): DataFrame = {
+  /** The decontaminated kept relation — p04/p05's shared front:
+    * [[curationKept]] minus the documents whose REBUILT post-scrub
+    * text overlaps the eval set's 5-grams.
+    */
+  private def deconKept(spark: SparkSession, dir: String): DataFrame = {
     val kept = curationKept(spark, dir)
     val evalDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 50 === 0 && col("doc_id") > 0)
@@ -2911,17 +2993,45 @@ object PipelineQueries {
     val contaminated = graft.operators.Decontaminate
       .contaminatedIdsTokens(kept, "doc_id", "jetons", evalDocs, "texte", n = 5)
       .localCheckpoint(true)
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
-    curationEmit(spark, clean, "p04", p04ShardDir(dir))
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  private def p04(spark: SparkSession, dir: String): DataFrame =
+    curationEmit(spark, deconKept(spark, dir), "p04", p04ShardDir(dir))
+
+  // ---------------------------------------------------------------------
+  // p05 — the TRAINER-READY pipeline: p04's decontaminating curation,
+  // emitting BPE-ID shards from a tokenizer trained on the packed
+  // selection itself (curationEmitIds). The sequence budget is counted
+  // in BPE ids; the gate decodes the reassembled id streams read back
+  // from disk and must reproduce the oracle's direct md5 of each
+  // selected document's scrubbed text — the d39 losslessness
+  // convention lifted through the WHOLE curation pipeline. The id-space
+  // sequence boundaries are model-dependent (SQL cannot re-train the
+  // tokenizer), so the gate's columns are the selection report + the
+  // decoded fingerprint; boundary arithmetic is pinned by PackSpec in
+  // id units.
+  // ---------------------------------------------------------------------
+  private def p05(spark: SparkSession, dir: String): DataFrame =
+    curationEmitIds(spark, deconKept(spark, dir), "p05", p05ShardDir(dir))
 
   /** The shared curation-pipeline oracle: `seed` keys the training-order
     * permutation; `decon` inserts the benchmark-decontamination stage
     * (the d16 semantics recomputed over the REBUILT post-scrub text)
     * between the near-dup survivors and quality selection.
     */
-  private def curationSql(seed: String, decon: Boolean): String = {
+  private def curationSql(
+      seed: String, decon: Boolean, seqCols: Boolean = true): String = {
     val srcRel = if (decon) "cln" else "keptd"
+    // id-shard gates (p05) drop the sequence-boundary columns: those
+    // live in BPE-id space, which SQL cannot re-derive (the tokenizer
+    // is a trained model); the decoded fingerprint carries the
+    // losslessness proof instead
+    val seqColsSql = if (seqCols)
+      """,
+        |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
+        |  (pk.cum - 1) // 256 AS seq_fin""".stripMargin
+    else ""
     val gram5 = (rel: String, guard: String) =>
       s"""SELECT doc_id, unnest(CASE WHEN len(a) < 5 THEN CAST([] AS VARCHAR[])
          |      ELSE list_distinct(list_transform(range(1, len(a) - 3),
@@ -3041,15 +3151,14 @@ object PipelineQueries {
        |)
        |SELECT CAST(pk.rang AS BIGINT) AS rang, pk.doc_id,
        |  md5($srcRel.texte) AS empreinte,
-       |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules,
-       |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
-       |  (pk.cum - 1) // 256 AS seq_fin
+       |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules$seqColsSql
        |FROM pk JOIN sel USING (doc_id) JOIN $srcRel USING (doc_id)
        |ORDER BY rang""".stripMargin
   }
 
   private val p03Sql = curationSql("p03", decon = false)
   private val p04Sql = curationSql("p04", decon = true)
+  private val p05Sql = curationSql("p05", decon = true, seqCols = false)
 
   // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
@@ -3474,6 +3583,7 @@ object PipelineQueries {
     Q("p02_curated_sample", "composed curation: span screen → LM median filter → per-source quota sample", p02, Some(p02Sql)),
     Q("p03_curation_pipeline", "full batch curation: repetition scrub → span scrub → near-dup scrub → quality budget select → training order → shard emit read back", p03, Some(p03Sql)),
     Q("p04_decon_pipeline", "decontaminating curation: p03 + benchmark n-gram decontamination on the rebuilt post-scrub text before budget selection", p04, Some(p04Sql)),
+    Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),

@@ -43,7 +43,16 @@ class CatalogDocsSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle (full hash gate, not rows-only)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the ONLY permitted rows-only gate: s13's recall values depend on
+    // the trained k-means model, which SQL cannot re-derive (its alarm
+    // semantics are pinned by StreamingSpec's independent recall
+    // recomputation instead). Anything else without an oracle is drift.
+    val allowedRowsOnly = Set("s13_stream_ann_drift")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: ${missing.toSeq.sorted.mkString(", ")}")
+    // the exception list must not rot: each named query really is gated
+    // rows-only, and really exists
+    assert((allowedRowsOnly -- SparkEntry.queries.keySet).isEmpty)
+    assert((allowedRowsOnly & SparkEntry.oracleSql.keySet).isEmpty)
   }
 }

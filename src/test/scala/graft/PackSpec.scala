@@ -234,4 +234,37 @@ class PackSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
     assert(seqs.init.forall(_._2 == 256))
   }
+
+  test("p05 id shards: selection == p04's, decoded fingerprints match, sequences at the id budget") {
+    // p05 must select exactly p04's decontaminated set (the id emission
+    // changes the ARTIFACT, never the curation), and its gate empreinte
+    // — md5 of the DECODED id stream read back from disk — must equal
+    // p04's direct text fingerprint for every selected doc. Different
+    // seeds permute rang, so compare keyed on doc_id.
+    val p04 = SparkEntry.queries("p04_decon_pipeline")(spark, sfDir)
+      .select(col("doc_id"), col("empreinte"), col("qualite"), col("n_jetons"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    val p05 = SparkEntry.queries("p05_idshard_pipeline")(spark, sfDir)
+      .select(col("doc_id"), col("empreinte"), col("qualite"), col("n_jetons"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(p05.nonEmpty)
+    assert(p05 == p04,
+      "p05 must pack p04's exact selection and decode to its exact fingerprints")
+    // the emitted sequences are budgeted in BPE IDS: every non-final
+    // sequence holds exactly 256 ids, and the streams are ints
+    val shards = Pack.readShards(spark, graft.queries.PipelineQueries.p05ShardDir(sfDir))
+    // parquet round-trips arrays as containsNull=true; the element type
+    // is the pin (int ids, not strings)
+    assert(shards.schema("tokens").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.IntegerType)
+    val seqs = shards.select(col("seq_id"), size(col("tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    assert(seqs.init.forall(_._2 == 256), "non-final sequence not at the 256-id budget")
+    // id streams are LONGER than the whitespace token streams they
+    // encode (pieces + separators) — the budget unit really changed
+    val totalIds = seqs.map(_._2.toLong).sum
+    val totalWords = p05.values.map(_._3).sum
+    assert(totalIds > totalWords)
+  }
 }
