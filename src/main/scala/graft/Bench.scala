@@ -111,6 +111,9 @@ object Bench {
     // s13's feed staging + index publish: same category
     try { graft.queries.PipelineQueries.s13Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s14's feed staging + tokenizer publish: same category
+    try { graft.queries.PipelineQueries.s14Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

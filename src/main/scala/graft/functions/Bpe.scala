@@ -147,6 +147,34 @@ object Bpe {
     Model(merges.toSeq, pieces.distinct.zipWithIndex.toMap)
   }
 
+  /** Persist a trained model as a two-relation parquet store (merges
+    * in application order + the piece vocabulary) — the tokenizer
+    * PUBLISH step of a production pipeline (the AnnIndex store
+    * convention: train once, freeze, every later batch encodes with
+    * the stored model). Both relations are model-bounded
+    * (≤ base chars + numMerges pieces), never corpus-scale.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((g, d), i) => (i, g, d) }.toDF("rang", "gauche", "droite")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    model.vocab.toSeq.toDF("piece", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a published model. The two collects are model-bounded (the
+    * AnnIndex.read driver-state contract).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rang")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = spark.read.parquet(s"$dir/vocab")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    Model(merges, vocab)
+  }
+
   /** Subword pieces per word: array&lt;array&lt;string&gt;&gt; — one inner
     * array per whitespace word, inner concat reconstructs the word
     * exactly (the losslessness the d23 oracle hash-checks).

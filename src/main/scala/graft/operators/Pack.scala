@@ -217,10 +217,32 @@ object Pack {
       tokensCol: String,
       seqTokens: Int,
       numPartitions: Int = 0
+  ): DataFrame =
+    assembleSequences(
+      packedSlicesTokens(docsToks, idCol, tokensCol, seqTokens, numPartitions),
+      seqTokens)
+
+  /** The per-(doc, touched-sequence) SLICE rows of the packed stream —
+    * the append grain of shard emission. Each row is one document's
+    * overlap with one sequence window: (seq_id, doc_id, deb, n,
+    * tranche) with `deb` the slice's GLOBAL token position — so slices
+    * are computable batch-locally given a running `startOffset`, and a
+    * streaming loader (IngestIdShards) can append a batch's slices
+    * without waiting for sequences straddling the batch boundary to
+    * close. Grouping on seq_id ([[assembleSequences]]) yields the
+    * materialized sequences.
+    */
+  def packedSlicesTokens(
+      docsToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqTokens: Int,
+      numPartitions: Int = 0,
+      startOffset: Long = 0L
   ): DataFrame = {
     val b = lit(seqTokens.toLong)
     val toks = docsToks.select(col(idCol).as("doc_id"), col(tokensCol).as("toks"))
-    val ann = sequencesTokens(docsToks, idCol, tokensCol, seqTokens, numPartitions)
+    val ann = sequencesTokens(docsToks, idCol, tokensCol, seqTokens, numPartitions, startOffset)
       .filter(col("n_tokens") > 0) // zero-token docs hold no slice
     // budget-gated static broadcast of the NARROW range annotation
     // (one ~64 B row per doc) into the token join: un-hinted, the
@@ -235,7 +257,7 @@ object Pack {
       case Some(n) if n <= Dedup.sigBroadcastBudget(docsToks.sparkSession) / 64L => broadcast(ann)
       case _ => ann
     }
-    val slices = annSide
+    annSide
       .join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("tok_debut"), col("n_tokens"), col("toks"),
         explode(sequence(col("seq_debut"), col("seq_fin"))).as("seq_id"))
@@ -243,8 +265,17 @@ object Pack {
       .withColumn("fin", least((col("seq_id") + 1L) * b, col("tok_debut") + col("n_tokens")))
       .select(col("seq_id"), col("doc_id"), col("deb"), (col("fin") - col("deb")).as("n"),
         expr("slice(toks, CAST(deb - tok_debut + 1 AS INT), CAST(fin - deb AS INT))").as("tranche"))
-    // sort_array on array<struct> orders by leading field: deb — global
-    // token position, unique within a sequence (slices are disjoint)
+  }
+
+  /** Group slice rows ([[packedSlicesTokens]] columns) into the
+    * materialized sequences: (seq_id, tokens, docs provenance).
+    * sort_array on array&lt;struct&gt; orders by the leading field:
+    * deb — global token position, unique within a sequence (slices are
+    * disjoint), so splicing is deterministic even when the slices of
+    * one sequence arrived in DIFFERENT appended batches.
+    */
+  def assembleSequences(slices: DataFrame, seqTokens: Int): DataFrame = {
+    val b = lit(seqTokens.toLong)
     slices
       .groupBy(col("seq_id"))
       .agg(sort_array(collect_list(struct(

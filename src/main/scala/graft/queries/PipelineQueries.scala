@@ -677,6 +677,29 @@ object PipelineQueries {
       .orderBy(col("lot"))
 
   // ---------------------------------------------------------------------
+  // s14 — streaming BPE-ID shard emission: the trainer-ready tier's
+  // continuous form. A tokenizer is PUBLISHED once (trained at publish
+  // time, persisted, frozen — the e09 frozen-model convention applied
+  // to the tokenizer); arriving document micro-batches encode with the
+  // stored model and append id SLICES at global positions, continuing
+  // the running offset — sequences straddling a batch boundary splice
+  // exactly (StreamingSpec pins drained == one-shot at sequence grain).
+  // Gate: the d39 losslessness convention over the DRAINED log — every
+  // document's slices reassemble and DECODE to the oracle's direct md5
+  // of its normalized text.
+  // ---------------------------------------------------------------------
+  private[graft] def s14WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s14_${Integer.toHexString(dir.hashCode)}"
+
+  def s14Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestIdShards.setup(spark, dir, s14WorkDir(dir))
+
+  private def s14(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestIdShards
+      .run(spark, dir, s14WorkDir(dir))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // e03 — embedding near-duplicate pairs via multi-table hyperplane LSH.
   // The fixture has no natural cosine-0.99 pairs (max ≈ 0.51), so the
   // corpus is the fixture plus a jittered copy of itself (±2% arithmetic
@@ -3599,6 +3622,7 @@ object PipelineQueries {
     Q("e09_index_append", "incremental index maintenance: frozen-model append to the published store, served over the grown corpus vs union brute oracle", e09, Some(e09Sql)),
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample, alarm past the floor (re-publish decision; model-dependent — rows-only)", s13, None),
+    Q("s14_stream_idshards", "streaming BPE-id shard emission: frozen published tokenizer, slice-grain incremental pack continuing the global offset; decode of the drained log rebuilds every doc (d39 through the stream)", s14, Some(d39Sql)),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),

@@ -318,4 +318,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prevShuffle,
       "drain must restore the session shuffle-partitions setting")
   }
+
+  test("id-shard stream (s14): drained slices assemble to the ONE-SHOT pack under the stored tokenizer") {
+    import org.apache.spark.sql.functions._
+    val wd = graft.queries.PipelineQueries.s14WorkDir(sfDir)
+    // drain (run self-setups: stages the feed + publishes the tokenizer)
+    val res = SparkEntry.queries("s14_stream_idshards")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res.nonEmpty)
+    // the gate's own claim, recomputed here without the oracle: every
+    // doc's decoded reassembly equals its whitespace-normalized text md5
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", graft.functions.Text.tokens(col("text")))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res == expected, "every doc must decode from the drained slice log")
+    // SEQUENCE-grain equality with the one-shot pack under the SAME
+    // stored model: a sequence straddling a batch boundary must splice
+    // from slices of different batches into exactly the one-shot cut
+    val model = graft.functions.Bpe.readModel(spark, s"$wd/tokenizer")
+    val idc = graft.functions.Bpe.idCodec(model)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        r.getSeq[Int](1).mkString(","),
+        r.getSeq[org.apache.spark.sql.Row](2).map(d =>
+          (d.getLong(0), d.getInt(1), d.getInt(2))).mkString(";"))
+    val oneShot = graft.operators.Pack.packedSequencesTokens(
+      Tables.documents(spark, sfDir).select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpr
+          .bpeEncodeIdStream(graft.functions.Text.tokens(col("text")), idc).as("ids")),
+      "doc_id", "ids", graft.streaming.IngestIdShards.SeqTokens)
+      .collect().map(key).toSet
+    val streamedRows = graft.streaming.IngestIdShards.sequences(spark, wd).collect().map(key)
+    assert(streamedRows.toSet == oneShot,
+      "micro-batched id packing must splice boundary sequences exactly as the one-shot pack")
+    assert(streamedRows.length == oneShot.size, "no duplicate appends")
+    // the equality above only PROVES splicing if a batch boundary
+    // actually lands mid-sequence — assert it does: some batch-prefix
+    // cumulative id total is not a multiple of the budget, so the next
+    // batch's first slices continue an OPEN sequence
+    val feedParts = new java.io.File(s"$wd/feed").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    val batchTotals = feedParts.map { p =>
+      spark.read.parquet(p)
+        .select(org.apache.spark.sql.graft.TextExpr
+          .bpeEncodeIdStream(graft.functions.Text.tokens(col("text")), idc).as("ids"))
+        .agg(coalesce(sum(size(col("ids"))), lit(0))).collect()(0).getLong(0)
+    }
+    val straddles = batchTotals.scanLeft(0L)(_ + _).tail.init
+      .exists(_ % graft.streaming.IngestIdShards.SeqTokens != 0)
+    assert(straddles, "fixture must exercise a mid-sequence batch boundary")
+  }
 }
