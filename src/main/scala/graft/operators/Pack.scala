@@ -344,6 +344,152 @@ object Pack {
       .select(col("shard_id").cast("long").as("shard_id"),
         col("seq_id"), col("tokens"), col("docs"))
 
+  /** Outcome of one [[finalizeSliceLog]] pass: how many whole shards
+    * were emitted by THIS call, the store's sequence watermark after it
+    * (sequences `[0, watermarkSeqs)` live in shard files; the log holds
+    * only `seq_id >= watermarkSeqs`), and the residual open-tail slice
+    * count left in the trimmed log.
+    */
+  final case class FinalizeResult(newShards: Long, watermarkSeqs: Long, residualSlices: Long)
+
+  private def watermarkPath(shardDir: String) =
+    new org.apache.hadoop.fs.Path(s"$shardDir/_WATERMARK_SEQS")
+
+  /** The shard store's sequence watermark: first from the marker file,
+    * else recovered from the store itself (max shard_id + 1, times the
+    * shard grain — the marker is a cache, the files are the truth),
+    * else 0 for an empty store.
+    */
+  def shardWatermarkSeqs(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String,
+      seqsPerShard: Int
+  ): Long = {
+    val p = watermarkPath(shardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try in.readLong() finally in.close()
+    } else if (hasParquetData(fs, new org.apache.hadoop.fs.Path(shardDir)))
+      (readShards(spark, shardDir).agg(max(col("shard_id"))).collect()(0).getLong(0) + 1L) *
+        seqsPerShard
+    else 0L
+  }
+
+  /** True global token high-water mark of an appended slice log WITH a
+    * shard store: max over the log's own `deb + n` and the store
+    * watermark — after a finalize pass trimmed the log exactly at a
+    * shard boundary the log can be EMPTY while the stream is mid-
+    * corpus, so offset recovery (a restarted incremental loader's
+    * first act) must consult both. One scalar read, no corpus pass:
+    * the log agg is over the bounded open tail.
+    */
+  def recoveredOffset(
+      spark: org.apache.spark.sql.SparkSession,
+      logDir: String,
+      shardDir: String,
+      seqTokens: Int,
+      seqsPerShard: Int
+  ): Long = {
+    val lp = new org.apache.hadoop.fs.Path(logDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logHw =
+      if (hasParquetData(fs, lp))
+        spark.read.parquet(logDir)
+          .agg(coalesce(max(col("deb") + col("n")), lit(0L))).collect()(0).getLong(0)
+      else 0L
+    math.max(logHw, shardWatermarkSeqs(spark, shardDir, seqsPerShard) * seqTokens.toLong)
+  }
+
+  private def hasParquetData(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
+      }
+      found
+    }
+
+  /** Finalize an appended slice log ([[packedSlicesTokens]] rows) into
+    * immutable training-shard files, and TRIM the log to its open tail
+    * — the maintenance pass of continuous shard emission (io03's
+    * Compact applied to the packed stream; the AnnIndex.compact
+    * precedent). A sequence is CLOSED once the log's token high-water
+    * mark passes its end — slice coverage of `[0, hw)` is gapless by
+    * the pack arithmetic, so closure is pure arithmetic, no scan. Only
+    * WHOLE shards (`seqsPerShard` consecutive closed sequences) are
+    * emitted, so a shard directory is written exactly once and never
+    * rewritten — the immutability a trainer's shard manifest relies
+    * on; the trailing partial shard stays in the log until it fills.
+    *
+    * Idempotent and incremental: the store watermark says where the
+    * previous pass stopped; a call with nothing newly closed emits
+    * nothing and leaves the log untouched. The trimmed tail is
+    * BOUNDED — under `seqsPerShard + 1` sequences of tokens plus the
+    * still-open document overhang — so the rewrite coalesces to one
+    * file regardless of corpus size, and every pass over the log
+    * (watermark agg, emit filter, trim) touches only tail-scale data
+    * once the previous trim ran.
+    */
+  def finalizeSliceLog(
+      spark: org.apache.spark.sql.SparkSession,
+      logDir: String,
+      shardDir: String,
+      seqTokens: Int,
+      seqsPerShard: Int,
+      numPartitions: Int = 0
+  ): FinalizeResult = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val lp = new org.apache.hadoop.fs.Path(logDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = shardWatermarkSeqs(spark, shardDir, seqsPerShard)
+    if (!hasParquetData(fs, lp))
+      return FinalizeResult(0L, before, 0L)
+
+    val slices = spark.read.parquet(logDir)
+    val hw = slices.agg(coalesce(max(col("deb") + col("n")), lit(0L))).collect()(0).getLong(0)
+    val closedSeqs = hw / seqTokens
+    val after = (closedSeqs / seqsPerShard) * seqsPerShard
+    if (after <= before) {
+      val residual = slices.filter(col("seq_id") >= before).count()
+      return FinalizeResult(0L, before, residual)
+    }
+
+    // emit the newly-closed whole shards: sequence assembly over the
+    // [before, after) slice window, shard-contiguous files (the
+    // writeShards layout — readShards reads both stores identically)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    assembleSequences(
+      slices.filter(col("seq_id") >= before && col("seq_id") < after), seqTokens)
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+      .repartitionByRange(parts, col("shard_id"), col("seq_id"))
+      .write.mode("append").partitionBy("shard_id").parquet(shardDir)
+
+    // trim the log to the open tail (bounded — see scaladoc), then
+    // swap: the tmp write is an ACTION, so the residual is fully
+    // materialized before the old log is dropped
+    val tmp = new org.apache.hadoop.fs.Path(s"${logDir}__finalize_tmp")
+    fs.delete(tmp, true)
+    slices.filter(col("seq_id") >= after)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(lp, true)
+    require(fs.rename(tmp, lp), s"log swap failed: $tmp -> $lp")
+
+    val wm = watermarkPath(shardDir)
+    val out = wm.getFileSystem(spark.sparkContext.hadoopConfiguration).create(wm, true)
+    try out.writeLong(after) finally out.close()
+
+    FinalizeResult((after - before) / seqsPerShard, after,
+      spark.read.parquet(logDir).count())
+  }
+
   /** The single-window formulation `sequences` must equal whenever the
     * order key is unique — the spec's reference implementation (an
     * Exchange SinglePartition plan, so test-scale only).

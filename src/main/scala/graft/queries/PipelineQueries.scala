@@ -2036,6 +2036,71 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // io05 — slice-log finalize/compaction, the maintenance pass of
+  // continuous shard emission (io03's Compact applied to the packed
+  // stream): three arrival batches append packed slices at continued
+  // global offsets with a finalize pass BETWEEN appends — every closed
+  // whole shard moves into immutable shard files, the log is trimmed
+  // to its open tail, and the next append resumes from
+  // Pack.recoveredOffset (which must consult the store watermark when
+  // a trim emptied the log). The gate reassembles every document from
+  // shard store ∪ residual log — d39's losslessness convention through
+  // the finalized store. Immutability/idempotence/trim-bound
+  // assertions live in PackSpec; this gate pins data preservation.
+  // ---------------------------------------------------------------------
+  private def io05(spark: SparkSession, dir: String): DataFrame = {
+    val wd =
+      s"${System.getProperty("java.io.tmpdir")}/graft_io05_${Integer.toHexString(dir.hashCode)}"
+    val logDir = s"$wd/slices"
+    val shardDir = s"$wd/shards"
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wd), true)
+    val seqTokens = 256
+    val seqsPerShard = 16
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // two contiguous doc_id ranges = arrival order (packing is
+    // order-sensitive; the cut is scalar arithmetic, not a sort). Two
+    // batches is the minimum that exercises a MID-STREAM finalize +
+    // offset recovery; the richer three-batch shape (and the exact-
+    // boundary empty-log recovery) is PackSpec's, at spec scale — the
+    // gate's cost is per-stage plan floor, so it stays at the minimum
+    // composition that proves the contract.
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= maxId / 2),
+      docs.filter(col("doc_id") > maxId / 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val off = Pack.recoveredOffset(spark, logDir, shardDir, seqTokens, seqsPerShard)
+      Pack.packedSlicesTokens(b, "doc_id", "toks", seqTokens, startOffset = off)
+        .write.mode("append").parquet(logDir)
+      if (i < batches.size - 1)
+        Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard)
+    }
+    Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard)
+    // reassembly: store slices recover their GLOBAL positions from
+    // seq_id·budget + in-sequence offset; tail slices carry theirs
+    val fromStore = Pack.readShards(spark, shardDir)
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * seqTokens + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+    val fromTail = spark.read.parquet(logDir)
+      .select(col("doc_id"), col("deb"), col("tranche"))
+    val back = fromStore.unionByName(fromTail)
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(back, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(concat_ws(" ", col("toks")), lit(""))).as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -3642,6 +3707,7 @@ object PipelineQueries {
              |ORDER BY o_orderstatus""".stripMargin)),
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("io03_compact_roundtrip", "range-clustered small-file compaction (§2.9)", io03, Some(io03Sql)),
+    Q("io05_slicelog_finalize", "slice-log finalize: closed whole shards become immutable files, the log trims to its open tail, appends resume from the recovered offset (d39 losslessness through the finalized store)", io05, Some(d39Sql)),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),

@@ -109,8 +109,10 @@ object IngestIdShards {
     val slicesDir = s"$workDir/slices"
     val fs = new org.apache.hadoop.fs.Path(slicesDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // log reset is a pure filesystem op (the IngestPack convention)
+    // log + shard-store reset is a pure filesystem op (the IngestPack
+    // convention): a gate run drains the whole feed fresh
     fs.delete(new org.apache.hadoop.fs.Path(slicesDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$workDir/shards"), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(slicesDir))
 
     // the running id offset: recovered from the log once at start (a
@@ -175,4 +177,29 @@ object IngestIdShards {
   def sequences(spark: SparkSession, workDir: String): DataFrame =
     Pack.assembleSequences(
       spark.read.schema(sliceSchema).parquet(s"$workDir/slices"), SeqTokens)
+
+  /** Default shard grain of the finalize pass: 16 × 512 = 8 192 tokens
+    * per shard file at the gate scale (production sizes this to the
+    * trainer's shard contract).
+    */
+  private[graft] val SeqsPerShard = 16
+
+  /** Finalize the drained (or mid-drain) slice log into immutable
+    * shard files and trim the log to the open tail —
+    * [[Pack.finalizeSliceLog]] over this loader's store layout. Safe
+    * between triggers: appends continue from [[Pack.recoveredOffset]],
+    * which consults the store watermark when the trim emptied the log.
+    */
+  def finalizeLog(spark: SparkSession, workDir: String): Pack.FinalizeResult =
+    Pack.finalizeSliceLog(spark, s"$workDir/slices", s"$workDir/shards",
+      SeqTokens, SeqsPerShard)
+
+  /** Sequences a trainer reads after a finalize pass: the immutable
+    * shard store plus the open tail still in the log — together they
+    * must equal [[sequences]] over an untrimmed log (StreamingSpec).
+    */
+  def storeAndTailSequences(spark: SparkSession, workDir: String): DataFrame =
+    Pack.readShards(spark, s"$workDir/shards")
+      .select(col("seq_id"), col("tokens"), col("docs"))
+      .unionByName(sequences(spark, workDir))
 }

@@ -267,4 +267,119 @@ class PackSpec extends SparkSpec {
     val totalWords = p05.values.map(_._3).sum
     assert(totalIds > totalWords)
   }
+
+  test("slice-log finalize: immutable whole shards, idempotent, trimmed one-file tail, store ∪ tail == one-shot") {
+    val budget = 128
+    val perShard = 4
+    val docsToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    val wd = java.nio.file.Files.createTempDirectory("graft_finalize_").toString
+    val logDir = s"$wd/slices"
+    val store = s"$wd/shards"
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(base)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(base)
+        try s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith("part-"))
+          .map(p => p.toString -> (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+        finally s.close()
+      }
+    }
+    try {
+      val maxId = docsToks.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val batches = Seq(
+        docsToks.filter(col("doc_id") <= maxId / 3),
+        docsToks.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+        docsToks.filter(col("doc_id") > 2 * maxId / 3))
+      Pack.packedSlicesTokens(batches(0), "doc_id", "toks", budget,
+        startOffset = Pack.recoveredOffset(spark, logDir, store, budget, perShard))
+        .write.mode("append").parquet(logDir)
+      val r1 = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(r1.newShards > 0, "first finalize must close whole shards")
+      val firstFiles = files(store)
+      assert(firstFiles.nonEmpty)
+      // idempotence: an immediate second finalize is a pure no-op
+      val logRows = spark.read.parquet(logDir).count()
+      val r1b = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(r1b.newShards == 0L && r1b.watermarkSeqs == r1.watermarkSeqs)
+      assert(spark.read.parquet(logDir).count() == logRows,
+        "a no-op finalize must not rewrite the log")
+      assert(files(store) == firstFiles, "a no-op finalize must not touch the store")
+      // remaining batches, finalize between appends; offsets recovered
+      Seq(1, 2).foreach { i =>
+        Pack.packedSlicesTokens(batches(i), "doc_id", "toks", budget,
+          startOffset = Pack.recoveredOffset(spark, logDir, store, budget, perShard))
+          .write.mode("append").parquet(logDir)
+        Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      }
+      // batch-1 shard files were never rewritten by later passes
+      val now = files(store)
+      assert(firstFiles.forall { case (p, sig) => now.get(p).contains(sig) },
+        "a finalized shard file must never be rewritten")
+      // final state: watermark at the whole-shard grain, recovered
+      // offset == the true corpus token total, tail after it, one file
+      val state = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      val total = docsToks.agg(sum(size(col("toks")))).collect()(0).getLong(0)
+      assert(state.watermarkSeqs == (total / budget / perShard) * perShard)
+      assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == total)
+      val tail = spark.read.parquet(logDir)
+      assert(tail.filter(col("seq_id") < state.watermarkSeqs).count() == 0L,
+        "trim must drop every finalized slice")
+      assert(files(logDir).size == 1, "the trimmed tail is bounded — one file")
+      // the trainer's view: store ∪ tail equals the one-shot pack
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0),
+          r.getSeq[String](1).mkString(" "),
+          r.getSeq[org.apache.spark.sql.Row](2).map(d =>
+            (d.getLong(0), d.getInt(1), d.getInt(2))).mkString(";"))
+      val union = Pack.readShards(spark, store)
+        .select(col("seq_id"), col("tokens"), col("docs"))
+        .unionByName(Pack.assembleSequences(tail, budget))
+        .collect().map(key)
+      val oneShot = Pack.packedSequencesTokens(docsToks, "doc_id", "toks", budget)
+        .collect().map(key)
+      assert(union.toSet == oneShot.toSet, "store ∪ tail must equal the one-shot pack")
+      assert(union.length == oneShot.length, "no sequence duplicated across store and tail")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
+    }
+  }
+
+  test("finalize at an exact shard boundary: the emptied log still recovers the true offset from the store") {
+    val budget = 4
+    val perShard = 2
+    // 8 docs × 4 tokens = 32 tokens = exactly 8 sequences = 4 shards:
+    // the trim leaves an EMPTY log, so offset recovery must fall back
+    // to the store watermark
+    val docs = (0L until 8L)
+      .map(i => (i, (0 until 4).map(j => s"w${i}_$j")))
+      .toDF("doc_id", "toks")
+    val wd = java.nio.file.Files.createTempDirectory("graft_finalize_edge_").toString
+    val logDir = s"$wd/slices"
+    val store = s"$wd/shards"
+    try {
+      Pack.packedSlicesTokens(docs, "doc_id", "toks", budget)
+        .write.mode("append").parquet(logDir)
+      val res = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(res.watermarkSeqs == 8L && res.residualSlices == 0L)
+      assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 32L,
+        "an emptied log must recover the offset from the store watermark")
+      // a continuing append starts exactly at the recovered offset
+      val more = Seq((100L, Seq("x", "y", "z"))).toDF("doc_id", "toks")
+      Pack.packedSlicesTokens(more, "doc_id", "toks", budget,
+        startOffset = Pack.recoveredOffset(spark, logDir, store, budget, perShard))
+        .write.mode("append").parquet(logDir)
+      val appended = spark.read.parquet(logDir).collect()
+      assert(appended.length == 1)
+      assert(appended(0).getAs[Long]("seq_id") == 8L &&
+        appended(0).getAs[Long]("deb") == 32L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
+    }
+  }
 }

@@ -368,5 +368,14 @@ class StreamingSpec extends SparkSpec {
     val straddles = batchTotals.scanLeft(0L)(_ + _).tail.init
       .exists(_ % graft.streaming.IngestIdShards.SeqTokens != 0)
     assert(straddles, "fixture must exercise a mid-sequence batch boundary")
+    // finalize composition: closed whole shards move to immutable
+    // files, the log trims to the open tail — and the trainer's view
+    // (store ∪ tail) is STILL exactly the drained sequence set
+    val fin = graft.streaming.IngestIdShards.finalizeLog(spark, wd)
+    assert(fin.newShards > 0, "the drained log must close at least one whole shard")
+    val afterFinalize = graft.streaming.IngestIdShards
+      .storeAndTailSequences(spark, wd).collect().map(key)
+    assert(afterFinalize.toSet == oneShot && afterFinalize.length == oneShot.size,
+      "finalize must preserve the sequence set exactly (store ∪ tail == drained)")
   }
 }
