@@ -114,6 +114,10 @@ object Bench {
     // s14's feed staging + tokenizer publish: same category
     try { graft.queries.PipelineQueries.s14Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // e10's publish + drifted append staging (the pre-republish store
+    // state); the measured query is the republish + serve
+    try { graft.queries.PipelineQueries.e10Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -172,6 +172,65 @@ object AnnIndex {
           .as("rappel"))
   }
 
+  /** The publish generation of a store: the `_PUBLISH_VERSION` marker,
+    * or 1 for a store [[write]] created before any [[republish]] (the
+    * marker is observability, the files are the truth).
+    */
+  def version(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_PUBLISH_VERSION")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 1L
+    else {
+      val in = fs.open(p)
+      try in.readLong() finally in.close()
+    }
+  }
+
+  /** The RE-PUBLISH decision's action — what [[recallProbe]] /
+    * IngestAnnDrift's alarm calls for: retrain the coarse centroids and
+    * PQ codebooks on the corpus AS IT NOW STANDS (base plus every
+    * frozen-model appended batch — the distribution the publish-time
+    * model drifted away from), re-encode EVERY vector with the new
+    * model, and swap the rebuilt store in atomically (write aside,
+    * delete, rename — the [[compact]] contract at whole-store grain).
+    * Readers serve the old generation until the swap instant; the
+    * `_PUBLISH_VERSION` marker records the new generation. Returns the
+    * new version.
+    *
+    * Scale shape: retraining is the bounded driver-side sample
+    * (O(1) in corpus size) and the re-encode is ONE pure-map pass over
+    * the corpus — the honest cost of a republish at 100 TB is exactly
+    * that linear encode pass, which is why it is an alarm-driven
+    * decision and not a per-batch reflex (the [[append]] contract).
+    */
+  def republish(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nList: Int = 16,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 3
+  ): Long = {
+    val spark = corpus.sparkSession
+    val newVersion = version(spark, dir) + 1L
+    val tmpDir = s"${dir}_republish_tmp"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = tmpPath.getFileSystem(hc)
+    fs.delete(tmpPath, true)
+    write(corpus, idCol, vecCol, tmpDir, nList, m, codes, iters)
+    val vp = new org.apache.hadoop.fs.Path(s"$tmpDir/_PUBLISH_VERSION")
+    val out = fs.create(vp, true)
+    try out.writeLong(newVersion) finally out.close()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.delete(dirPath, true) || !fs.rename(tmpPath, dirPath))
+      throw new IllegalStateException(
+        s"republish: could not swap $tmpDir into $dir — store left in the aside dir")
+    newVersion
+  }
+
   /** Compact the append-fragmented `codes/` store: every [[append]]
     * leaves a per-batch file set, and a daily-ingest index accumulates
     * thousands of small files whose per-file open cost dominates the

@@ -264,4 +264,72 @@ class SimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("AnnIndex.republish: the retrained model separates the drifted regime the frozen model collapsed; version bumps; swap is atomic") {
+    val em = Tables.embeddings(spark, sfDir)
+    // four drifted arrival waves: every 5th base vector shifted +4.0
+    // per component (a regime the publish-time quantizer never saw)
+    // with a ±1% per-copy jitter — copies of one src are each other's
+    // planted near-twins (cosine ≈ 0.9999 in the drifted regime vs
+    // ≈ 0.98 across srcs), the e03/s13 planted-truth convention
+    def wave(j: Int) = em.filter(col("vec_id") % 5 === 0)
+      .select(
+        (col("vec_id") + lit(2000000L + j * 10000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + (pmod(col("vec_id") * 13 + i.cast("long") * 5 + lit(j * 3L), lit(100L))
+              .cast("double") / 100.0 - 0.5) * 0.02) + lit(4.0)).cast("float"))
+          .as("embedding"))
+    val arrivals = (1 to 4).map(wave).reduce(_ unionByName _)
+    val base = java.nio.file.Files.createTempDirectory("graft_republish_").toString
+    val ix = s"$base/ix"
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.append(arrivals, "vec_id", "embedding", ix)
+      assert(graft.operators.AnnIndex.version(spark, ix) == 1L)
+      val nDrift = arrivals.count()
+      // the drift mechanism: the frozen quantizer collapses the whole
+      // drifted regime into a handful of (cell, codes) tuples — the
+      // index literally cannot tell drifted vectors apart
+      def driftTuples(): (Long, Long) = {
+        val d = graft.operators.AnnIndex.codes(spark, ix)
+          .filter(col("vec_id") >= 2000000L)
+        (d.select(col("cell")).distinct().count(),
+          d.select(col("cell"), col("codes")).distinct().count())
+      }
+      val (cellsBefore, tuplesBefore) = driftTuples()
+      val union = em.select(col("vec_id"), col("embedding")).unionByName(arrivals)
+      val v2 = graft.operators.AnnIndex.republish(union, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      assert(v2 == 2L && graft.operators.AnnIndex.version(spark, ix) == 2L)
+      assert(!new java.io.File(s"${ix}_republish_tmp").exists(),
+        "the aside dir must be gone after a successful swap")
+      // completeness: every union vector coded exactly once
+      val coded = graft.operators.AnnIndex.codes(spark, ix)
+      assert(coded.count() == union.count() &&
+        coded.select(col("vec_id")).distinct().count() == union.count(),
+        "republish must re-encode every vector exactly once")
+      val (cellsAfter, tuplesAfter) = driftTuples()
+      info(s"drifted code tuples: before $cellsBefore cells/$tuplesBefore tuples, " +
+        s"after $cellsAfter cells/$tuplesAfter tuples (of $nDrift rows)")
+      assert(tuplesBefore <= nDrift / 4,
+        s"fixture check: the frozen model should collapse the drifted regime " +
+          s"($tuplesBefore distinct tuples of $nDrift)")
+      assert(tuplesAfter > tuplesBefore,
+        "the retrained model must separate what the frozen model collapsed")
+      // the production payoff: recall@1 at production config (nProbe <
+      // nList, shortlist well under the drifted-candidate count) on the
+      // planted-twin sample, over the republished store
+      val sample = wave(1)
+      val rec = graft.operators.AnnIndex.recallProbe(spark, ix, sample, union,
+        "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 16)
+        .agg(avg(col("rappel"))).collect()(0).getDouble(0)
+      info(s"post-republish drifted-regime recall@1 = $rec")
+      assert(rec >= 0.9,
+        s"republished store must serve the drifted regime at production config (recall $rec)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
