@@ -118,6 +118,9 @@ object Bench {
     // state); the measured query is the republish + serve
     try { graft.queries.PipelineQueries.e10Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s15's feed staging + eval-gram store publish: same category
+    try { graft.queries.PipelineQueries.s15Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -45,14 +45,33 @@ object Decontaminate {
       textCol: String,
       n: Int = 5,
       gramBroadcastBytes: Long = -1L
+  ): DataFrame =
+    // distinct gram VALUES only — the broadcast payload is the benchmark
+    // vocabulary, not the benchmark corpus
+    ngramOverlapGrams(train,
+      eval.select(explode(Text.shingles(col(textCol), n)).as("g")).distinct(),
+      idCol, textCol, n, gramBroadcastBytes)
+
+  /** [[ngramOverlap]] against a PUBLISHED distinct eval-gram relation —
+    * the stored-model entry point (the IngestDedup signature-store
+    * convention applied to decontamination): the gram vocabulary is
+    * derived ONCE when the benchmark set lands and persisted; every
+    * later screen — batch or per-trigger (IngestDecon) — reads the
+    * store instead of re-shingling the benchmarks. Sizing runs over the
+    * gram relation only; the train side is never touched to decide.
+    */
+  def ngramOverlapGrams(
+      train: DataFrame,
+      evalGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      gramBroadcastBytes: Long = -1L
   ): DataFrame = {
     def grams(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),
       explode(Text.shingles(col(textCol), n)).as("g")
     )
-    // distinct gram VALUES only — the broadcast payload is the benchmark
-    // vocabulary, not the benchmark corpus
-    val evalGrams = grams(eval).select("g").distinct()
     // clamped to the driver's collect ceiling like every dedup budget:
     // a broadcast the driver cannot collect must degrade, not die
     val budget = Dedup.clampToDriverLimit(train.sparkSession,
@@ -62,8 +81,8 @@ object Decontaminate {
         .map(Dedup.parseBytes)
         .getOrElse(512L * 1024 * 1024))
     // UTF-8 payload + per-row object overhead, same accounting as the
-    // minhashLsh sig budget; the agg re-derives evalGrams once more but
-    // the eval side is the small one
+    // minhashLsh sig budget; the agg is one pass over the (small by
+    // contract) eval-gram side
     val Array(gramBytes) = evalGrams
       .agg(coalesce(sum(octet_length(col("g")) + lit(48L)), lit(0L)))
       .collect().map(_.getLong(0))

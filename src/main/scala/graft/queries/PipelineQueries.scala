@@ -1392,6 +1392,26 @@ object PipelineQueries {
       .orderBy(col("id_batch"), col("id_corpus"))
 
   // ---------------------------------------------------------------------
+  // s15 — streaming decontamination screen (§2.9 × the d16 operator):
+  // arriving train batches are checked for eval-set gram collisions
+  // against the PUBLISHED gram store (derived once when the benchmark
+  // set lands) before they join the corpus. Zero cross-batch state, so
+  // the drained per-doc report must equal the one-shot d16 screen —
+  // same oracle.
+  // ---------------------------------------------------------------------
+  private def s15WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s15_${Integer.toHexString(dir.hashCode)}"
+
+  /** Feed staging + eval-gram store publish (load phase, Bench-untimed). */
+  def s15Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestDecon.setup(spark, dir, s15WorkDir(dir))
+
+  private def s15(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestDecon
+      .run(spark, dir, s15WorkDir(dir))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // d21 — dataset mixing: the per-source sampling-weight recipe step.
   // Four weight tiers over the 20 synthetic sources (curated 2.5×,
   // baseline 1×, downsampled 0.5× and 0.25×); copy counts are
@@ -3776,6 +3796,7 @@ object PipelineQueries {
     Q("p04_decon_pipeline", "decontaminating curation: p03 + benchmark n-gram decontamination on the rebuilt post-scrub text before budget selection", p04, Some(p04Sql)),
     Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
+    Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),
     Q("s09_stream_quality_screen", "streaming perplexity screen against the stored corpus LM (§2.9 composed with d29)", s09, Some(s09Sql)),

@@ -319,6 +319,22 @@ class StreamingSpec extends SparkSpec {
       "drain must restore the session shuffle-partitions setting")
   }
 
+  test("streaming decontamination screen (s15) equals the one-shot d16 screen over the feed") {
+    import org.apache.spark.sql.functions._
+    val res = SparkEntry.queries("s15_stream_decon")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 50 === 0 && col("doc_id") > 0
+    val oneShot = graft.operators.Decontaminate
+      .ngramOverlap(docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(res.toSeq == oneShot.toSeq,
+      "the drained per-doc report must equal the one-shot screen row-for-row")
+    assert(res.exists(_._4), "fixture must flag contaminated docs")
+    assert(res.exists(!_._4), "fixture must keep clean docs unflagged")
+  }
+
   test("id-shard stream (s14): drained slices assemble to the ONE-SHOT pack under the stored tokenizer") {
     import org.apache.spark.sql.functions._
     val wd = graft.queries.PipelineQueries.s14WorkDir(sfDir)
