@@ -121,6 +121,10 @@ object Bench {
     // s15's feed staging + eval-gram store publish: same category
     try { graft.queries.PipelineQueries.s15Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // io06's source shard-store publish (the pre-migration artifact);
+    // the measured query is the reshard itself
+    try { graft.queries.PipelineQueries.io06Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -490,6 +490,51 @@ object Pack {
       spark.read.parquet(logDir).count())
   }
 
+  /** Re-cut an existing shard store at a NEW sequence budget — the
+    * context-length migration a trainer config change forces (say
+    * 512 → 2048 tokens), WITHOUT re-tokenizing or re-reading the raw
+    * corpus: the store's provenance entries recover every document
+    * slice's GLOBAL token position (seq_id·oldBudget + in-seq offset),
+    * and global positions are INVARIANT under a re-cut — only the
+    * window boundaries move. Output is therefore IDENTICAL to a direct
+    * [[packedSequencesTokens]] of the original corpus at the new
+    * budget, provenance included (PackSpec pins the equality; the
+    * original pack laid docs at these offsets, and this pass preserves
+    * them bit-for-bit).
+    *
+    * Scale shape: two exchanges, same class as the pack itself — one
+    * doc-keyed merge that splices each document's slices back into its
+    * contiguous global run (keys unique per doc, no skew), one
+    * seq-keyed assembly at the new budget (consecutive-integer keys).
+    * No prefix sum, no driver scalar: the offsets already exist in the
+    * store. The re-window between them is pure map arithmetic.
+    */
+  def reshard(shards: DataFrame, oldSeqTokens: Int, newSeqTokens: Int): DataFrame = {
+    require(oldSeqTokens > 0 && newSeqTokens > 0, "budgets must be positive")
+    val bOld = lit(oldSeqTokens.toLong)
+    val b = lit(newSeqTokens.toLong)
+    val docSlices = shards
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * bOld + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+    val docs = docSlices
+      .groupBy(col("doc_id"))
+      .agg(min(col("deb")).as("tok_debut"),
+        flatten(transform(array_sort(collect_list(struct(col("deb"), col("tranche")))),
+          p => p.getField("tranche"))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val slices = docs
+      .select(col("doc_id"), col("tok_debut"), col("n_tokens"), col("toks"),
+        explode(sequence(expr(s"tok_debut div ${newSeqTokens}L"),
+          expr(s"(tok_debut + n_tokens - 1) div ${newSeqTokens}L"))).as("seq_id"))
+      .withColumn("deb", greatest(col("seq_id") * b, col("tok_debut")))
+      .withColumn("fin", least((col("seq_id") + 1L) * b, col("tok_debut") + col("n_tokens")))
+      .select(col("seq_id"), col("doc_id"), col("deb"), (col("fin") - col("deb")).as("n"),
+        expr("slice(toks, CAST(deb - tok_debut + 1 AS INT), CAST(fin - deb AS INT))").as("tranche"))
+    assembleSequences(slices, newSeqTokens)
+  }
+
   /** The single-window formulation `sequences` must equal whenever the
     * order key is unique — the spec's reference implementation (an
     * Exchange SinglePartition plan, so test-scale only).

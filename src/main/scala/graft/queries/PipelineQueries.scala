@@ -2224,6 +2224,65 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // io06 — shard-store RESHARD: context-length migration. A trainer
+  // config change (new sequence length) re-cuts the PUBLISHED shard
+  // store at the new budget without re-tokenizing or re-reading the
+  // raw corpus — global token positions are invariant under a re-cut,
+  // so the result equals a direct pack at the new budget bit-for-bit
+  // (PackSpec pins the equality including provenance; this gate pins
+  // losslessness: every document reassembles from the resharded
+  // sequences to the d39 text fingerprint). The old store is the
+  // published artifact (untimed setup); the measured query is the
+  // migration itself: two exchanges, no prefix sum, offsets read from
+  // the store.
+  // ---------------------------------------------------------------------
+  private def io06WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io06_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish the source-of-truth shard store at the OLD budget (load
+    * phase, Bench-untimed; fingerprinted per input).
+    */
+  def io06Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint =
+      s"documents:${src.getLen}:${src.getModificationTime}:reshard-ws-b256-s16-v1"
+    val w = io06WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      Pack.writeShardsTokens(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", seqTokens = 256, seqsPerShard = 16,
+        outDir = s"$w/shards_256")
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def io06(spark: SparkSession, dir: String): DataFrame = {
+    io06Setup(spark, dir)
+    val res = Pack.reshard(
+      Pack.readShards(spark, s"${io06WorkDir(dir)}/shards_256"), 256, 384)
+    val back = res
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * lit(384L) + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(back, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(concat_ws(" ", col("toks")), lit(""))).as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -3833,6 +3892,7 @@ object PipelineQueries {
     Q("io02_bucketed_join", "bucketed co-partitioned shuffle-free SMJ", io02, Some(io02Sql)),
     Q("io03_compact_roundtrip", "range-clustered small-file compaction (§2.9)", io03, Some(io03Sql)),
     Q("io05_slicelog_finalize", "slice-log finalize: closed whole shards become immutable files, the log trims to its open tail, appends resume from the recovered offset (d39 losslessness through the finalized store)", io05, Some(d39Sql)),
+    Q("io06_shard_reshard", "shard-store reshard (context-length migration): re-cut the published store at a new budget from stored offsets, no corpus re-read; every doc reassembles from the re-cut (equality with the direct pack pinned in PackSpec)", io06, Some(d39Sql)),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),

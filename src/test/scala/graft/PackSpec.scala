@@ -350,6 +350,33 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("reshard: re-cutting at a new budget equals the direct pack at that budget, provenance included") {
+    val docsToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        r.getSeq[String](1).mkString(" "),
+        r.getSeq[org.apache.spark.sql.Row](2).map(d =>
+          (d.getLong(0), d.getInt(1), d.getInt(2))).mkString(";"))
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect().map(key)
+    val at256 = Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 256)
+    // upshard to a NON-DIVISOR budget: windows cross old boundaries
+    val up = keys(Pack.reshard(at256, 256, 384))
+    val direct384 = keys(Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 384))
+    assert(up.toSet == direct384.toSet && up.length == direct384.length,
+      "reshard 256→384 must equal the direct pack at 384 exactly")
+    // downshard: one old sequence fans out into several new ones
+    val down = keys(Pack.reshard(at256, 256, 100))
+    val direct100 = keys(Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 100))
+    assert(down.toSet == direct100.toSet && down.length == direct100.length,
+      "reshard 256→100 must equal the direct pack at 100 exactly")
+    // same budget: identity
+    val same = keys(Pack.reshard(at256, 256, 256))
+    val base = keys(at256)
+    assert(same.toSet == base.toSet && same.length == base.length,
+      "reshard at the same budget must be the identity")
+  }
+
   test("finalize at an exact shard boundary: the emptied log still recovers the true offset from the store") {
     val budget = 4
     val perShard = 2
