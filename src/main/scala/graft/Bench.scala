@@ -125,6 +125,9 @@ object Bench {
     // the measured query is the reshard itself
     try { graft.queries.PipelineQueries.io06Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // s16's feed staging + classifier publish: same category
+    try { graft.queries.PipelineQueries.s16Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

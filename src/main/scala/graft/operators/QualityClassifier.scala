@@ -73,4 +73,29 @@ object QualityClassifier {
       .collect()(0)
     Model(w, math.log(dc.getLong(0).toDouble / dc.getLong(1)))
   }
+
+  /** Persist a trained model — the PUBLISH step (train once on the
+    * labeled slice, freeze, every later batch scores with the stored
+    * weights; the Bpe.writeModel / AnnIndex store convention). Both
+    * relations are model-bounded: 65 536 weight rows + the one-row
+    * prior, never corpus-scale.
+    */
+  def writeModel(
+      spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex
+      .map { case (w, i) => (i, w) }.toSeq
+      .toDF("b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/poids")
+    Seq(model.prior).toDF("prior")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/prior")
+  }
+
+  /** Load a published model (driver-bounded collects, 512 KB class). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val w = new Array[Double](HashedWeights.Buckets)
+    spark.read.parquet(s"$dir/poids").collect()
+      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    Model(w, spark.read.parquet(s"$dir/prior").collect()(0).getDouble(0))
+  }
 }

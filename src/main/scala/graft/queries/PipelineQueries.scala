@@ -1412,6 +1412,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // s16 — streaming classifier screen (§2.9 × the d24 operator): the
+  // hashed-NB quality filter trained once at publish, persisted, and
+  // applied per micro-batch as one compiled pure-map pass. Drained ==
+  // one-shot d24 — same oracle. The last batch screen without a
+  // streaming twin.
+  // ---------------------------------------------------------------------
+  private def s16WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s16_${Integer.toHexString(dir.hashCode)}"
+
+  /** Feed staging + classifier publish (load phase, Bench-untimed). */
+  def s16Setup(spark: SparkSession, dir: String): Unit =
+    graft.streaming.IngestClassify.setup(spark, dir, s16WorkDir(dir))
+
+  private def s16(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.IngestClassify
+      .run(spark, dir, s16WorkDir(dir))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // d21 — dataset mixing: the per-source sampling-weight recipe step.
   // Four weight tiers over the 20 synthetic sources (curated 2.5×,
   // baseline 1×, downsampled 0.5× and 0.25×); copy counts are
@@ -3856,6 +3875,7 @@ object PipelineQueries {
     Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql)),
+    Q("s16_stream_classify", "streaming classifier screen: per-batch pure-map scoring with the published hashed-NB weights == one-shot d24 (§2.9)", s16, Some(d24Sql)),
     Q("s07_stream_pack", "streaming incremental packing == one-shot d18 (§2.9)", s07, Some(d18Sql)),
     Q("s08_stream_semantic_screen", "streaming embedding-space screen vs exhaustive cross-split cosine oracle (§2.9)", s08, Some(s08Sql)),
     Q("s09_stream_quality_screen", "streaming perplexity screen against the stored corpus LM (§2.9 composed with d29)", s09, Some(s09Sql)),

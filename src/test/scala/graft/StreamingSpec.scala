@@ -335,6 +335,25 @@ class StreamingSpec extends SparkSpec {
     assert(res.exists(!_._4), "fixture must keep clean docs unflagged")
   }
 
+  test("streaming classifier screen (s16) equals the one-shot d24 scoring under the stored weights") {
+    import org.apache.spark.sql.functions._
+    val res = SparkEntry.queries("s16_stream_classify")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val docs = Tables.documents(spark, sfDir)
+    val label = expr("CAST(substring(source, 4, 8) AS INT) < 10")
+    val model = graft.operators.QualityClassifier.train(docs, "text", label)
+    val oneShot = docs
+      .select(col("doc_id"),
+        round(model.score(col("text")), 6).as("score"),
+        (round(model.score(col("text")), 6) > 0).as("classe"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(res.toSeq == oneShot.toSeq,
+      "the drained verdicts must equal the one-shot scoring row-for-row")
+    assert(res.exists(_._3) && res.exists(!_._3),
+      "fixture must produce both classes")
+  }
+
   test("id-shard stream (s14): drained slices assemble to the ONE-SHOT pack under the stored tokenizer") {
     import org.apache.spark.sql.functions._
     val wd = graft.queries.PipelineQueries.s14WorkDir(sfDir)
