@@ -535,6 +535,52 @@ object Pack {
     assembleSequences(slices, newSeqTokens)
   }
 
+  /** Scrub documents OUT of a packed shard store — the deletion-request
+    * path (right-to-be-forgotten against training data) for an artifact
+    * whose whole design is immutable offsets: REMOVING a document would
+    * shift every global position after it and invalidate all downstream
+    * shards, manifests and slice logs, so the compliance-honest
+    * operation is masking — overwrite the document's token ranges with
+    * `pad` IN PLACE, keeping every sequence id, length, boundary and
+    * provenance entry frozen (the provenance row must survive: it is
+    * the auditable record that a deletion happened there).
+    *
+    * Scale shape: deletion requests are a BOUNDED set by contract
+    * (thousands of ids against billions of docs), so the ids collect to
+    * the driver under `maxIds` (require-fails past it — a corpus-scale
+    * tombstone set means you want a re-pack, not a scrub) and ship as a
+    * plan literal; the scrub itself is ONE pure-map pass over the
+    * sequences — per sequence, per provenance entry, an id probe and
+    * (on the rare hit) an in-place range fill. No exchange, no join.
+    */
+  def tombstone(
+      shards: DataFrame,
+      tombstoneIds: DataFrame,
+      pad: Column,
+      maxIds: Int = 1000000
+  ): DataFrame = {
+    val idCol = tombstoneIds.schema.fieldNames.head
+    val collected = tombstoneIds.select(col(idCol)).distinct()
+      .limit(maxIds + 1).collect()
+    require(collected.length <= maxIds,
+      s"tombstone set exceeds $maxIds ids — a corpus-scale deletion is a re-pack, not a scrub")
+    val ids = typedLit(collected.map(_.get(0).asInstanceOf[Long]).toSeq)
+    // docs entries are ordered by in-sequence position (assembleSequences
+    // builds them from the sorted slices), so rebuilding tokens as the
+    // concat of per-entry ranges reproduces untouched sequences
+    // bit-for-bit; the provenance schema is deliberately UNCHANGED —
+    // whether an entry was scrubbed is re-derivable from the tombstone
+    // list, and keeping the store schema stable means every reader
+    // (readShards, reshard, manifest audits) works on a scrubbed store
+    // verbatim.
+    shards.withColumn("tokens",
+      flatten(transform(col("docs"), d =>
+        when(array_contains(ids, d.getField("doc_id")),
+          array_repeat(pad, d.getField("n_tokens")))
+          .otherwise(slice(col("tokens"),
+            d.getField("debut_dans_seq") + lit(1), d.getField("n_tokens"))))))
+  }
+
   /** The single-window formulation `sequences` must equal whenever the
     * order key is unique — the spec's reference implementation (an
     * Exchange SinglePartition plan, so test-scale only).

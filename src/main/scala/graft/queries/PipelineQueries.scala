@@ -2302,6 +2302,51 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // io07 — shard-store TOMBSTONE: the deletion-request path against an
+  // immutable packed artifact. Removing a document would shift every
+  // global offset after it (invalidating downstream shards, manifests
+  // and logs), so the compliance-honest operation is masking: the
+  // document's token ranges are overwritten with a pad IN PLACE — one
+  // pure-map pass, tombstone ids as a bounded plan literal, every
+  // sequence id / length / boundary / provenance entry frozen
+  // (untouched sequences bit-identical; PackSpec pins the commutation
+  // tombstone(pack(corpus)) == pack(scrub(corpus))). Reads io06's
+  // published store read-only; the oracle recomputes each doc's
+  // post-scrub fingerprint directly from the raw table.
+  // ---------------------------------------------------------------------
+  private def io07(spark: SparkSession, dir: String): DataFrame = {
+    io06Setup(spark, dir)
+    val scrubbed = Pack.tombstone(
+      Pack.readShards(spark, s"${io06WorkDir(dir)}/shards_256"),
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+      lit("~PAD~"))
+    val back = scrubbed
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * lit(256L) + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(back, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(concat_ws(" ", col("toks")), lit(""))).as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+  private val io07Sql =
+    """SELECT doc_id,
+      |  md5(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
+      |      WHEN doc_id % 97 = 0 THEN array_to_string(
+      |        list_transform(regexp_split_to_array(trim(text), '\s+'), x -> '~PAD~'), ' ')
+      |      ELSE array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') END)
+      |    AS empreinte_recomposee
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -3913,6 +3958,7 @@ object PipelineQueries {
     Q("io03_compact_roundtrip", "range-clustered small-file compaction (§2.9)", io03, Some(io03Sql)),
     Q("io05_slicelog_finalize", "slice-log finalize: closed whole shards become immutable files, the log trims to its open tail, appends resume from the recovered offset (d39 losslessness through the finalized store)", io05, Some(d39Sql)),
     Q("io06_shard_reshard", "shard-store reshard (context-length migration): re-cut the published store at a new budget from stored offsets, no corpus re-read; every doc reassembles from the re-cut (equality with the direct pack pinned in PackSpec)", io06, Some(d39Sql)),
+    Q("io07_shard_tombstone", "shard-store tombstone (deletion request): mask a bounded id set's token ranges in place with a pad — offsets, boundaries and provenance frozen; oracle recomputes each doc's post-scrub fingerprint", io07, Some(io07Sql)),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),

@@ -377,6 +377,49 @@ class PackSpec extends SparkSpec {
       "reshard at the same budget must be the identity")
   }
 
+  test("tombstone: pad-masking commutes with packing; untouched sequences bit-identical; cap enforced") {
+    val docsToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        r.getSeq[String](1).mkString(" "),
+        r.getSeq[org.apache.spark.sql.Row](2).map(d =>
+          (d.getLong(0), d.getInt(1), d.getInt(2))).mkString(";"))
+    val packed = Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 256)
+      .persist()
+    val tombIds = docsToks.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val tombSet = tombIds.collect().map(_.getLong(0)).toSet
+    assert(tombSet.nonEmpty, "fixture must contain tombstoned docs")
+    val out = Pack.tombstone(packed, tombIds, lit("~PAD~")).persist()
+    // the commutation law: scrubbing the packed store == packing the
+    // scrubbed corpus (pad preserves token counts, so every offset,
+    // boundary and provenance entry is identical by construction)
+    val expected = Pack.packedSequencesTokens(
+      docsToks.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          transform(col("toks"), _ => lit("~PAD~")))
+          .otherwise(col("toks")).as("toks")),
+      "doc_id", "toks", 256)
+      .collect().map(key)
+    val got = out.collect().map(key)
+    assert(got.toSet == expected.toSet && got.length == expected.length,
+      "tombstone(pack(corpus)) must equal pack(scrub(corpus)) exactly")
+    // sequences holding no tombstoned doc are bit-identical rows
+    val untouchedBefore = packed
+      .filter(!exists(col("docs"), d => d.getField("doc_id").isin(tombSet.toSeq: _*)))
+      .collect().map(key).toSet
+    val outKeys = got.toSet
+    assert(untouchedBefore.subsetOf(outKeys),
+      "a sequence without tombstoned docs must pass through bit-identical")
+    // the bounded-set contract: a corpus-scale tombstone set is a
+    // re-pack, not a scrub
+    assertThrows[IllegalArgumentException] {
+      Pack.tombstone(packed, docsToks.select(col("doc_id")), lit("~PAD~"),
+        maxIds = 10)
+    }
+    packed.unpersist(); out.unpersist()
+  }
+
   test("finalize at an exact shard boundary: the emptied log still recovers the true offset from the store") {
     val budget = 4
     val perShard = 2
