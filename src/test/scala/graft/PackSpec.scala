@@ -420,6 +420,34 @@ class PackSpec extends SparkSpec {
     packed.unpersist(); out.unpersist()
   }
 
+  test("plan pins: reshard is exactly two hash exchanges; tombstone is exchange-free") {
+    val docsToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_packplan_").toString
+    try {
+      // materialize the store so the measured plans are the INCREMENTAL
+      // maintenance ops over a published artifact, not the pack lineage
+      Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 256)
+        .write.parquet(s"$dir/store")
+      val store = spark.read.parquet(s"$dir/store")
+      val rp = Pack.reshard(store, 256, 384)
+        .queryExecution.executedPlan.toString()
+      assert(!rp.contains("SinglePartition"),
+        s"reshard must never collapse to one task:\n$rp")
+      val exchanges = "Exchange".r.findAllIn(rp).size
+      assert(exchanges == 2,
+        s"reshard must plan exactly the doc-splice and seq-assembly exchanges, found $exchanges:\n$rp")
+      val tp = Pack.tombstone(store,
+        docsToks.filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+        lit("~PAD~"))
+        .queryExecution.executedPlan.toString()
+      assert(!tp.contains("Exchange"),
+        s"tombstone must be a pure map pass — no exchange:\n$tp")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("finalize at an exact shard boundary: the emptied log still recovers the true offset from the store") {
     val budget = 4
     val perShard = 2
