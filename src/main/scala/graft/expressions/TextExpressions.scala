@@ -35,6 +35,14 @@ object TextExpr {
   def expressionOf(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** O(1) hash-probe membership in a bounded driver-built id set (see
+    * [[LongSetContains]] — never array_contains over a plan literal,
+    * whose per-probe linear scan goes quadratic when both the set and
+    * the probed relation grow with the corpus).
+    */
+  def inLongSet(c: Column, ids: Array[Long]): Column =
+    columnOf(LongSetContains(expressionOf(c), new LongIdSet(ids)))
+
   /** Order-sensitive chained hash over a token array:
     * acc_{i+1} = xxhash64(acc_i, tok_i), acc_0 = 0.
     */
@@ -1118,5 +1126,43 @@ case class RepetitionScrub(child: Expression, k: Int)
       x => s"org.apache.spark.sql.graft.TextKernels.repetitionScrub($x, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionScrub =
+    copy(child = newChild)
+}
+
+/** Bounded driver-built long-id set shipped as a codegen reference —
+  * the [[HashedWeights]] holder pattern for membership probes.
+  */
+final class LongIdSet(ids: Array[Long]) extends Serializable {
+  private val s = new java.util.HashSet[java.lang.Long](math.max(16, ids.length * 2))
+  ids.foreach(x => s.add(x))
+  def contains(x: Long): Boolean = s.contains(x)
+}
+
+/** O(1) membership of a long id in a bounded driver-built set — the
+  * tombstone probe (graft.operators.Pack.tombstone). `array_contains`
+  * over a plan-literal id array is a LINEAR scan per probed entry,
+  * which made the scrub's per-entry cost O(ids) and the whole pass
+  * quadratic across decades (ids × provenance entries both grow with
+  * the corpus — caught by the x1000 probe, SCALE.md round-14); the
+  * hash probe restores O(entries). Works identically under
+  * WholeStageCodegen and inside interpreted higher-order-function
+  * lambdas (where the tombstone rebuild actually runs).
+  */
+case class LongSetContains(child: Expression, set: LongIdSet)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_in_long_set"
+
+  override def nullSafeEval(input: Any): Any =
+    set.contains(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("longIdSet", set, classOf[LongIdSet].getName)
+    defineCodeGen(ctx, ev, x => s"$ref.contains($x)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongSetContains =
     copy(child = newChild)
 }

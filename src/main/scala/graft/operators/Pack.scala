@@ -564,7 +564,7 @@ object Pack {
       .limit(maxIds + 1).collect()
     require(collected.length <= maxIds,
       s"tombstone set exceeds $maxIds ids — a corpus-scale deletion is a re-pack, not a scrub")
-    val ids = typedLit(collected.map(_.get(0).asInstanceOf[Long]).toSeq)
+    val ids = collected.map(_.get(0).asInstanceOf[Long])
     // docs entries are ordered by in-sequence position (assembleSequences
     // builds them from the sorted slices), so rebuilding tokens as the
     // concat of per-entry ranges reproduces untouched sequences
@@ -572,10 +572,13 @@ object Pack {
     // whether an entry was scrubbed is re-derivable from the tombstone
     // list, and keeping the store schema stable means every reader
     // (readShards, reshard, manifest audits) works on a scrubbed store
-    // verbatim.
+    // verbatim. Membership is the compiled O(1) hash probe — an
+    // array_contains plan literal scans the WHOLE id set per entry,
+    // which the x1000 probe measured going quadratic across decades
+    // (both the deletion set and the entry count grow with the corpus).
     shards.withColumn("tokens",
       flatten(transform(col("docs"), d =>
-        when(array_contains(ids, d.getField("doc_id")),
+        when(org.apache.spark.sql.graft.TextExpr.inLongSet(d.getField("doc_id"), ids),
           array_repeat(pad, d.getField("n_tokens")))
           .otherwise(slice(col("tokens"),
             d.getField("debut_dans_seq") + lit(1), d.getField("n_tokens"))))))
