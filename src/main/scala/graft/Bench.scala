@@ -243,7 +243,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _, _, _) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_bytes":$shrJson,"shuffle_write_bytes":$shwJson,"failed":$failed,"retried":$retried,"probe":$probeSec,"probe_io":$probeIoSec,"probe_end":$probeEndSec,"probe_io_end":$probeIoEndSec,"budget_scale":$scale,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_bytes":$shrJson,"shuffle_write_bytes":$shwJson,"failed":$failed,"retried":$retried,"probe":$probeSec,"probe_io":$probeIoSec,"probe_end":$probeEndSec,"probe_io_end":$probeIoEndSec,"budget_scale":$scale,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // also persist the full line to a file: the driver captures stdout
+    // with a tail, and a long catalog's per-query map can be truncated
+    // out of the round artifact (BENCH_r14.json lost the seconds map) —
+    // the file survives whatever the tail drops
+    try {
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "UTF-8")
+      try w.println(jsonLine) finally w.close()
+    } catch { case t: Throwable => System.err.println(s"BENCH_LOCAL write failed: $t") }
     spark.stop()
     val violations =
       results.collect { case (k, _, false, _, _, _) => s"FAILED $k" } ++

@@ -92,6 +92,7 @@ object AnnIndex {
     * cell/sub/code order restored from the stored keys).
     */
   def readModel(spark: SparkSession, dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    recoverStore(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
@@ -102,8 +103,10 @@ object AnnIndex {
   }
 
   /** The stored per-vector index rows (idCol, cell, codes). */
-  def codes(spark: SparkSession, dir: String): DataFrame =
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    recoverStore(spark, dir)
     spark.read.parquet(s"$dir/codes")
+  }
 
   /** Recall probe — the measurement behind the RE-PUBLISH decision the
     * frozen-model contract defers (appends encode with publish-time
@@ -177,6 +180,7 @@ object AnnIndex {
     * marker is observability, the files are the truth).
     */
   def version(spark: SparkSession, dir: String): Long = {
+    recoverStore(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_PUBLISH_VERSION")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 1L
@@ -224,11 +228,23 @@ object AnnIndex {
     val vp = new org.apache.hadoop.fs.Path(s"$tmpDir/_PUBLISH_VERSION")
     val out = fs.create(vp, true)
     try out.writeLong(newVersion) finally out.close()
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.delete(dirPath, true) || !fs.rename(tmpPath, dirPath))
-      throw new IllegalStateException(
-        s"republish: could not swap $tmpDir into $dir — store left in the aside dir")
+    // crash-safe two-rename publication: the live store never has a
+    // does-not-exist window (a crash inside the old delete-then-rename
+    // left readers seeing an EMPTY index) — Swap.recover in the read
+    // paths repairs any interrupted state
+    Swap.publish(fs, tmpPath, new org.apache.hadoop.fs.Path(dir))
     newVersion
+  }
+
+  /** Repair any crashed [[republish]]/[[compact]] swap — called by the
+    * store read paths before touching files.
+    */
+  private def recoverStore(spark: SparkSession, dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Swap.recover(fs, new org.apache.hadoop.fs.Path(s"${dir}_republish_tmp"), dirPath)
+    Swap.recover(fs, new org.apache.hadoop.fs.Path(s"$dir/codes_compact_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes"))
   }
 
   /** Compact the append-fragmented `codes/` store: every [[append]]
@@ -243,17 +259,15 @@ object AnnIndex {
     */
   def compact(
       spark: SparkSession, dir: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverStore(spark, dir)
     val codesDir = s"$dir/codes"
     val tmpDir = s"$dir/codes_compact_tmp"
     val idName = spark.read.parquet(codesDir).schema.fieldNames.head
     Compact.parquet(spark, codesDir, tmpDir,
       Seq(col("cell"), col(idName)), targetFileBytes)
-    val hc = spark.sparkContext.hadoopConfiguration
     val codesPath = new org.apache.hadoop.fs.Path(codesDir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
-    val fs = codesPath.getFileSystem(hc)
-    if (!fs.delete(codesPath, true) || !fs.rename(tmpPath, codesPath))
-      throw new IllegalStateException(
-        s"compact: could not swap $tmpDir into $codesDir — store left in the aside dir")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Swap.publish(fs, tmpPath, codesPath)
   }
 }

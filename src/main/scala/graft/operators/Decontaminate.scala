@@ -162,24 +162,25 @@ object Decontaminate {
         .getOption("spark.graft.decontaminate.gramBroadcastBytes")
         .map(Dedup.parseBytes)
         .getOrElse(512L * 1024 * 1024))
-    // the eval side is small BY CONTRACT — collect it in ONE bounded job
-    // (limit = the budget at the 48 B/gram accounting floor, so a
-    // contract-violating eval set short-circuits instead of flooding the
-    // driver), measure the actual payload driver-side, and hand the
-    // corpus screen a broadcast local relation: the ngramOverlap shape
-    // paid three eval-side jobs (distinct, sizing aggregate, broadcast
-    // re-derivation) for the same decision.
+    // the eval side is small BY CONTRACT, but the budget must be proven
+    // BEFORE any driver materialization: a row-count limit at the 48 B
+    // accounting floor admits few-but-huge grams (a 1 KB-gram eval set
+    // could pull GBs through a "budgeted" collect). So size first with
+    // one distributed octet_length aggregate (the ngramOverlapGrams
+    // convention) and only collect when the measured bytes fit — one
+    // extra bounded eval-side job, paid for driver safety.
     val maxRows = math.max(1L, budget / 48L)
-    val canCollect = budget > 0 && maxRows < Int.MaxValue
-    val collected =
-      if (canCollect) evalGrams.limit(maxRows.toInt + 1).collect().map(_.getString(0))
-      else Array.empty[String]
-    val fits = canCollect && collected.length <= maxRows &&
-      collected.iterator.map(g => g.getBytes("UTF-8").length + 48L).sum <= budget
+    val fits = budget > 0 && maxRows < Int.MaxValue && {
+      val m = evalGrams
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(octet_length(col("g")) + lit(48L)), lit(0L)).as("octets"))
+        .collect()(0)
+      m.getLong(0) <= maxRows && m.getLong(1) <= budget
+    }
     val evalSide =
       if (fits) {
         import spark.implicits._
-        broadcast(collected.toSeq.toDF("g"))
+        broadcast(evalGrams.collect().map(_.getString(0)).toSeq.toDF("g"))
       } else evalGrams
     trainGrams
       .join(evalSide, Seq("g"), "left_semi")

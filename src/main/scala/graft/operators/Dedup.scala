@@ -1300,8 +1300,17 @@ object Dedup {
     val spark = edges.sparkSession
     val rows = edges.collect()
     val parent = new java.util.HashMap[Any, Any]()
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // label order must match the distributed star-contraction path,
+    // whose least/min on strings is UTF8String's UTF-8 BINARY order —
+    // java.lang.String.compareTo is UTF-16 code-unit order, which
+    // disagrees on supplementary-plane characters, so the two finishes
+    // could pick different cluster labels for the same component
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     def find(x: Any): Any = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.get(r)

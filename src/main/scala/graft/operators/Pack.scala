@@ -355,10 +355,15 @@ object Pack {
   private def watermarkPath(shardDir: String) =
     new org.apache.hadoop.fs.Path(s"$shardDir/_WATERMARK_SEQS")
 
-  /** The shard store's sequence watermark: first from the marker file,
-    * else recovered from the store itself (max shard_id + 1, times the
-    * shard grain — the marker is a cache, the files are the truth),
-    * else 0 for an empty store.
+  /** The shard store's sequence watermark: max of the marker file and
+    * the store's own files (max committed shard_id + 1, times the shard
+    * grain). The marker is a CACHE, the files are the truth — finalize
+    * appends shards first and writes the marker last, so a crash
+    * between the two leaves a stale marker; trusting it alone would
+    * re-emit [marker, filesWm) in append mode and duplicate sequences
+    * in the write-once store. The files side costs no Spark job: shard
+    * ids are partition directory names, probed highest-first until one
+    * holds committed part files (normally the first probe).
     */
   def shardWatermarkSeqs(
       spark: org.apache.spark.sql.SparkSession,
@@ -367,13 +372,27 @@ object Pack {
   ): Long = {
     val p = watermarkPath(shardDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try in.readLong() finally in.close()
-    } else if (hasParquetData(fs, new org.apache.hadoop.fs.Path(shardDir)))
-      (readShards(spark, shardDir).agg(max(col("shard_id"))).collect()(0).getLong(0) + 1L) *
-        seqsPerShard
-    else 0L
+    val marker =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try in.readLong() finally in.close()
+      } else 0L
+    val sd = new org.apache.hadoop.fs.Path(shardDir)
+    val files =
+      if (!fs.exists(sd)) 0L
+      else {
+        val ids = fs.listStatus(sd).iterator
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("shard_id="))
+          .flatMap(q => scala.util.Try(q.getName.stripPrefix("shard_id=").toLong)
+            .toOption.map(_ -> q))
+          .toArray
+          .sortBy(-_._1)
+        ids.find { case (_, q) => hasParquetData(fs, q) }
+          .map { case (id, _) => (id + 1L) * seqsPerShard } getOrElse 0L
+      }
+    math.max(marker, files)
   }
 
   /** True global token high-water mark of an appended slice log WITH a
@@ -393,6 +412,10 @@ object Pack {
   ): Long = {
     val lp = new org.apache.hadoop.fs.Path(logDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // repair a finalize crashed mid-swap BEFORE concluding "no log":
+    // treating a swapped-aside log as absent would silently fall back
+    // to the store watermark and drop the open tail
+    Swap.recover(fs, finalizeTmpPath(logDir), lp)
     val logHw =
       if (hasParquetData(fs, lp))
         spark.read.parquet(logDir)
@@ -400,6 +423,9 @@ object Pack {
       else 0L
     math.max(logHw, shardWatermarkSeqs(spark, shardDir, seqsPerShard) * seqTokens.toLong)
   }
+
+  private def finalizeTmpPath(logDir: String) =
+    new org.apache.hadoop.fs.Path(s"${logDir}__finalize_tmp")
 
   private def hasParquetData(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Boolean =
@@ -446,6 +472,7 @@ object Pack {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
     val lp = new org.apache.hadoop.fs.Path(logDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Swap.recover(fs, finalizeTmpPath(logDir), lp) // repair a crashed prior trim
     val before = shardWatermarkSeqs(spark, shardDir, seqsPerShard)
     if (!hasParquetData(fs, lp))
       return FinalizeResult(0L, before, 0L)
@@ -473,14 +500,14 @@ object Pack {
 
     // trim the log to the open tail (bounded — see scaladoc), then
     // swap: the tmp write is an ACTION, so the residual is fully
-    // materialized before the old log is dropped
-    val tmp = new org.apache.hadoop.fs.Path(s"${logDir}__finalize_tmp")
+    // materialized before the crash-safe two-rename publication (the
+    // live log dir never has a does-not-exist window — Swap's contract)
+    val tmp = finalizeTmpPath(logDir)
     fs.delete(tmp, true)
     slices.filter(col("seq_id") >= after)
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(lp, true)
-    require(fs.rename(tmp, lp), s"log swap failed: $tmp -> $lp")
+    Swap.publish(fs, tmp, lp)
 
     val wm = watermarkPath(shardDir)
     val out = wm.getFileSystem(spark.sparkContext.hadoopConfiguration).create(wm, true)
@@ -559,12 +586,26 @@ object Pack {
       pad: Column,
       maxIds: Int = 1000000
   ): DataFrame = {
-    val idCol = tombstoneIds.schema.fieldNames.head
-    val collected = tombstoneIds.select(col(idCol)).distinct()
+    val idField = tombstoneIds.schema.fields.head
+    // the probe kernel is a LONG hash set: require an integral id
+    // column up front (a string/decimal relation would otherwise die in
+    // an opaque ClassCastException at collect time) and widen narrower
+    // integrals to long; null ids carry no deletion semantics — drop
+    // them rather than NPE
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idField.dataType),
+      s"tombstone id column '${idField.name}' must be an integral type " +
+        s"(got ${idField.dataType.simpleString}) — the in-place scrub probes a long hash set")
+    val collected = tombstoneIds
+      .select(col(idField.name).cast("long").as("id"))
+      .filter(col("id").isNotNull)
+      .distinct()
       .limit(maxIds + 1).collect()
     require(collected.length <= maxIds,
       s"tombstone set exceeds $maxIds ids — a corpus-scale deletion is a re-pack, not a scrub")
-    val ids = collected.map(_.get(0).asInstanceOf[Long])
+    val ids = collected.map(_.getLong(0))
     // docs entries are ordered by in-sequence position (assembleSequences
     // builds them from the sorted slices), so rebuilding tokens as the
     // concat of per-entry ranges reproduces untouched sequences

@@ -369,6 +369,28 @@ class DedupSpec extends SparkSpec {
     assert(viaUf(40L) == 1L && viaUf(60L) == 50L && viaUf(72L) == 70L && viaUf(81L) == 80L)
   }
 
+  test("connected components: string labels use UTF-8 binary order on BOTH paths (supplementary plane)") {
+    // U+10000 ("𐀀") sorts BELOW U+FFFF in Java's UTF-16
+    // code-unit order but ABOVE it in UTF-8 binary order (F0.. > EF..),
+    // which is what Spark's least/min uses — a UTF-16 comparator in the
+    // union-find finish would make the cluster label depend on which
+    // path ran (the budget, not the data)
+    val supp = new String(Character.toChars(0x10000)) // "𐀀"
+    val bmp = "\uFFFF"
+    assert(supp.compareTo(bmp) < 0, "precondition: UTF-16 order disagrees with UTF-8 here")
+    val edges = Seq((supp, bmp), ("aa", "ab")).toDF("id_a", "id_b")
+    val viaUf = Dedup.clusters(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.conf.set("spark.graft.dedup.ccDriverEdges", "0")
+    val viaStar =
+      try Dedup.clusters(edges).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      finally spark.conf.unset("spark.graft.dedup.ccDriverEdges")
+    assert(viaUf == viaStar, "labels must not depend on which CC path the edge budget picked")
+    assert(viaUf(supp) == bmp && viaUf(bmp) == bmp,
+      s"component min must be UTF-8 order (expected U+FFFF, got ${viaUf(supp).codePointAt(0)})")
+    assert(viaUf("ab") == "aa")
+  }
+
   test("neardup scrub: keeps min-id survivor per cluster plus all uniques, full rows") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Dedup.neardupScrub(docs, "doc_id", "text",

@@ -420,6 +420,25 @@ class PackSpec extends SparkSpec {
     packed.unpersist(); out.unpersist()
   }
 
+  test("tombstone id typing: narrower integrals widen, nulls drop, non-integral ids fail loud") {
+    val docsToks = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("c", "d")), (3L, Seq("e", "f"))
+    ).toDF("doc_id", "toks")
+    val packed = Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 4)
+    // INT id relation with a null row: widens to long, null dropped —
+    // doc 2 scrubbed, the rest untouched
+    val ints = Seq[(java.lang.Integer, String)]((2, "x"), (null, "y"))
+      .toDF("id", "why").select(col("id"))
+    val got = Pack.tombstone(packed, ints, lit("~P~"))
+      .select(explode(col("tokens")).as("t")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a", "b", "e", "f", "~P~", "~P~"))
+    // a string id relation dies at the contract, not in a cast NPE
+    val e = intercept[IllegalArgumentException] {
+      Pack.tombstone(packed, Seq("2").toDF("id"), lit("~P~"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("plan pins: reshard is exactly two hash exchanges; tombstone is exchange-free") {
     val docsToks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
@@ -476,6 +495,78 @@ class PackSpec extends SparkSpec {
       assert(appended.length == 1)
       assert(appended(0).getAs[Long]("seq_id") == 8L &&
         appended(0).getAs[Long]("deb") == 32L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
+    }
+  }
+
+  test("finalize crash windows: stale watermark marker never re-emits; an interrupted log swap never drops the tail") {
+    val budget = 4
+    val perShard = 2
+    // 10 docs × 4 tokens + 1 × 3 = 43 tokens → 10 closed sequences
+    // (5 whole shards) + a 3-token open tail past the shard boundary
+    val docs = ((0L until 10L).map(i => (i, (0 until 4).map(j => s"w${i}_$j"))) :+
+      (100L -> Seq("t0", "t1", "t2"))).toDF("doc_id", "toks")
+    val wd = java.nio.file.Files.createTempDirectory("graft_finalize_crash_").toString
+    val logDir = s"$wd/slices"
+    val store = s"$wd/shards"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(logDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${logDir}__finalize_tmp")
+    val fs = lp.getFileSystem(hc)
+    def storeRows() = Pack.readShards(spark, store).count()
+    try {
+      Pack.packedSlicesTokens(docs, "doc_id", "toks", budget)
+        .write.mode("append").parquet(logDir)
+      val r1 = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(r1.watermarkSeqs == 10L && r1.newShards == 5L && r1.residualSlices == 1L)
+      val rowsAfterFirst = storeRows()
+
+      // (a) crash between shard append and marker write == a STALE
+      // marker beside newer shard files: the files are the truth, so a
+      // re-finalize must emit NOTHING (re-emitting [0, 10) in append
+      // mode would duplicate sequences in the write-once store)
+      val wm = new org.apache.hadoop.fs.Path(s"$store/_WATERMARK_SEQS")
+      val out = fs.create(wm, true)
+      try out.writeLong(0L) finally out.close()
+      assert(Pack.shardWatermarkSeqs(spark, store, perShard) == 10L,
+        "the files-derived watermark must override a stale marker")
+      val r2 = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(r2.newShards == 0L && r2.watermarkSeqs == 10L)
+      assert(storeRows() == rowsAfterFirst, "a stale marker must never duplicate sequences")
+
+      val offset = Pack.recoveredOffset(spark, logDir, store, budget, perShard)
+      assert(offset == 43L)
+
+      // (b) crash between the trim's two renames: the live log is
+      // aside, a CERTIFIED tmp (complete trimmed tail) is in place —
+      // recovery must promote it, not conclude "no log" and fall back
+      // to the 40-token store watermark (the silent-tail-loss bug)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(logDir), new java.io.File(tmp.toString))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SWAP_COMMIT"), true).close()
+      assert(fs.rename(lp, graft.operators.Swap.oldPath(lp)))
+      assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 43L,
+        "a mid-swap crash must recover the open tail from the certified tmp")
+      assert(fs.exists(lp) && !fs.exists(tmp) && !fs.exists(graft.operators.Swap.oldPath(lp)))
+
+      // (c) crash before the tmp was certified: only the aside dir
+      // exists — recovery restores the previous log generation
+      assert(fs.rename(lp, graft.operators.Swap.oldPath(lp)))
+      assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 43L,
+        "with no certified tmp the aside generation must be restored")
+
+      // (d) a leftover UNcertified tmp beside a healthy log is a
+      // partial write: dropped, log untouched
+      fs.mkdirs(tmp)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "part-junk"), true).close()
+      assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 43L)
+      assert(!fs.exists(tmp), "an uncertified tmp must be discarded by recovery")
+
+      // the recovered state is fully functional: a continuing append
+      // then finalize closes nothing new (tail is 3 tokens < 1 shard)
+      val r3 = Pack.finalizeSliceLog(spark, logDir, store, budget, perShard)
+      assert(r3.newShards == 0L && r3.watermarkSeqs == 10L && r3.residualSlices == 1L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
     }
