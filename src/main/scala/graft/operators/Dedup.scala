@@ -472,6 +472,14 @@ object Dedup {
       .join(duplicatedFirstOccurrences(grams, keyBytes), Seq("h"))
       .filter(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
       .select(col("doc_id"), col("pos"))
+    applySpanRemoval(base, hits, k)
+  }
+
+  /** Shared rebuild tail of the span scrubs: merge hit positions into
+    * maximal spans and drop every covered token. Hits-only windows,
+    * corpus left-joined to the (∝ duplicated docs) span lists.
+    */
+  private def applySpanRemoval(base: DataFrame, hits: DataFrame, k: Int): DataFrame = {
     val spanLists = mergeSpans(hits, k)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
@@ -487,6 +495,90 @@ object Dedup {
         col("doc_id"),
         col("kept").as("jetons_gardes"),
         size(col("kept")).cast("long").as("n_tokens_gardes"))
+  }
+
+  /** The published gram-fingerprint store for the INCREMENTAL span
+    * screen ([[spanScrubTokensAgainst]]): the distinct sliding-gram
+    * fingerprints of the corpus AS THE SPAN SCRUB SAW IT (its input
+    * token arrays, BEFORE its own removals — a later batch occurrence
+    * of any gram the corpus ever contained is a non-first occurrence,
+    * whether or not the corpus kept it). Computed once when the corpus
+    * is published, persisted columnar (8 B/gram on the xxhash64 fast
+    * path) — the [[signatures]] contract applied to span grams.
+    */
+  def spanGramStore(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
+  ): DataFrame =
+    slidingGrams(
+      toks.select(col(idCol).as("doc_id"), col(tokensCol).as("a")),
+      gramTokens, exactFingerprints)
+      .select(col("h"))
+      .distinct()
+
+  /** Incremental span scrub: scrub an ARRIVING batch against a
+    * published corpus gram store ([[spanGramStore]]) — the 100 TB
+    * ingestion shape of [[spanScrubTokens]], where the standing corpus
+    * is never re-read. EXACTLY equals the one-shot
+    * `spanScrubTokens(corpus ∪ batch)` restricted to batch rows,
+    * PROVIDED every batch id orders after every corpus id (the
+    * append-only id contract): the one-shot's global first occurrence
+    * of any gram the corpus contains lies in the corpus, so every
+    * batch occurrence of a stored gram is a hit; grams the corpus has
+    * never seen resolve first-occurrence WITHIN the batch. (Corpus
+    * rows are invariant under the union by the same ordering argument
+    * — a batch can never steal a first occurrence.) DedupSpec pins the
+    * equality on a split corpus.
+    *
+    * Scale shape: the batch is the small side by contract. Its
+    * distinct gram keys broadcast INTO one map-side scan of the store
+    * (the store — corpus-scale — is never shuffled and never carries
+    * more than the batch-bounded intersection out); everything else is
+    * the batch-scale [[spanScrubTokens]] machinery. Past the broadcast
+    * budget the probe degrades to a shuffled semi-join — the honest
+    * giant-batch behavior.
+    */
+  def spanScrubTokensAgainst(
+      batchToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      storeGrams: DataFrame,
+      gramTokens: Int = 8,
+      exactFingerprints: Boolean = true
+  ): DataFrame = {
+    val k = gramTokens
+    val spark = batchToks.sparkSession
+    val base = batchToks.select(col(idCol).as("doc_id"), col(tokensCol).as("a"))
+    val keyBytes = if (exactFingerprints) 32L else 8L
+    // batch grams feed three consumers (key build, store-hit probe,
+    // fresh-gram dedup) — checkpoint once, batch-scale rows only
+    val grams = slidingGrams(base, k, exactFingerprints).localCheckpoint(true)
+    val batchKeys = grams.select(col("h")).distinct().localCheckpoint(true)
+    val nKeys = batchKeys.count()
+    val budget = sigBroadcastBudget(spark)
+    val keysFit = nKeys * (keyBytes + 48L) <= budget
+    // the store∩batch intersection: ≤ batch keys rows either way; under
+    // the budget it is ONE map-side pass over the store scan
+    val present = storeGrams
+      .select(col(storeGrams.columns.head).as("h"))
+      .join(if (keysFit) broadcast(batchKeys) else batchKeys, Seq("h"), "left_semi")
+      .localCheckpoint(true)
+    val nPresent = present.count()
+    val presentSide =
+      if (nPresent * (keyBytes + 48L) <= budget) broadcast(present) else present
+    // every batch occurrence of a stored gram is a hit; fresh grams
+    // resolve first-occurrence within the batch (the one-shot order)
+    val storeHits = grams.join(presentSide, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val fresh = grams.join(presentSide, Seq("h"), "left_anti")
+    val internalHits = fresh
+      .join(duplicatedFirstOccurrences(fresh, keyBytes), Seq("h"))
+      .filter(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
+      .select(col("doc_id"), col("pos"))
+    applySpanRemoval(base, storeHits.unionByName(internalHits), k)
   }
 
   /** Intra-document repetition scrub — the APPLY side of the d19
@@ -1288,6 +1380,50 @@ object Dedup {
     // component min as lo; centers label themselves
     edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
       .unionByName(edges.select(col("lo").as("id"), col("lo").as("cluster_id")).distinct())
+  }
+
+  /** Union connected-component labels of (published clusters ⊕ an
+    * arriving batch's pair graph) WITHOUT recomputing published-side
+    * pairs — the near-dup piece of an incremental corpus refresh.
+    * Published components are CONTRACTED to their labels (contracting
+    * a connected subgraph preserves global connectivity, the star-
+    * contraction trick applied at the store boundary), cross pairs are
+    * rewritten (batch id, published label), and [[clusters]] runs over
+    * batch-scale edges only — never the published pair graph.
+    *
+    * Returns (id, cluster_id) for every node of the contracted graph:
+    * batch ids and published labels. Callers derive
+    *   - batch drops: a batch id with `cluster_id =!= id`;
+    *   - published-survivor EVICTIONS: a published label L with
+    *     `cluster_id =!= L` — two published clusters merged through a
+    *     batch bridge doc, so the losing cluster's canonical survivor
+    *     is no longer the component minimum (the correctness case a
+    *     naive drop-batch-members-only screen misses).
+    * Exactness requires batch ids to order after all published ids
+    * (the append-only id contract): every mixed component then has a
+    * published minimum, and pure-batch components are identical in the
+    * union and contracted graphs. `publishedLabels` must cover every
+    * doc that ever entered the published pair graph (docs with no pair
+    * are implicit self-clusters — the left join coalesces them).
+    */
+  def clusterDelta(
+      internalPairs: DataFrame,
+      crossPairs: DataFrame,
+      publishedLabels: DataFrame
+  ): DataFrame = {
+    val lab = publishedLabels.select(
+      col(publishedLabels.columns(0)).as("id_corpus"),
+      col(publishedLabels.columns(1)).as("__lab"))
+    val crossLab = crossPairs
+      .select(
+        col(crossPairs.columns(0)).as("id_batch"),
+        col(crossPairs.columns(1)).as("id_corpus"))
+      .join(lab, Seq("id_corpus"), "left")
+      .select(
+        col("id_batch").as("id_a"),
+        coalesce(col("__lab"), col("id_corpus")).as("id_b"))
+    clusters(
+      internalPairs.select(col("id_a"), col("id_b")).unionByName(crossLab))
   }
 
   /** The in-memory finish of [[clusters]]: union-find over a collected

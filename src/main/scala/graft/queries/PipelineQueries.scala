@@ -3355,7 +3355,8 @@ object PipelineQueries {
     * between the near-dup survivors and quality selection.
     */
   private def curationSql(
-      seed: String, decon: Boolean, seqCols: Boolean = true): String = {
+      seed: String, decon: Boolean, seqCols: Boolean = true,
+      refreshStatut: Boolean = false): String = {
     val srcRel = if (decon) "cln" else "keptd"
     // id-shard gates (p05) drop the sequence-boundary columns: those
     // live in BPE-id space, which SQL cannot re-derive (the tokenizer
@@ -3474,20 +3475,36 @@ object PipelineQueries {
        |  FROM q
        |), sel AS (
        |  SELECT * FROM w WHERE jc <= 10000
-       |), rk AS (
-       |  SELECT doc_id,
-       |    ROW_NUMBER() OVER (ORDER BY md5('$seed:' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
-       |  FROM sel
-       |), pk AS (
-       |  SELECT rk.doc_id, rk.rang, sel.n_jetons,
-       |    CAST(SUM(sel.n_jetons) OVER (ORDER BY rk.rang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |  FROM rk JOIN sel USING (doc_id)
-       |)
-       |SELECT CAST(pk.rang AS BIGINT) AS rang, pk.doc_id,
-       |  md5($srcRel.texte) AS empreinte,
-       |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules$seqColsSql
-       |FROM pk JOIN sel USING (doc_id) JOIN $srcRel USING (doc_id)
-       |ORDER BY rang""".stripMargin
+       |)${
+      if (refreshStatut)
+        // the incremental-refresh gate (p06): no rang — the engine side
+        // keeps the PUBLISHED pack order for survivors and appends
+        // entrants at the tail, so positions differ from a one-shot
+        // permutation by design while selection + fingerprints must not
+        s"""
+           |SELECT sel.doc_id,
+           |  CASE WHEN sel.doc_id <= (SELECT (4 * max(doc_id)) // 5 FROM documents)
+           |       THEN 'conserve' ELSE 'entrant' END AS statut,
+           |  md5($srcRel.texte) AS empreinte,
+           |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules
+           |FROM sel JOIN $srcRel USING (doc_id)
+           |ORDER BY sel.doc_id""".stripMargin
+      else
+        s""", rk AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY md5('$seed:' || CAST(doc_id AS VARCHAR)), doc_id) AS rang
+           |  FROM sel
+           |), pk AS (
+           |  SELECT rk.doc_id, rk.rang, sel.n_jetons,
+           |    CAST(SUM(sel.n_jetons) OVER (ORDER BY rk.rang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM rk JOIN sel USING (doc_id)
+           |)
+           |SELECT CAST(pk.rang AS BIGINT) AS rang, pk.doc_id,
+           |  md5($srcRel.texte) AS empreinte,
+           |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules$seqColsSql
+           |FROM pk JOIN sel USING (doc_id) JOIN $srcRel USING (doc_id)
+           |ORDER BY rang""".stripMargin
+    }""".stripMargin
   }
 
   private val p03Sql = curationSql("p03", decon = false)

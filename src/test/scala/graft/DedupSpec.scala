@@ -369,6 +369,73 @@ class DedupSpec extends SparkSpec {
     assert(viaUf(40L) == 1L && viaUf(60L) == 50L && viaUf(72L) == 70L && viaUf(81L) == 80L)
   }
 
+  test("incremental span scrub against a published gram store == one-shot over the union (batch rows)") {
+    // split corpus with every cross-split duplication shape: a run
+    // shared base↔batch (batch occurrence must scrub even though it is
+    // unique WITHIN the batch), a batch-internal repeat (first batch
+    // occurrence survives — the store has never seen it), a run the
+    // base scrubbed out of ITSELF (still in the store: the screen keys
+    // on what the scrub SAW, not what it kept), and untouched docs.
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val baseDup = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val batchRun = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val docs = Seq(
+      (1L, s"$shared u1 u2"),                 // base: first occurrence, kept
+      (2L, s"$baseDup x1 $baseDup"),          // base: scrubs its own repeat
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),     // base: unique
+      (10L, s"v1 $shared v2"),                 // batch: duplicates base → scrub
+      (11L, s"$batchRun w1"),                  // batch: first of a batch pair
+      (12L, s"w2 $batchRun"),                  // batch: second → scrub
+      (13L, s"y1 $baseDup y2"),                // batch: duplicates a base-scrubbed run
+      (14L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")      // batch: unique
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("a"))
+    val base = toks.filter(col("doc_id") < 10L)
+    val batch = toks.filter(col("doc_id") >= 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString(" "), r.getLong(2))).toSet
+    for (exact <- Seq(true, false)) {
+      val oneShot = rows(Dedup.spanScrubTokens(toks, "doc_id", "a", 8, exact)
+        .filter(col("doc_id") >= 10L))
+      val store = Dedup.spanGramStore(base, "doc_id", "a", 8, exact)
+      val inc = rows(Dedup.spanScrubTokensAgainst(batch, "doc_id", "a", store, 8, exact))
+      assert(inc == oneShot, s"incremental != one-shot (exactFingerprints=$exact)")
+    }
+    // and the base side is invariant under the union (the ordering
+    // argument the equality rests on)
+    assert(
+      rows(Dedup.spanScrubTokens(toks, "doc_id", "a", 8).filter(col("doc_id") < 10L)) ==
+        rows(Dedup.spanScrubTokens(base, "doc_id", "a", 8)))
+  }
+
+  test("clusterDelta: batch bridge merges two published clusters and evicts the losing survivor") {
+    // published pair graph: {1,2} (label 1) and {5,6} (label 5); doc 9
+    // is pairless (implicit self-cluster). Batch 20 bridges 2 and 6;
+    // batch 21-22 pair only each other; batch 23 pairs the pairless 9.
+    val published = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "cluster_id")
+    val internal = Seq((21L, 22L)).toDF("id_a", "id_b")
+    val cross = Seq((20L, 2L), (20L, 6L), (23L, 9L)).toDF("id_batch", "id_corpus")
+    val got = Dedup.clusterDelta(internal, cross, published).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bridge: label 5's component now has minimum 1 — its survivor
+    // (doc 5) is evicted; every batch member of the merged component drops
+    assert(got(5L) == 1L, "the losing published survivor must be relabeled")
+    assert(got(20L) == 1L)
+    // pairless published doc: self-label coalesced, batch member drops
+    assert(got(23L) == 9L && got(9L) == 9L)
+    // pure-batch component: min-id batch survivor
+    assert(got(21L) == 21L && got(22L) == 21L)
+    // one-shot union equivalence on the same graph (published edges
+    // restored): identical labels for every batch id and published label
+    val union = Dedup.clusters(
+      Seq((1L, 2L), (5L, 6L), (20L, 2L), (20L, 6L), (21L, 22L), (23L, 9L))
+        .toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, lab) =>
+      assert(union.getOrElse(id, id) == lab, s"node $id: delta=$lab union=${union.get(id)}")
+    }
+  }
+
   test("connected components: string labels use UTF-8 binary order on BOTH paths (supplementary plane)") {
     // U+10000 ("𐀀") sorts BELOW U+FFFF in Java's UTF-16
     // code-unit order but ABOVE it in UTF-8 binary order (F0.. > EF..),
