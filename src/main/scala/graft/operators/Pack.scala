@@ -364,6 +364,12 @@ object Pack {
     * in the write-once store. The files side costs no Spark job: shard
     * ids are partition directory names, probed highest-first until one
     * holds committed part files (normally the first probe).
+    *
+    * "Files are the truth" is safe because finalize PUBLISHES shards by
+    * staged per-dir rename in ascending id order (never a task-committed
+    * append into the live store): a visible shard dir is complete, and
+    * a crash mid-publication leaves a contiguous prefix — never a
+    * partial highest shard or a hole the probe would skip past.
     */
   def shardWatermarkSeqs(
       spark: org.apache.spark.sql.SparkSession,
@@ -488,15 +494,41 @@ object Pack {
 
     // emit the newly-closed whole shards: sequence assembly over the
     // [before, after) slice window, shard-contiguous files (the
-    // writeShards layout — readShards reads both stores identically)
+    // writeShards layout — readShards reads both stores identically).
+    // STAGED publication: a direct append(partitionBy) into the live
+    // store commits task-by-task, so a crash mid-job can leave a
+    // PARTIAL highest shard or holes in lower ones — and the
+    // files-derived watermark (max committed shard id + 1) would then
+    // advance past sequences that never landed, so finalize never
+    // re-emits them: silent permanent gaps. Stage the whole emission in
+    // a sibling tmp dir (job-committed before anything becomes visible),
+    // then rename each completed shard dir into the store in ASCENDING
+    // id order — a crash mid-loop leaves a contiguous committed prefix,
+    // exactly the invariant the highest-first watermark probe assumes,
+    // and the untrimmed log re-emits the rest on the next pass.
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    val emitTmp = new org.apache.hadoop.fs.Path(s"${shardDir}__emit_tmp")
+    fs.delete(emitTmp, true) // garbage from a crashed prior emission
     assembleSequences(
       slices.filter(col("seq_id") >= before && col("seq_id") < after), seqTokens)
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
       .repartitionByRange(parts, col("shard_id"), col("seq_id"))
-      .write.mode("append").partitionBy("shard_id").parquet(shardDir)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(emitTmp.toString)
+    val sdPath = new org.apache.hadoop.fs.Path(shardDir)
+    fs.mkdirs(sdPath)
+    fs.listStatus(emitTmp).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("shard_id="))
+      .toArray
+      .sortBy(p => p.getName.stripPrefix("shard_id=").toLong)
+      .foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(sdPath, p.getName)
+        require(fs.rename(p, dst), s"finalize: publishing shard $p -> $dst failed")
+      }
+    fs.delete(emitTmp, true)
 
     // trim the log to the open tail (bounded — see scaladoc), then
     // swap: the tmp write is an ACTION, so the residual is fully

@@ -556,12 +556,15 @@ class PackSpec extends SparkSpec {
       assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 43L,
         "with no certified tmp the aside generation must be restored")
 
-      // (d) a leftover UNcertified tmp beside a healthy log is a
-      // partial write: dropped, log untouched
+      // (d) a leftover UNcertified tmp beside a healthy log may be a
+      // CONCURRENT trim mid-write: the read path must leave it alone
+      // (writer-side cleanup — finalize deletes tmp before it writes)
       fs.mkdirs(tmp)
       fs.create(new org.apache.hadoop.fs.Path(tmp, "part-junk"), true).close()
       assert(Pack.recoveredOffset(spark, logDir, store, budget, perShard) == 43L)
-      assert(!fs.exists(tmp), "an uncertified tmp must be discarded by recovery")
+      assert(fs.exists(tmp),
+        "a read path must never delete a tmp a concurrent trim may be writing")
+      fs.delete(tmp, true)
 
       // the recovered state is fully functional: a continuing append
       // then finalize closes nothing new (tail is 3 tokens < 1 shard)

@@ -69,28 +69,74 @@ class SwapSpec extends SparkSpec {
       mkGen(tmp, "gen2-partial") // no _SWAP_COMMIT: the tmp write never finished
       Swap.recover(fs, tmp, live)
       assert(genTag(live) == "gen1", "without certification the old generation is the truth")
-      assert(!fs.exists(tmp) && !fs.exists(Swap.oldPath(live)))
+      assert(!fs.exists(Swap.oldPath(live)))
+      // the uncertified tmp is LEFT: it may be a re-running maintenance
+      // op mid-write; the writer rewrites it from scratch anyway
+      assert(fs.exists(tmp))
     }
   }
 
-  test("crash after the swap, before cleanup (live + flag + old): recover just cleans up") {
+  test("crash after the swap, before cleanup (live + flag + old): live serves; next publish sweeps the stragglers") {
     withWd { wd =>
       val live = new Path(wd, "store"); val tmp = new Path(wd, "store_tmp")
       mkGen(live, "gen2")
       fs.create(new Path(live, "_SWAP_COMMIT"), true).close()
       mkGen(Swap.oldPath(live), "gen1")
-      Swap.recover(fs, tmp, live)
+      // read-path recover is non-destructive with a healthy live: it
+      // must not delete ANYTHING a concurrent maintenance op might own
+      assert(Swap.recover(fs, tmp, live) == Swap.Clean)
       assert(genTag(live) == "gen2")
+      // the stragglers heal at the next publish (writer-side cleanup)
+      mkGen(tmp, "gen3")
+      Swap.publish(fs, tmp, live)
+      assert(genTag(live) == "gen3")
       assert(!fs.exists(Swap.oldPath(live)) && !fs.exists(new Path(live, "_SWAP_COMMIT")))
     }
   }
 
-  test("leftover uncertified tmp beside a healthy live: recover drops the partial write") {
+  test("leftover uncertified tmp beside a healthy live: recover LEAVES it (it may be a write in progress)") {
     withWd { wd =>
       val live = new Path(wd, "store"); val tmp = new Path(wd, "store_tmp")
       mkGen(live, "gen1"); mkGen(tmp, "gen2-partial")
-      Swap.recover(fs, tmp, live)
-      assert(genTag(live) == "gen1" && !fs.exists(tmp))
+      // an uncertified tmp beside a healthy live is indistinguishable
+      // from a concurrent republish/compact mid-write: a read path that
+      // deleted it would abort the maintenance op (the r15 advice race)
+      assert(Swap.recover(fs, tmp, live) == Swap.Clean)
+      assert(genTag(live) == "gen1" && fs.exists(tmp))
+      assert(genTag(tmp) == "gen2-partial")
+    }
+  }
+
+  test("crash after certification, before the renames: recover surfaces CertifiedTmpPending and touches nothing") {
+    withWd { wd =>
+      val live = new Path(wd, "store"); val tmp = new Path(wd, "store_tmp")
+      mkGen(live, "gen1")
+      mkGen(tmp, "gen2")
+      fs.create(new Path(tmp, "_SWAP_COMMIT"), true).close()
+      // live is still the serving truth; the certified tmp is a complete
+      // generation that never went live — surfaced, never silently
+      // discarded (and never promoted: all-or-nothing, caller re-runs)
+      assert(Swap.recover(fs, tmp, live) == Swap.CertifiedTmpPending)
+      assert(genTag(live) == "gen1")
+      assert(fs.exists(new Path(tmp, "_SWAP_COMMIT")) && genTag(tmp) == "gen2")
+      // idempotent: the signal repeats until a writer republishes
+      assert(Swap.recover(fs, tmp, live) == Swap.CertifiedTmpPending)
+      // the re-run maintenance op rewrites tmp and publishes cleanly
+      fs.delete(tmp, true); mkGen(tmp, "gen2b")
+      Swap.publish(fs, tmp, live)
+      assert(genTag(live) == "gen2b" && !fs.exists(tmp))
+    }
+  }
+
+  test("recover reports its live-missing repairs: PromotedTmp / RestoredOld") {
+    withWd { wd =>
+      val live = new Path(wd, "store"); val tmp = new Path(wd, "store_tmp")
+      mkGen(tmp, "gen2")
+      fs.create(new Path(tmp, "_SWAP_COMMIT"), true).close()
+      assert(Swap.recover(fs, tmp, live) == Swap.PromotedTmp)
+      fs.delete(live, true)
+      mkGen(Swap.oldPath(live), "gen1")
+      assert(Swap.recover(fs, tmp, live) == Swap.RestoredOld)
     }
   }
 
@@ -98,7 +144,8 @@ class SwapSpec extends SparkSpec {
     withWd { wd =>
       val live = new Path(wd, "store"); val tmp = new Path(wd, "store_tmp")
       mkGen(live, "gen1")
-      Swap.recover(fs, tmp, live); Swap.recover(fs, tmp, live)
+      assert(Swap.recover(fs, tmp, live) == Swap.Clean)
+      assert(Swap.recover(fs, tmp, live) == Swap.Clean)
       assert(genTag(live) == "gen1")
     }
   }
