@@ -128,6 +128,11 @@ object Bench {
     // s16's feed staging + classifier publish: same category
     try { graft.queries.PipelineQueries.s16Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // p06's corpus-generation publish (scrubbed corpus + screen stores +
+    // packed store): what "the corpus is ingested" means in production;
+    // the measured query is the incremental refresh against it
+    try { graft.queries.PipelineQueries.p06Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -150,6 +150,29 @@ object Decontaminate {
       eval.select(explode(Text.shingles(col(evalTextCol), n)).as("g")).distinct(),
       gramBroadcastBytes)
 
+  /** [[contaminatedIdsTokens]] against a PRE-BUILT eval gram relation —
+    * the published-store entry point (the IngestDecon convention: the
+    * benchmark gram vocabulary is derived once when the eval set lands
+    * and persisted; later screens — and the p06 refresh's
+    * corpus-survivors-vs-NEW-eval-grams pass — read the store instead
+    * of re-shingling benchmarks). `evalGrams` is a one-column relation
+    * of distinct gram strings (n must match the store's scheme).
+    */
+  def contaminatedIdsTokensVsGrams(
+      trainToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      evalGrams: DataFrame,
+      n: Int = 5,
+      gramBroadcastBytes: Long = -1L
+  ): DataFrame =
+    contaminatedGrams(trainToks.sparkSession,
+      trainToks.select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.graft.TextExpr
+          .shinglesOf(col(tokensCol), n)).as("g")),
+      evalGrams.select(col(evalGrams.columns.head).as("g")),
+      gramBroadcastBytes)
+
   private def contaminatedGrams(
       spark: org.apache.spark.sql.SparkSession,
       trainGrams: DataFrame,
@@ -177,10 +200,21 @@ object Decontaminate {
         .collect()(0)
       m.getLong(0) <= maxRows && m.getLong(1) <= budget
     }
+    // the collect itself stays BOUNDED even though the aggregate just
+    // proved the budget: a non-deterministic eval relation (or one that
+    // changed between the two jobs) could otherwise exceed the proven
+    // bytes — a check-then-collect TOCTOU. Cap the rows at the proven
+    // ceiling and re-verify both dimensions on the driver; on any
+    // mismatch fall back to the shuffled semi-join (correct either way).
     val evalSide =
       if (fits) {
         import spark.implicits._
-        broadcast(evalGrams.collect().map(_.getString(0)).toSeq.toDF("g"))
+        val capped = evalGrams.limit(maxRows.toInt).collect()
+        val bytes = capped.iterator
+          .map(r => r.getString(0).getBytes("UTF-8").length.toLong + 48L).sum
+        if (capped.length < maxRows && bytes <= budget)
+          broadcast(capped.map(_.getString(0)).toSeq.toDF("g"))
+        else evalGrams
       } else evalGrams
     trainGrams
       .join(evalSide, Seq("g"), "left_semi")

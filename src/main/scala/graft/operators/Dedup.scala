@@ -932,6 +932,25 @@ object Dedup {
         .as("sig"))
     .filter(col("sig").isNotNull)
 
+  /** [[signatures]] over a PRE-TOKENIZED relation — the store-publish
+    * entry point for pipelines whose corpus already lives in token
+    * space (the p06 refresh publishes the scrubbed corpus's signatures
+    * without rebuilding text: `Text.tokens(concat_ws(" ", a)) == a`).
+    */
+  def signaturesTokens(
+      toks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleN: Int = 3,
+      k: Int = 64
+  ): DataFrame = toks
+    .select(
+      col(idCol),
+      org.apache.spark.sql.graft.TextExpr
+        .minhashSig(col(tokensCol), shingleN, k)
+        .as("sig"))
+    .filter(col("sig").isNotNull)
+
   /** The degenerate-bucket census over a published signature store —
     * the corpus-only half of [[minhashLshAgainst]]'s `maxBucket`
     * pruning, factored out so ingest pipelines compute it ONCE when the
@@ -997,6 +1016,37 @@ object Dedup {
     if (narrow) pruned.select(col("id_corpus"), col("bb")) else pruned
   }
 
+  /** [[minhashLshAgainst]] over PRE-TOKENIZED relations — the
+    * incremental screen for pipelines whose batch and corpus already
+    * live in token space (the p06 refresh probes the arriving batch's
+    * scrubbed tokens against the published scrubbed corpus + signature
+    * store). Identical result to the text form on the rebuilt strings:
+    * `Text.tokens(concat_ws(" ", a)) == a` for whitespace-free tokens,
+    * and the rebuild projection only evaluates on candidate rows (the
+    * verification side semi-joins ids before building shingles).
+    */
+  def minhashLshAgainstTokens(
+      batchToks: DataFrame,
+      corpusToks: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucket: Int = 512,
+      corpusSigs: Option[DataFrame] = None,
+      hotBuckets: Option[DataFrame] = None,
+      corpusBands: Option[DataFrame] = None,
+      batchSigs: Option[DataFrame] = None
+  ): DataFrame = {
+    def asText(df: DataFrame) = df.select(
+      col(idCol), concat_ws(" ", col(tokensCol)).as("__graft_text"))
+    minhashLshAgainst(asText(batchToks), asText(corpusToks), idCol, "__graft_text",
+      shingleN, k, bands, threshold, maxBucket, corpusSigs, hotBuckets, corpusBands,
+      batchSigs)
+  }
+
   def minhashLshAgainst(
       batch: DataFrame,
       corpus: DataFrame,
@@ -1009,7 +1059,8 @@ object Dedup {
       maxBucket: Int = 512,
       corpusSigs: Option[DataFrame] = None,
       hotBuckets: Option[DataFrame] = None,
-      corpusBands: Option[DataFrame] = None
+      corpusBands: Option[DataFrame] = None,
+      batchSigs: Option[DataFrame] = None
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -1021,8 +1072,15 @@ object Dedup {
           .as(sigAs))
       .filter(col(sigAs).isNotNull)
     // cached: consumed by the count below, the probe-side band build
-    // and (past the fat budget) the sig re-attach join
-    val sigB = sigOf(batch, "id_batch", "sig_b").cache()
+    // and (past the fat budget) the sig re-attach join. A caller whose
+    // pipeline already built the batch signatures (the p06 refresh
+    // computes them once for its published-index probe rows) passes
+    // them in and skips the recompute — same (idCol, sig) contract as
+    // corpusSigs.
+    val sigB = batchSigs
+      .map(_.select(col(idCol).as("id_batch"), col("sig").as("sig_b")))
+      .getOrElse(sigOf(batch, "id_batch", "sig_b"))
+      .cache()
     val sigC = corpusSigs
       .map(_.select(col(idCol).as("id_corpus"), col("sig").as("sig_c")))
       .getOrElse(sigOf(corpus, "id_corpus", "sig_c"))

@@ -759,13 +759,16 @@ object PipelineQueries {
   // (lot, n_requetes, k, rappel, alarme) row — alarm past the floor
   // means "re-publish now". The staged feed plants a drifted
   // distribution in its last lot (constant component offset — a regime
-  // the frozen quantizer never saw), so healthy lots stay above the
-  // floor and the drifted lot must alarm. NO DuckDB oracle: the recall
-  // number depends on the trained k-means model (centroids + PQ
-  // codebooks), which SQL cannot re-derive — the driver records the
-  // rows-only check, and StreamingSpec recomputes one lot's recall
-  // independently (brute vs served, shared code with neither path) and
-  // pins the planted alarm + the healthy floor.
+  // the frozen quantizer never saw), so in the PRODUCTION configuration
+  // healthy lots stay above the floor and the drifted lot must alarm —
+  // StreamingSpec pins that (it also recomputes one lot's recall
+  // independently, brute vs served, shared code with neither path). The
+  // CATALOG GATE runs the same machinery in the EXHAUSTIVE
+  // configuration (nProbe = nList, unbounded shortlist — e05/e06's
+  // trick for oracle-checking a trained-model serve): there served ≡
+  // brute by theorem, recall ≡ 1.0, and every row is SQL-derivable, so
+  // the DuckDB oracle hash-gates the append → store read-back → serve →
+  // brute → recall-join machinery end to end.
   // ---------------------------------------------------------------------
   private def s13WorkDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_s13_${Integer.toHexString(dir.hashCode)}"
@@ -776,8 +779,32 @@ object PipelineQueries {
 
   private def s13(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.IngestAnnDrift
-      .run(spark, dir, s13WorkDir(dir))
+      .runExhaustive(spark, dir, s13WorkDir(dir))
       .orderBy(col("lot"))
+
+  // the gate's drift rows in the exhaustive configuration are fully
+  // SQL-derivable: the feed/lot/sample arithmetic reproduces n_requetes,
+  // and served ≡ brute by theorem (all cells probed, every candidate
+  // exactly re-ranked; the planted rank-1 truth — the query itself is in
+  // base ∪ lot — is tie-free), so rappel ≡ 1.0 and the alarm stays off.
+  // A broken append/read-back/serve/recall-join makes rappel ≠ 1.0 and
+  // the hash mismatches. Production-config alarm semantics (drifted lot
+  // must fire, healthy lots must not) stay pinned in StreamingSpec.
+  private val s13Sql =
+    """WITH feed AS (
+      |  SELECT vec_id + ((vec_id % 4) + 1) * 1000000 AS fid,
+      |         (vec_id % 4) AS lot
+      |  FROM embeddings WHERE vec_id % 3 = 0
+      |)
+      |SELECT CAST(lot AS INT) AS lot,
+      |  CAST(COUNT(*) AS BIGINT) AS n_requetes,
+      |  CAST(1 AS INT) AS k,
+      |  CAST(1.0 AS DOUBLE) AS rappel,
+      |  FALSE AS alarme
+      |FROM feed
+      |WHERE fid % 7 = 0
+      |GROUP BY lot
+      |ORDER BY lot""".stripMargin
 
   // ---------------------------------------------------------------------
   // s14 — streaming BPE-ID shard emission: the trainer-ready tier's
@@ -3349,6 +3376,27 @@ object PipelineQueries {
   private def p05(spark: SparkSession, dir: String): DataFrame =
     curationEmitIds(spark, deconKept(spark, dir), "p05", p05ShardDir(dir))
 
+  // ---------------------------------------------------------------------
+  // p06 — INCREMENTAL CORPUS REFRESH (RefreshPipeline): a corpus
+  // generation is published once (scrubbed corpus + span-gram /
+  // signature / label / eval-gram / stats / selection stores + packed
+  // shard store); the arriving batch (doc_id > ⌊9·max/10⌋) is screened
+  // against the STORES (never the raw corpus), the budget re-selected
+  // over narrow stats, and the store maintained in place — tombstone
+  // evictees, append entrants, finalize. The gate hashes the refreshed
+  // selection report with per-doc fingerprints READ BACK through the
+  // refreshed store against the oracle's ONE-SHOT rebuild over
+  // corpus ∪ batch — the equality that certifies the production loop.
+  // Publish is load-phase setup (Bench untimed, s13 convention); the
+  // timed query is the refresh itself.
+  // ---------------------------------------------------------------------
+  /** Corpus-generation publish — load-phase setup (Bench, untimed). */
+  def p06Setup(spark: SparkSession, dir: String): Unit =
+    RefreshPipeline.setup(spark, dir)
+
+  private def p06(spark: SparkSession, dir: String): DataFrame =
+    RefreshPipeline.run(spark, dir)
+
   /** The shared curation-pipeline oracle: `seed` keys the training-order
     * permutation; `decon` inserts the benchmark-decontamination stage
     * (the d16 semantics recomputed over the REBUILT post-scrub text)
@@ -3483,7 +3531,7 @@ object PipelineQueries {
         // permutation by design while selection + fingerprints must not
         s"""
            |SELECT sel.doc_id,
-           |  CASE WHEN sel.doc_id <= (SELECT (4 * max(doc_id)) // 5 FROM documents)
+           |  CASE WHEN sel.doc_id <= (SELECT (9 * max(doc_id)) // 10 FROM documents)
            |       THEN 'conserve' ELSE 'entrant' END AS statut,
            |  md5($srcRel.texte) AS empreinte,
            |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules
@@ -3510,6 +3558,7 @@ object PipelineQueries {
   private val p03Sql = curationSql("p03", decon = false)
   private val p04Sql = curationSql("p04", decon = true)
   private val p05Sql = curationSql("p05", decon = true, seqCols = false)
+  private val p06Sql = curationSql("p06", decon = true, seqCols = false, refreshStatut = true)
 
   // ---------------------------------------------------------------------
   // d11 — corpus vocabulary: top-20 bigrams by frequency (multiplicity
@@ -3935,6 +3984,7 @@ object PipelineQueries {
     Q("p03_curation_pipeline", "full batch curation: repetition scrub → span scrub → near-dup scrub → quality budget select → training order → shard emit read back", p03, Some(p03Sql)),
     Q("p04_decon_pipeline", "decontaminating curation: p03 + benchmark n-gram decontamination on the rebuilt post-scrub text before budget selection", p04, Some(p04Sql)),
     Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
+    Q("p06_incremental_refresh", "incremental corpus refresh: arriving batch screened against the published stores (span-gram, signatures+labels, eval-grams), budget re-selected, store tombstoned/appended/finalized — gate ≡ one-shot rebuild over corpus ∪ batch, fingerprints read back through the refreshed store", p06, Some(p06Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql)),
     Q("s16_stream_classify", "streaming classifier screen: per-batch pure-map scoring with the published hashed-NB weights == one-shot d24 (§2.9)", s16, Some(d24Sql)),
@@ -3952,7 +4002,7 @@ object PipelineQueries {
     Q("e09_index_append", "incremental index maintenance: frozen-model append to the published store, served over the grown corpus vs union brute oracle", e09, Some(e09Sql)),
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("e10_index_republish", "index re-publish (the recall-drift alarm's action): retrain on the drifted corpus, re-encode in one map pass, atomic swap; exhaustive serve over both regimes vs the union brute oracle", e10, Some(e10Sql)),
-    Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample, alarm past the floor (re-publish decision; model-dependent — rows-only)", s13, None),
+    Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample (gate in the exhaustive e05/e06 configuration: recall ≡ 1.0 SQL-derivable; production-config alarm pinned in StreamingSpec)", s13, Some(s13Sql)),
     Q("s14_stream_idshards", "streaming BPE-id shard emission: frozen published tokenizer, slice-grain incremental pack continuing the global offset; decode of the drained log rebuilds every doc (d39 through the stream)", s14, Some(d39Sql)),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),

@@ -55,13 +55,27 @@ object IngestAnnDrift {
   // is crisp; deeper ranks on this fixture are near-ties that would
   // make the floor noisy without adding signal
   private val K = 1
-  // production serve configuration: nProbe 8/16 keeps healthy-lot recall
-  // high; the shortlist must stay BELOW the smallest lot's size or a
-  // drifted lot saturates (every candidate shortlisted ⇒ exact rerank ⇒
-  // recall 1.0 and the alarm can never fire at test scale)
+  // production serve configuration (the DEFAULT, what StreamingSpec's
+  // alarm semantics pin): nProbe 8/16 keeps healthy-lot recall high; the
+  // shortlist must stay BELOW the smallest lot's size or a drifted lot
+  // saturates (every candidate shortlisted ⇒ exact rerank ⇒ recall 1.0
+  // and the alarm can never fire at test scale). The CATALOG GATE runs
+  // the same machinery in the EXHAUSTIVE configuration instead
+  // (nProbe = nList, unbounded shortlist — the e05/e06 precedent):
+  // there, served ≡ brute by construction, so every drift row is
+  // SQL-derivable (recall ≡ 1.0) and the DuckDB oracle certifies the
+  // whole append → store read-back → serve → brute → recall-join
+  // machinery end to end.
   private val NProbe = 8
   private val Shortlist = 16
   private val RecallFloor = 0.8
+
+  /** The exhaustive-config gate entry point: all cells probed, every
+    * candidate re-ranked exactly — recall is 1.0 BY THEOREM, so a
+    * non-1.0 row means the machinery (not the model) broke.
+    */
+  def runExhaustive(spark: SparkSession, dir: String, workDir: String): DataFrame =
+    run(spark, dir, workDir, nProbe = NList, shortlist = Int.MaxValue)
 
   /** Deterministic 4-lot append feed: lots 0-2 are healthy ±2% jittered
     * copies of corpus slices (the e03/e09 convention); lot 3 is the
@@ -133,7 +147,8 @@ object IngestAnnDrift {
     * artifact, not an in-memory re-encode.
     */
   private def lotRow(
-      spark: SparkSession, workDir: String, base: DataFrame, lotRows: DataFrame): DataFrame = {
+      spark: SparkSession, workDir: String, base: DataFrame, lotRows: DataFrame,
+      nProbe: Int, shortlist: Int): DataFrame = {
     val (cents, books) = AnnIndex.readModel(spark, s"$workDir/index")
     val stored = AnnIndex.codes(spark, s"$workDir/index")
     val storedId = stored.schema.fieldNames.head
@@ -149,7 +164,7 @@ object IngestAnnDrift {
       .select(col("vec_id"), col("embedding"))
     AnnIndex
       .recallProbeCoded(coded, cents, books, sample, corpus,
-        "vec_id", "embedding", K, NProbe, Shortlist)
+        "vec_id", "embedding", K, nProbe, shortlist)
       .agg(
         count(lit(1)).as("n_requetes"),
         round(avg(col("rappel")), 6).as("rappel"))
@@ -165,7 +180,8 @@ object IngestAnnDrift {
     * the store (frozen model), then emit one drift row per lot present.
     * Returns the drained monitor log.
     */
-  def run(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String, workDir: String,
+      nProbe: Int = NProbe, shortlist: Int = Shortlist): DataFrame = {
     setup(spark, dir, workDir)
     val base = spark.read.schema(emSchema).parquet(s"$dir/embeddings.parquet")
     val outDir = s"$workDir/drift"
@@ -192,7 +208,7 @@ object IngestAnnDrift {
           val lots = batch.select(col("lot")).distinct()
             .collect().map(_.getInt(0)).sorted
           lots.foreach { l =>
-            lotRow(spark, workDir, base, batch.filter(col("lot") === l))
+            lotRow(spark, workDir, base, batch.filter(col("lot") === l), nProbe, shortlist)
               .withColumn("lot", lit(l))
               .select("lot", "n_requetes", "k", "rappel", "alarme")
               .write.mode("append").parquet(outDir)
@@ -211,14 +227,15 @@ object IngestAnnDrift {
     * per-lot independence makes the rows order-free). Appends the whole
     * feed first so the store holds what the streaming path persisted.
     */
-  def oneShot(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+  def oneShot(spark: SparkSession, dir: String, workDir: String,
+      nProbe: Int = NProbe, shortlist: Int = Shortlist): DataFrame = {
     setup(spark, dir, workDir)
     val base = spark.read.schema(emSchema).parquet(s"$dir/embeddings.parquet")
     val feed = spark.read.schema(feedSchema).parquet(s"$workDir/feed")
     appendMissing(spark, workDir, feed)
     val lots = feed.select(col("lot")).distinct().collect().map(_.getInt(0)).sorted
     lots.map { l =>
-      lotRow(spark, workDir, base, feed.filter(col("lot") === l))
+      lotRow(spark, workDir, base, feed.filter(col("lot") === l), nProbe, shortlist)
         .withColumn("lot", lit(l))
         .select("lot", "n_requetes", "k", "rappel", "alarme")
     }.reduce(_.unionByName(_))
