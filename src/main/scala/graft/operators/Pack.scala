@@ -604,13 +604,15 @@ object Pack {
     * provenance entry frozen (the provenance row must survive: it is
     * the auditable record that a deletion happened there).
     *
-    * Scale shape: deletion requests are a BOUNDED set by contract
-    * (thousands of ids against billions of docs), so the ids collect to
-    * the driver under `maxIds` (require-fails past it — a corpus-scale
-    * tombstone set means you want a re-pack, not a scrub) and ship as a
-    * plan literal; the scrub itself is ONE pure-map pass over the
-    * sequences — per sequence, per provenance entry, an id probe and
-    * (on the rare hit) an in-place range fill. No exchange, no join.
+    * Scale shape: deletion requests are a BOUNDED set by the common
+    * case (thousands of ids against billions of docs), so the ids
+    * collect to the driver under `maxIds` and ship as a plan literal;
+    * the scrub itself is ONE pure-map pass over the sequences — per
+    * sequence, per provenance entry, an id probe and (on the rare hit)
+    * an in-place range fill. No exchange, no join. PAST `maxIds` the
+    * call degrades to [[tombstoneJoin]] — the distributed-relation mask
+    * with identical semantics — instead of failing: oversize deletions
+    * (a source takedown, a licensing sweep) stay a green path.
     */
   def tombstone(
       shards: DataFrame,
@@ -635,8 +637,12 @@ object Pack {
       .filter(col("id").isNotNull)
       .distinct()
       .limit(maxIds + 1).collect()
-    require(collected.length <= maxIds,
-      s"tombstone set exceeds $maxIds ids — a corpus-scale deletion is a re-pack, not a scrub")
+    if (collected.length > maxIds)
+      // oversize deletion set: the driver-literal probe would blow the
+      // plan budget — degrade to the distributed join mask (identical
+      // result, PackSpec pins the equality; the Decontaminate
+      // budget-fallback convention)
+      return tombstoneJoin(shards, tombstoneIds, pad)
     val ids = collected.map(_.getLong(0))
     // docs entries are ordered by in-sequence position (assembleSequences
     // builds them from the sorted slices), so rebuilding tokens as the
@@ -655,6 +661,59 @@ object Pack {
           array_repeat(pad, d.getField("n_tokens")))
           .otherwise(slice(col("tokens"),
             d.getField("debut_dans_seq") + lit(1), d.getField("n_tokens"))))))
+  }
+
+  /** [[tombstone]]'s OVERSIZE path — the deletion set as a distributed
+    * RELATION instead of a driver plan literal, for the day a deletion
+    * request outgrows the bounded-set contract (a source-level takedown,
+    * a licensing sweep: millions of ids against the store). Identical
+    * masking semantics — same pad, same frozen offsets/boundaries/
+    * provenance — via joins end to end:
+    *
+    * Scale shape: the store's PROVENANCE entries (narrow columns only —
+    * seq_id, entry index, doc_id; never the token arrays) meet the
+    * deletion relation in one equi-join (Catalyst broadcasts the smaller
+    * side or shuffles both — the honest both-sides-huge plan), and the
+    * hit ENTRY INDICES roll up per sequence: ≤ entries-per-sequence
+    * values, so the second join back to the token-carrying store is a
+    * bounded-payload left join keyed on seq_id (unique — no skew) and
+    * the in-row mask probes a tiny per-row index set. The token arrays
+    * cross exactly one exchange (the seq_id join), nothing is collected
+    * to the driver at any deletion-set size. [[tombstone]] dispatches
+    * here automatically past its `maxIds` budget.
+    */
+  def tombstoneJoin(
+      shards: DataFrame,
+      tombstoneIds: DataFrame,
+      pad: Column
+  ): DataFrame = {
+    val idField = tombstoneIds.schema.fields.head
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idField.dataType),
+      s"tombstone id column '${idField.name}' must be an integral type " +
+        s"(got ${idField.dataType.simpleString})")
+    val ids = tombstoneIds
+      .select(col(idField.name).cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+    val hits = shards
+      .select(col("seq_id"), posexplode(col("docs")).as(Seq("entree", "d")))
+      .select(col("seq_id"), col("entree"), col("d.doc_id").as("doc_id"))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("seq_id"))
+      .agg(collect_set(col("entree")).as("entrees_effacees"))
+    shards
+      .join(hits, Seq("seq_id"), "left")
+      .withColumn("tokens",
+        when(col("entrees_effacees").isNull, col("tokens"))
+          .otherwise(flatten(transform(col("docs"), (d, i) =>
+            when(array_contains(col("entrees_effacees"), i),
+              array_repeat(pad, d.getField("n_tokens")))
+              .otherwise(slice(col("tokens"),
+                d.getField("debut_dans_seq") + lit(1), d.getField("n_tokens")))))))
+      .drop("entrees_effacees")
   }
 
   /** The single-window formulation `sequences` must equal whenever the

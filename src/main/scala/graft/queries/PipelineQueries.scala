@@ -2374,6 +2374,51 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // io08 — MASS tombstone (the io07 contract past the bounded-set
+  // budget): a takedown-scale deletion relation — every doc_id % 2 = 0,
+  // HALF the corpus — masks through Pack.tombstone's join fallback
+  // (maxIds forced tiny here so the gate provably exercises the
+  // distributed path; past the real 1M default the dispatch is
+  // automatic). Ids never collect to the driver: provenance entries
+  // (narrow) join the deletion relation, hit entry-indices roll up per
+  // sequence, the token arrays cross exactly one seq_id-keyed exchange.
+  // Same oracle shape as io07 — every masked doc's reassembled stream
+  // must hash as all-pads, every survivor bit-identical.
+  // ---------------------------------------------------------------------
+  private def io08(spark: SparkSession, dir: String): DataFrame = {
+    io06Setup(spark, dir)
+    val scrubbed = Pack.tombstone(
+      Pack.readShards(spark, s"${io06WorkDir(dir)}/shards_256"),
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id")),
+      lit("~PAD~"),
+      maxIds = 16)
+    val back = scrubbed
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * lit(256L) + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(back, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        md5(coalesce(concat_ws(" ", col("toks")), lit(""))).as("empreinte_recomposee"))
+      .orderBy(col("doc_id"))
+  }
+  private val io08Sql =
+    """SELECT doc_id,
+      |  md5(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
+      |      WHEN doc_id % 2 = 0 THEN array_to_string(
+      |        list_transform(regexp_split_to_array(trim(text), '\s+'), x -> '~PAD~'), ' ')
+      |      ELSE array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') END)
+      |    AS empreinte_recomposee
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -4026,6 +4071,7 @@ object PipelineQueries {
     Q("io05_slicelog_finalize", "slice-log finalize: closed whole shards become immutable files, the log trims to its open tail, appends resume from the recovered offset (d39 losslessness through the finalized store)", io05, Some(d39Sql)),
     Q("io06_shard_reshard", "shard-store reshard (context-length migration): re-cut the published store at a new budget from stored offsets, no corpus re-read; every doc reassembles from the re-cut (equality with the direct pack pinned in PackSpec)", io06, Some(d39Sql)),
     Q("io07_shard_tombstone", "shard-store tombstone (deletion request): mask a bounded id set's token ranges in place with a pad — offsets, boundaries and provenance frozen; oracle recomputes each doc's post-scrub fingerprint", io07, Some(io07Sql)),
+    Q("io08_tombstone_mass", "takedown-scale tombstone: a deletion RELATION (half the corpus) masks through the distributed join fallback — ids never collect to the driver, token arrays cross one seq-keyed exchange; same per-doc fingerprint oracle as io07", io08, Some(io08Sql)),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql)),

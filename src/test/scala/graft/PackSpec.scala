@@ -411,12 +411,17 @@ class PackSpec extends SparkSpec {
     val outKeys = got.toSet
     assert(untouchedBefore.subsetOf(outKeys),
       "a sequence without tombstoned docs must pass through bit-identical")
-    // the bounded-set contract: a corpus-scale tombstone set is a
-    // re-pack, not a scrub
-    assertThrows[IllegalArgumentException] {
-      Pack.tombstone(packed, docsToks.select(col("doc_id")), lit("~PAD~"),
-        maxIds = 10)
-    }
+    // past the bounded-set budget the call DEGRADES to the distributed
+    // join mask instead of failing — identical result on the same ids
+    // (here maxIds=1 forces the fallback for the same tombstone set)
+    val viaJoin = Pack.tombstone(packed, tombIds, lit("~PAD~"), maxIds = 1)
+      .collect().map(key)
+    assert(viaJoin.toSet == expected.toSet && viaJoin.length == expected.length,
+      "the oversize join fallback must mask identically to the literal path")
+    // and the direct tombstoneJoin entry point agrees too
+    val direct = Pack.tombstoneJoin(packed, tombIds, lit("~PAD~"))
+      .collect().map(key)
+    assert(direct.toSet == expected.toSet && direct.length == expected.length)
     packed.unpersist(); out.unpersist()
   }
 
