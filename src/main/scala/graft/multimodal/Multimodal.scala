@@ -198,6 +198,77 @@ object Multimodal {
       .toDF("media_id", "decodable", "largeur", "hauteur")
   }
 
+  /** Deterministic REAL-PNG fixture for the resize gate: one encoded
+    * PNG per image-tier doc (doc_id % 3 = 0), four quadrants each
+    * filled with a doc-keyed constant color — the engine-side golden
+    * that makes the real codec path ORACLE-checkable. Constant regions
+    * are invariant under any convex interpolation (bilinear included),
+    * so after a resize the color sampled DEEP inside each quadrant has
+    * a closed form SQL can state, while still requiring the real
+    * decode → rescale → re-encode → decode chain (and the quadrant
+    * layout pins the geometric mapping: a flip or transpose breaks the
+    * hash). Same per-partition batch loop as every media kernel.
+    */
+  def syntheticQuadPng(docs: DataFrame, w: Int = 80, h: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            img.setRGB(x, y, quadColor(id, q))
+            x += 1
+          }
+          y += 1
+        }
+        (id, "image", encodePng(img))
+      })
+      .toDF("media_id", "media_type", "payload")
+  }
+
+  /** The quadrant color formula the oracle mirrors (q = 0 TL, 1 TR,
+    * 2 BL, 3 BR): packed 0xRRGGBB.
+    */
+  private def quadColor(id: Long, q: Int): Int = {
+    val r = ((7 * id + 37 * q + 11) % 256).toInt
+    val g = ((17 * id + 23 * q + 5) % 256).toInt
+    val b = ((13 * id + 41 * q + 3) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Decode each payload and sample one pixel DEEP inside each quadrant
+    * (at ¼/¾ of the DECODED dimensions — far from the quadrant seams
+    * where interpolation blends): the verification tail of the real
+    * resize gate. One row per (media, quadrant) with the decoded dims
+    * and the packed RGB actually found in the emitted bytes.
+    */
+  def decodeQuadSample(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        readImage(p).toSeq.flatMap { img =>
+          val w = img.getWidth; val h = img.getHeight
+          Seq(0, 1, 2, 3).map { q =>
+            val x = if ((q & 1) == 0) w / 4 else 3 * w / 4
+            val y = if ((q & 2) == 0) h / 4 else 3 * h / 4
+            (id, q, w, h, img.getRGB(x, y) & 0xffffff)
+          }
+        }
+      })
+      .toDF("media_id", "quadrant", "largeur", "hauteur", "couleur")
+  }
+
   /** Real image resize: decode → bilinear rescale → PNG re-encode, one
     * decoder per partition. Undecodable rows are dropped (they were
     * already flagged by [[decodeImageMeta]] upstream).

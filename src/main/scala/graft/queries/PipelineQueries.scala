@@ -1014,28 +1014,33 @@ object PipelineQueries {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // m03 — multimodal resize plumbing: image rows re-encoded (stub
-  // kernel, see Multimodal.resize) with deterministic byte scaling, so
-  // the oracle can recompute the expected output shape from the source
-  // text and metadata formulas.
+  // m03 — REAL image resize, decoded-pixel gated: engine-generated
+  // quadrant PNGs (a doc-keyed constant color per quadrant) run the
+  // production decode → bilinear rescale → PNG re-encode kernel
+  // (Multimodal.resizeImagesReal, javax.imageio — the JDK codec, no
+  // external library), and the gate DECODES THE EMITTED BYTES and
+  // samples a pixel deep inside each quadrant: constant regions are
+  // exact under any convex interpolation, so the oracle states the
+  // color in closed form while the engine must run the full real-codec
+  // chain (and the quadrant layout pins the geometric mapping — a
+  // flip/transpose/mis-crop breaks the hash). The stub byte-scaling
+  // resize remains spec-covered plumbing (MultimodalSpec).
   // ---------------------------------------------------------------------
   private def m03(spark: SparkSession, dir: String): DataFrame =
     Multimodal
-      .resize(Multimodal.fromDocuments(Tables.documents(spark, dir)), 64, 64)
-      .select(
-        col("media_id"),
-        col("largeur"),
-        col("hauteur"),
-        octet_length(col("payload")).as("n_bytes")
-      )
-      .orderBy(col("media_id"))
+      .decodeQuadSample(
+        Multimodal.resizeImagesReal(
+          Multimodal.syntheticQuadPng(Tables.documents(spark, dir)), 64, 64))
+      .orderBy(col("media_id"), col("quadrant"))
   private val m03Sql =
-    """SELECT doc_id AS media_id, 64 AS largeur, 64 AS hauteur,
-      |  CAST(greatest(1, (octet_length(encode(text)) * 4096)
-      |    // (((doc_id % 8) * 160 + 320) * ((doc_id % 8) * 90 + 180))) AS INTEGER) AS n_bytes
-      |FROM documents
+    """SELECT doc_id AS media_id, CAST(q AS INT) AS quadrant,
+      |  64 AS largeur, 64 AS hauteur,
+      |  CAST(((7 * doc_id + 37 * q + 11) % 256) * 65536
+      |     + ((17 * doc_id + 23 * q + 5) % 256) * 256
+      |     + ((13 * doc_id + 41 * q + 3) % 256) AS INT) AS couleur
+      |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS q) qs
       |WHERE doc_id % 3 = 0
-      |ORDER BY media_id""".stripMargin
+      |ORDER BY media_id, quadrant""".stripMargin
 
   // ---------------------------------------------------------------------
   // m04 — frame sampling over video payloads: n byte slices per row (the
@@ -4053,7 +4058,7 @@ object PipelineQueries {
     Q("e03_embedding_neardup", "hyperplane-LSH cosine near-dups vs exhaustive oracle", e03, Some(e03Sql)),
     Q("m01_media_meta", "binary payload metadata + sha256", m01, Some(m01Sql)),
     Q("m02_media_features", "mapPartitions feature extraction", m02, Some(m02Sql)),
-    Q("m03_media_resize", "stub resize with real batch plumbing", m03, Some(m03Sql)),
+    Q("m03_media_resize", "REAL image resize: engine-generated quadrant PNGs through decode -> bilinear -> re-encode (JDK codec), gate samples decoded pixels per quadrant against the closed-form oracle", m03, Some(m03Sql)),
     Q("m04_frame_sample", "n-slice frame sampling over video payloads", m04, Some(m04Sql)),
     Q("m05_media_neardup", "media near-dup screen: centered byte-histogram features -> hyperplane-LSH pairs vs exhaustive-cosine oracle", m05, Some(m05Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
