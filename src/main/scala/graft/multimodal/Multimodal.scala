@@ -269,6 +269,59 @@ object Multimodal {
       .toDF("media_id", "quadrant", "largeur", "hauteur", "couleur")
   }
 
+  /** INTERLEAVED multimodal documents — where the pack tier meets the
+    * media tier. A multimodal training document is a SEQUENCE of
+    * segments: text spans and media items. The trainer-facing form is
+    * one token stream per document in which each media segment occupies
+    * a placeholder RUN (a reserved token repeated for the media's token
+    * budget — the "image patch tokens" convention) at its position in
+    * the reading order, while the media bytes ride a parallel store
+    * keyed by id; provenance is the (placeholder position ↔ media
+    * fingerprint) correspondence. Packing such a stream needs NOTHING
+    * new from [[graft.operators.Pack]] — placeholders are tokens — but
+    * the round trip must reproduce BOTH the text (placeholder-stripped
+    * stream hash) and the media SEQUENCE (each run's position, width
+    * and payload fingerprint) after the store re-cut the stream on
+    * sequence boundaries.
+    *
+    * Fixture shape (image-tier docs, doc_id % 3 = 0): an 8-token image
+    * run spliced after ⌊n/3⌋ text tokens and a 4-token audio run after
+    * ⌊2n/3⌋; the image payload is the text's first-half characters, the
+    * audio its second half (deterministic, so the oracle states every
+    * fingerprint in closed form). One row per doc: the interleaved
+    * stream plus the two media payloads. Pure map, no exchange.
+    */
+  def interleaved(
+      docs: DataFrame,
+      imageTokens: Int = 8,
+      audioTokens: Int = 4
+  ): DataFrame = {
+    import graft.functions.Text
+    docs
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("a"))
+      // INTEGER division throughout (Column./ is floating division and
+      // silently truncates slice widths off-by-one at n % 3 != 0)
+      .withColumn("n", size(col("a")))
+      .withColumn("t1", expr("n div 3"))
+      .withColumn("t2", expr("(2 * n) div 3"))
+      .select(
+        col("doc_id"),
+        concat(
+          expr("slice(a, 1, t1)"),
+          array_repeat(lit("<img>"), lit(imageTokens)),
+          expr("slice(a, t1 + 1, t2 - t1)"),
+          array_repeat(lit("<aud>"), lit(audioTokens)),
+          expr("slice(a, t2 + 1, n - t2)")
+        ).as("jetons"),
+        col("t1").cast("long").as("debut_image"),
+        (col("t2") + imageTokens).cast("long").as("debut_audio"),
+        expr("substring(text, 1, length(text) div 2)").as("media_image"),
+        expr("substring(text, length(text) div 2 + 1, length(text))").as("media_audio")
+      )
+  }
+
   /** Real image resize: decode → bilinear rescale → PNG re-encode, one
     * decoder per partition. Undecodable rows are dropped (they were
     * already flagged by [[decodeImageMeta]] upstream).

@@ -1079,7 +1079,71 @@ object PipelineQueries {
       |ORDER BY media_id, frame_no""".stripMargin
 
   // ---------------------------------------------------------------------
-  // m05 — media near-dup screen (the SemDeDup shape on media): image
+  // m06 — INTERLEAVED multimodal packing: the pack tier meets the media
+  // tier. Interleaved documents (text tokens with per-media placeholder
+  // RUNS at reading-order positions — Multimodal.interleaved) go through
+  // the UNCHANGED Pack machinery (placeholders are tokens; sequences cut
+  // across documents and media runs straddle boundaries), and the gate
+  // reassembles each doc from slice provenance and must reproduce BOTH
+  // tiers: the placeholder-stripped text hash, each run's position and
+  // width in the reassembled stream (array_position proves the re-cut
+  // moved nothing), and the media payload fingerprint sequence from the
+  // parallel media columns — all stated in closed form by the oracle.
+  // ---------------------------------------------------------------------
+  private def m06(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Multimodal.interleaved(Tables.documents(spark, dir))
+      .localCheckpoint(true) // feeds the pack AND the report join
+    val back = Pack
+      .packedSequencesTokens(inter.select(col("doc_id"), col("jetons")),
+        "doc_id", "jetons", 256)
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * lit(256L) + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    back
+      .join(inter.drop("jetons"), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_jetons"),
+        (array_position(col("toks"), "<img>") - 1).as("debut_image"),
+        size(filter(col("toks"), t => t === "<img>")).as("n_jetons_image"),
+        (array_position(col("toks"), "<aud>") - 1).as("debut_audio"),
+        size(filter(col("toks"), t => t === "<aud>")).as("n_jetons_audio"),
+        md5(concat_ws(" ",
+          filter(col("toks"), t => t =!= "<img>" && t =!= "<aud>"))).as("empreinte_texte"),
+        sha2(encode(col("media_image"), "UTF-8"), 256).as("empreinte_image"),
+        sha2(encode(col("media_audio"), "UTF-8"), 256).as("empreinte_audio"),
+        // the reassembled runs must sit exactly where the interleave
+        // placed them — a re-cut that shifted anything breaks these
+        (array_position(col("toks"), "<img>") - 1 === col("debut_image"))
+          .as("position_image_ok"),
+        (array_position(col("toks"), "<aud>") - 1 === col("debut_audio"))
+          .as("position_audio_ok"))
+      .orderBy(col("doc_id"))
+  }
+  private val m06Sql =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a, text
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+      |)
+      |SELECT doc_id,
+      |  CAST(len(a) + 12 AS BIGINT) AS n_jetons,
+      |  CAST(len(a) // 3 AS BIGINT) AS debut_image,
+      |  CAST(8 AS INT) AS n_jetons_image,
+      |  CAST((2 * len(a)) // 3 + 8 AS BIGINT) AS debut_audio,
+      |  CAST(4 AS INT) AS n_jetons_audio,
+      |  md5(array_to_string(a, ' ')) AS empreinte_texte,
+      |  sha256(substring(text, 1, length(text) // 2)) AS empreinte_image,
+      |  sha256(substring(text, length(text) // 2 + 1, length(text))) AS empreinte_audio,
+      |  TRUE AS position_image_ok,
+      |  TRUE AS position_audio_ok
+      |FROM arr
+      |ORDER BY doc_id""".stripMargin
   // payloads → deterministic centered byte-histogram features
   // (mapPartitions batch kernel, exact integer centering — engine-
   // reproducible from the raw bytes) → hyperplane-LSH embedding
@@ -4061,6 +4125,7 @@ object PipelineQueries {
     Q("m03_media_resize", "REAL image resize: engine-generated quadrant PNGs through decode -> bilinear -> re-encode (JDK codec), gate samples decoded pixels per quadrant against the closed-form oracle", m03, Some(m03Sql)),
     Q("m04_frame_sample", "n-slice frame sampling over video payloads", m04, Some(m04Sql)),
     Q("m05_media_neardup", "media near-dup screen: centered byte-histogram features -> hyperplane-LSH pairs vs exhaustive-cosine oracle", m05, Some(m05Sql)),
+    Q("m06_interleaved_pack", "interleaved multimodal packing: text + per-media placeholder runs through the unchanged Pack machinery; gate reassembles and reproduces text hash, run positions/widths and the media sha256 sequence", m06, Some(m06Sql)),
     Q("u01_upsert_merge", "new-wins MERGE upsert", u01, Some(u01Sql)),
     Q("u02_insert_if_absent", "ON CONFLICT DO NOTHING upsert (S8)", u02, Some(u02Sql)),
     Q("k01_salted_skew_join", "salted hot-key join == plain join", k01, Some(k01Sql)),

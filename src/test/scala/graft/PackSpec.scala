@@ -425,6 +425,45 @@ class PackSpec extends SparkSpec {
     packed.unpersist(); out.unpersist()
   }
 
+  test("interleaved multimodal round trip: streams reassemble exactly, at least one media run straddles a sequence boundary") {
+    val inter = graft.multimodal.Multimodal
+      .interleaved(Tables.documents(spark, sfDir)).persist()
+    val packed = Pack.packedSequencesTokens(
+      inter.select(col("doc_id"), col("jetons")), "doc_id", "jetons", 256).persist()
+    // full-array round trip: the re-cut must reproduce every interleaved
+    // stream bit-for-bit, placeholder runs included
+    val back = packed
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * 256L + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    val mismatches = inter.select(col("doc_id"), col("jetons"))
+      .join(back, Seq("doc_id"), "full")
+      .filter(col("jetons").isNull || col("toks").isNull ||
+        !(col("jetons") === col("toks")))
+      .count()
+    assert(mismatches == 0, "interleaved streams must round-trip the pack exactly")
+    // the claim only bites if some media run CROSSES a sequence cut:
+    // compute each image run's global interval from the provenance
+    val docStart = packed
+      .select(col("seq_id"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * 256L + col("d.debut_dans_seq")).as("deb"))
+      .groupBy(col("doc_id")).agg(min(col("deb")).as("g0"))
+    val straddling = inter.select(col("doc_id"), col("debut_image"))
+      .join(docStart, Seq("doc_id"))
+      .withColumn("gs", col("g0") + col("debut_image"))
+      .filter(expr("gs div 256 != (gs + 7) div 256"))
+      .count()
+    assert(straddling > 0,
+      "fixture must contain an image run straddling a sequence boundary")
+    inter.unpersist(); packed.unpersist()
+  }
+
   test("tombstone id typing: narrower integrals widen, nulls drop, non-integral ids fail loud") {
     val docsToks = Seq(
       (1L, Seq("a", "b")), (2L, Seq("c", "d")), (3L, Seq("e", "f"))
