@@ -394,11 +394,13 @@ private[graft] object RefreshPipeline {
       .write.mode("overwrite").parquet(s"$work/refreshed/selection")
     mark("write_selection")
 
-    // GATE: report read back THROUGH the refreshed artifacts — the
-    // persisted selection joined with per-doc fingerprints decoded from
-    // the refreshed store (evictee slices are pad-masked and their ids
-    // absent from the selection, so they drop out here)
-    spark.read.parquet(s"$work/refreshed/selection")
+    // GATE: report read back THROUGH the refreshed STORE — the selection
+    // (checkpointed above, persisted to refreshed/selection for readers)
+    // joined with per-doc fingerprints decoded from the store files
+    // (evictee slices are pad-masked and their ids absent from the
+    // selection, so they drop out here)
+    sel.withColumn("statut",
+        when(col("doc_id") <= t, lit("conserve")).otherwise(lit("entrant")))
       .join(storePerDoc(spark, s"$work/refreshed/store"), Seq("doc_id"))
       .select(col("doc_id"), col("statut"),
         md5(concat_ws(" ", col("toks"))).as("empreinte"),
