@@ -28,10 +28,13 @@ import graft.operators.{Curate, Decontaminate, Dedup, Pack}
   *      structure of the published pair graph, so components equal the
   *      one-shot graph's; a batch doc BRIDGING two published clusters
   *      correctly evicts the higher-canonical one;
-  *   4. decontamination both ways: the batch against (published ∪ new)
-  *      eval grams, and the published SURVIVORS against the NEW eval
-  *      grams only (new benchmarks can contaminate old docs — the one
-  *      pass here reads the persisted scrubbed parquet, never raw);
+  *   4. decontamination both ways in ONE merged screen, run
+  *      CONCURRENTLY with the near-dup chain (no data dependency): the
+  *      batch and the published survivors against (published ∪ new)
+  *      eval grams — survivors cannot hit the published grams (they
+  *      passed that screen at publish), so their verdicts reduce to the
+  *      new-grams check, and new benchmarks can evict old docs; the
+  *      survivor pass reads the persisted scrubbed parquet, never raw;
   *   5. budget RE-selection over narrow survivor stats (persisted stats
   *      minus evictions, plus fresh batch stats) — evictions can free
   *      budget that admits previously-just-over-the-line corpus docs;
@@ -86,7 +89,7 @@ private[graft] object RefreshPipeline {
   private val Pad = "<scrub>" // tombstone mask token (io07)
 
   /** Bump when any published-store layout or convention changes. */
-  private val format = "p06-refresh-v2"
+  private val format = "p06-refresh-v3"
 
   def workDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_p06_${Integer.toHexString(dir.hashCode)}"
@@ -124,9 +127,18 @@ private[graft] object RefreshPipeline {
       val corpus = graft.sources.Tables.documents(spark, dir).filter(col("doc_id") <= t)
       publish(spark, corpus, work)
       new java.io.File(work).mkdirs()
+      // the split point is part of the published generation — persisted
+      // so the per-batch refresh never re-aggregates the corpus for it
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/_SPLIT_T"), t.toString.getBytes)
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
   }
+
+  /** The published generation's split point (written by [[setup]]). */
+  private def publishedThreshold(work: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/_SPLIT_T"))).trim.toLong
 
   /** Build and persist every store of a corpus generation. Mirrors the
     * p04 one-shot stages exactly (curationKept/deconKept conventions),
@@ -260,7 +272,7 @@ private[graft] object RefreshPipeline {
       t0 = t1
     }
     val work = workDir(dir)
-    val t = splitThreshold(spark, dir)
+    val t = publishedThreshold(work)
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/refreshed"), true)
@@ -293,62 +305,81 @@ private[graft] object RefreshPipeline {
     // published hot list still skipping the census.
     val scrubbedStore = spark.read.parquet(s"$work/scrubbed")
     val sigStore = spark.read.parquet(s"$work/sigs")
-    val bSigs = Dedup.signaturesTokens(bScrubbed, "doc_id", "jetons", ShingleN, SigK)
-      .localCheckpoint(true)
-    val bandR = SigK / Bands
-    val bBands = bSigs.select(
-      col("doc_id").as("id_corpus"),
-      explode(org.apache.spark.sql.graft.TextExpr
-        .minhashBands(col("sig"), Bands, bandR)).as("bb"))
-    // parquet-footprint stats (no job); ×4 headroom for the columnar →
-    // row-object inflation of a broadcast build
-    val sigBytes = sigStore.queryExecution.optimizedPlan.stats.sizeInBytes
-    val narrowOk = sigBytes * 4 <= BigInt(Dedup.sigBroadcastBudget(spark))
-    val unionBands =
-      if (narrowOk) Some(spark.read.parquet(s"$work/bands").unionByName(bBands))
-      else None
-    val unionToks = scrubbedStore.select(col("doc_id"), col("jetons"))
-      .unionByName(bScrubbed.select(col("doc_id"), col("jetons")))
-    val newPairs = Dedup.minhashLshAgainstTokens(
-        bScrubbed, unionToks, "doc_id", "jetons", ShingleN, SigK, Bands, Threshold,
-        corpusSigs = Some(sigStore.unionByName(bSigs)),
-        hotBuckets = Some(spark.read.parquet(s"$work/hot")),
-        corpusBands = unionBands,
-        batchSigs = Some(bSigs))
-      .filter(col("id_batch") =!= col("id_corpus"))
-      .select(col("id_batch").as("id_a"), col("id_corpus").as("id_b"))
-    val labelEdges = spark.read.parquet(s"$work/labels")
-      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
-    val removed = Dedup.clusters(labelEdges.unionByName(newPairs))
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("doc_id"))
-      .localCheckpoint(true)
-    mark("neardup")
-    val bKept = bScrubbed.join(removed, Seq("doc_id"), "left_anti")
-
-    // 4: decontamination — batch vs ALL eval grams; published survivors
-    // vs the NEW eval grams only (one map-side pass over the persisted
-    // scrubbed corpus, new grams broadcast — the d16 scale shape)
-    val newEvalGrams = batch.filter(col("doc_id") % 50 === 0)
-      .select(explode(Text.shingles(col("text"), DeconN)).as("g")).distinct()
-      .localCheckpoint(true)
-    val bCont = Decontaminate.contaminatedIdsTokensVsGrams(
-      bKept, "doc_id", "jetons",
-      spark.read.parquet(s"$work/eval_grams").unionByName(newEvalGrams), DeconN)
-    val bFinal = bKept.join(bCont, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    mark("decon_batch")
     val stats = spark.read.parquet(s"$work/stats")
-    val cCont = Decontaminate.contaminatedIdsTokensVsGrams(
-      scrubbedStore.join(stats.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      "doc_id", "jetons", newEvalGrams, DeconN)
+    // the near-dup chain and the decontamination screen share NO data
+    // dependency (contamination is a per-doc property of the scrubbed
+    // grams; removing near-dups first only shrinks the screened set, and
+    // removed ∩ contaminated double-removal is harmless) — so the two
+    // screen chains run CONCURRENTLY, the way a production refresh
+    // overlaps independent stages. Spark schedules jobs from both
+    // threads; each future ends in an eager checkpoint, so nothing
+    // lazy escapes its thread.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val removedF = scala.concurrent.Future {
+      val bSigs = Dedup.signaturesTokens(bScrubbed, "doc_id", "jetons", ShingleN, SigK)
+        .localCheckpoint(true)
+      val bandR = SigK / Bands
+      val bBands = bSigs.select(
+        col("doc_id").as("id_corpus"),
+        explode(org.apache.spark.sql.graft.TextExpr
+          .minhashBands(col("sig"), Bands, bandR)).as("bb"))
+      // parquet-footprint stats (no job); ×4 headroom for the columnar →
+      // row-object inflation of a broadcast build
+      val sigBytes = sigStore.queryExecution.optimizedPlan.stats.sizeInBytes
+      val narrowOk = sigBytes * 4 <= BigInt(Dedup.sigBroadcastBudget(spark))
+      val unionBands =
+        if (narrowOk) Some(spark.read.parquet(s"$work/bands").unionByName(bBands))
+        else None
+      val unionToks = scrubbedStore.select(col("doc_id"), col("jetons"))
+        .unionByName(bScrubbed.select(col("doc_id"), col("jetons")))
+      val newPairs = Dedup.minhashLshAgainstTokens(
+          bScrubbed, unionToks, "doc_id", "jetons", ShingleN, SigK, Bands, Threshold,
+          corpusSigs = Some(sigStore.unionByName(bSigs)),
+          hotBuckets = Some(spark.read.parquet(s"$work/hot")),
+          corpusBands = unionBands,
+          batchSigs = Some(bSigs))
+        .filter(col("id_batch") =!= col("id_corpus"))
+        .select(col("id_batch").as("id_a"), col("id_corpus").as("id_b"))
+      val labelEdges = spark.read.parquet(s"$work/labels")
+        .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+      Dedup.clusters(labelEdges.unionByName(newPairs))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+        .localCheckpoint(true)
+    }
+    // 4: decontamination — ONE merged screen: the batch (pre-near-dup)
+    // AND the published survivors, against (published ∪ new) eval
+    // grams. Survivors cannot hit the published grams (they passed that
+    // exact screen at publish), so their verdicts reduce to the
+    // new-grams check; batch docs need the full union — one screen
+    // stack replaces the former two, and it runs while the LSH chain
+    // does.
+    val contaminatedF = scala.concurrent.Future {
+      val newEvalGrams = batch.filter(col("doc_id") % 50 === 0)
+        .select(explode(Text.shingles(col("text"), DeconN)).as("g")).distinct()
+      Decontaminate.contaminatedIdsTokensVsGrams(
+          bScrubbed.select(col("doc_id"), col("jetons"))
+            .unionByName(scrubbedStore
+              .join(stats.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("jetons"))),
+          "doc_id", "jetons",
+          spark.read.parquet(s"$work/eval_grams").unionByName(newEvalGrams), DeconN)
+        .localCheckpoint(true)
+    }
+    val removed = scala.concurrent.Await
+      .result(removedF, scala.concurrent.duration.Duration.Inf)
+    val contaminated = scala.concurrent.Await
+      .result(contaminatedF, scala.concurrent.duration.Duration.Inf)
+    mark("screens")
+    val dropped = removed.unionByName(contaminated)
+    val bFinal = bScrubbed.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    mark("batch_final")
 
     // 5: budget RE-selection over narrow merged stats
-    // eager: the corpus-survivor gram screen (cCont) must run ONCE —
-    // unchecked, the two-phase re-selection would re-run it per job
     val evicted = stats.select(col("doc_id"))
-      .join(removed.unionByName(cCont).distinct(), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    mark("decon_corpus_evict")
+      .join(dropped, Seq("doc_id"), "left_semi")
     val newStats = stats.join(evicted, Seq("doc_id"), "left_anti")
       .unionByName(bFinal.select(col("doc_id"),
         Text.qualityScore(concat_ws(" ", col("jetons"))).as("qualite"), col("n_jetons")))
@@ -364,20 +395,35 @@ private[graft] object RefreshPipeline {
     val published = spark.read.parquet(s"$work/selection")
     val evictees = published.select(col("doc_id"))
       .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // three consumers across two threads
     val entrants = sel.select(col("doc_id"))
       .join(published.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    Pack.tombstone(Pack.readShards(spark, s"$work/store/shards"), evictees, lit(Pad))
-      .write.mode("overwrite").partitionBy("shard_id")
-      .parquet(s"$work/refreshed/store/shards")
-    mark("tombstone_shards")
-    spark.read.parquet(s"$work/store/log")
-      .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
-      .withColumn("tranche",
-        when(col("__evince"), array_repeat(lit(Pad), col("n").cast("int")))
-          .otherwise(col("tranche")))
-      .drop("__evince")
-      .write.mode("overwrite").parquet(s"$work/refreshed/store/log")
-    mark("mask_log")
+    // the two mask writes and the selection write touch disjoint dirs
+    // and share no inputs beyond checkpointed frames — run them
+    // concurrently (the screens' convention above)
+    val shardsF = scala.concurrent.Future {
+      Pack.tombstone(Pack.readShards(spark, s"$work/store/shards"), evictees, lit(Pad))
+        .write.mode("overwrite").partitionBy("shard_id")
+        .parquet(s"$work/refreshed/store/shards")
+    }
+    val logF = scala.concurrent.Future {
+      spark.read.parquet(s"$work/store/log")
+        .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
+        .withColumn("tranche",
+          when(col("__evince"), array_repeat(lit(Pad), col("n").cast("int")))
+            .otherwise(col("tranche")))
+        .drop("__evince")
+        .write.mode("overwrite").parquet(s"$work/refreshed/store/log")
+    }
+    val selF = scala.concurrent.Future {
+      sel.withColumn("statut",
+          when(col("doc_id") <= t, lit("conserve")).otherwise(lit("entrant")))
+        .write.mode("overwrite").parquet(s"$work/refreshed/selection")
+    }
+    scala.concurrent.Await.result(shardsF, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(logF, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(selF, scala.concurrent.duration.Duration.Inf)
+    mark("mask_and_publish")
     val offset = Pack.recoveredOffset(spark,
       s"$work/refreshed/store/log", s"$work/refreshed/store/shards", SeqTokens, SeqsPerShard)
     val entrantToks = scrubbedStore
@@ -389,10 +435,6 @@ private[graft] object RefreshPipeline {
     Pack.finalizeSliceLog(spark, s"$work/refreshed/store/log",
       s"$work/refreshed/store/shards", SeqTokens, SeqsPerShard, numPartitions = 1)
     mark("append_finalize")
-    sel.withColumn("statut",
-        when(col("doc_id") <= t, lit("conserve")).otherwise(lit("entrant")))
-      .write.mode("overwrite").parquet(s"$work/refreshed/selection")
-    mark("write_selection")
 
     // GATE: report read back THROUGH the refreshed STORE — the selection
     // (checkpointed above, persisted to refreshed/selection for readers)
