@@ -209,11 +209,15 @@ object Multimodal {
     * layout pins the geometric mapping: a flip or transpose breaks the
     * hash). Same per-partition batch loop as every media kernel.
     */
-  def syntheticQuadPng(docs: DataFrame, w: Int = 80, h: Int = 40): DataFrame = {
+  def syntheticQuadPng(
+      docs: DataFrame, w: Int = 80, h: Int = 40, everyNth: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      // image-tier docs (%3), optionally every Nth of them: the codec
+      // kernel is per-image identical, so a deterministic subsample
+      // gates the same path at a fraction of the wall cost
+      .filter(pmod(col("doc_id"), lit(3 * everyNth)) === 0)
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions(_.map { id =>

@@ -1030,7 +1030,7 @@ object PipelineQueries {
     Multimodal
       .decodeQuadSample(
         Multimodal.resizeImagesReal(
-          Multimodal.syntheticQuadPng(Tables.documents(spark, dir)), 64, 64))
+          Multimodal.syntheticQuadPng(Tables.documents(spark, dir), everyNth = 5), 64, 64))
       .orderBy(col("media_id"), col("quadrant"))
   private val m03Sql =
     """SELECT doc_id AS media_id, CAST(q AS INT) AS quadrant,
@@ -1039,7 +1039,7 @@ object PipelineQueries {
       |     + ((17 * doc_id + 23 * q + 5) % 256) * 256
       |     + ((13 * doc_id + 41 * q + 3) % 256) AS INT) AS couleur
       |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS q) qs
-      |WHERE doc_id % 3 = 0
+      |WHERE doc_id % 15 = 0
       |ORDER BY media_id, quadrant""".stripMargin
 
   // ---------------------------------------------------------------------

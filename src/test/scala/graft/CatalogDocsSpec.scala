@@ -43,16 +43,14 @@ class CatalogDocsSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle (full hash gate, not rows-only)") {
-    // the ONLY permitted rows-only gate: s13's recall values depend on
-    // the trained k-means model, which SQL cannot re-derive (its alarm
-    // semantics are pinned by StreamingSpec's independent recall
-    // recomputation instead). Anything else without an oracle is drift.
-    val allowedRowsOnly = Set("s13_stream_ann_drift")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
+    // ZERO rows-only cells since round 16: even s13 — whose recall in
+    // the production configuration depends on a trained k-means model
+    // SQL cannot re-derive — gates in its EXHAUSTIVE configuration,
+    // where served ≡ brute makes every drift row SQL-derivable (the
+    // production alarm semantics stay pinned by StreamingSpec's
+    // independent recall recomputation). Any query without an oracle
+    // is drift.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: ${missing.toSeq.sorted.mkString(", ")}")
-    // the exception list must not rot: each named query really is gated
-    // rows-only, and really exists
-    assert((allowedRowsOnly -- SparkEntry.queries.keySet).isEmpty)
-    assert((allowedRowsOnly & SparkEntry.oracleSql.keySet).isEmpty)
   }
 }
