@@ -163,4 +163,60 @@ class RefreshSpec extends SparkSpec {
   }
 
   private def Pack = graft.operators.Pack
+
+  test("incremental scaling law: refresh shuffle bytes track the BATCH, not the corpus") {
+    // two fixtures, IDENTICAL 10-doc batch, corpus 10× apart: the
+    // refresh must probe every corpus-scale artifact map-side (span-gram
+    // store, signature store + band index, persisted scrubbed corpus),
+    // so its shuffled bytes stay nearly flat while the publish — which
+    // legitimately pays corpus-scale exchanges — grows with the corpus.
+    // This is THE property that makes p06 the 100 TB loop rather than a
+    // re-run: a corpus-keyed exchange sneaking into the refresh shows up
+    // here as ~10× bytes. Both fixtures exercise live deltas (the
+    // 1.0-quality batch displaces 0.75-quality corpus tail docs).
+    def mkDocs(n: Int): Seq[(Long, String)] = {
+      // every corpus doc quality 0.75 (no stopword), every batch doc 1.0
+      // ("the") — so the batch ALWAYS heads the re-selection whatever n,
+      // displacing the corpus tail: entrants and evictees live at both
+      // fixture sizes
+      val corpus = (1 to n).map { i =>
+        (i.toLong, (1 to 60).map(j => s"c${i}w$j").mkString(" "))
+      }
+      val batch = (1 to 10).map { i =>
+        ((10L * n) + i, (1 to 60).map(j => s"b${i}w$j").updated(1, "the").mkString(" "))
+      }
+      corpus ++ batch
+    }
+    def measured(n: Int): (Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rsc_${n}_").toString
+      try {
+        import spark.implicits._
+        mkDocs(n).toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val (_, _, wPub) = org.apache.spark.graft.ShuffleMeter
+          .measure(spark.sparkContext) { RefreshPipeline.setup(spark, dir) }
+        val (rows, _, wRef) = org.apache.spark.graft.ShuffleMeter
+          .measure(spark.sparkContext) { RefreshPipeline.run(spark, dir).collect() }
+        // deltas must be LIVE in both fixtures or the law is vacuous
+        assert(rows.exists(_.getString(1) == "entrant"),
+          s"fixture n=$n drifted: the batch must enter the selection")
+        (wPub, wRef)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(RefreshPipeline.workDir(dir)))
+      }
+    }
+    val (pubSmall, refSmall) = measured(200)
+    val (pubBig, refBig) = measured(2000)
+    // sanity: the corpus really did grow — publish bytes scale with it
+    assert(pubBig > pubSmall * 4,
+      s"fixture drifted: publish bytes $pubSmall -> $pubBig should grow with the corpus")
+    // the law: refresh bytes near-flat under 10× corpus (narrow survivor
+    // stats are the only corpus-∝ exchange — ~bytes-per-doc, far under
+    // the 3× allowance; a corpus-keyed token exchange would read ~10×)
+    assert(refBig < refSmall * 3 + (1L << 20),
+      s"refresh shuffled $refSmall -> $refBig bytes under a 10× corpus — " +
+        "a corpus-scale relation is crossing an exchange")
+  }
 }
