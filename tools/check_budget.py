@@ -2,10 +2,25 @@
 """Check a graft Bench JSON line against the BASELINE.md budget rule.
 
 Usage: python3 tools/check_budget.py BENCH.json [--per-query 6.0] [--total 95.0]
+           [--bytes-vs PREV.json [--bytes-tol 0.02]] [--margin 0.10]
 
 Exit 0 when every query is within the per-query budget and the catalog
 total is within the total budget; exit 1 otherwise, listing offenders.
 Negative times mean the query FAILED in Bench (always a violation).
+
+--bytes-vs PREV.json: the mechanical TOTAL-violation adjudication the
+r16 review did by hand — diff shuffle_write_bytes per cell against a
+prior round's bench line. Bytes are box-independent and rep-stable, so
+a TOTAL violation whose cells are byte-identical to the prior round is
+probe-mistracking on a phasing box, not a regression. Flags every
+common cell whose byte delta exceeds --bytes-tol (default 2%), and
+lists added/removed cells separately (never a failure by themselves).
+Byte drift makes the exit code 1 only together with a budget
+violation; on a green budget it is informational.
+
+--margin FRAC: also report (and fail below) the TOTAL headroom margin,
+(budget - total) / budget. The r16 lesson: a catalog living AT the
+budget line passes or fails on probe luck; the round target is >=10%.
 """
 import argparse
 import json
@@ -17,6 +32,12 @@ def main() -> int:
     ap.add_argument("bench_json")
     ap.add_argument("--per-query", type=float, default=6.0)
     ap.add_argument("--total", type=float, default=95.0)
+    ap.add_argument("--bytes-vs", metavar="PREV_JSON",
+                    help="prior-round bench line to byte-diff against")
+    ap.add_argument("--bytes-tol", type=float, default=0.02,
+                    help="relative shuffle_write_bytes delta that counts as drift")
+    ap.add_argument("--margin", type=float, default=None,
+                    help="required TOTAL headroom fraction, e.g. 0.10")
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
@@ -33,8 +54,47 @@ def main() -> int:
     if total > args.total:
         bad.append(f"TOTAL   {total:.1f}s > {args.total}s")
 
+    margin = (args.total - total) / args.total
     print(f"queries={len(queries)} total={total:.1f}s "
-          f"max={max(queries.values()):.2f}s budget: per-query<={args.per_query}s total<={args.total}s")
+          f"max={max(queries.values()):.2f}s budget: per-query<={args.per_query}s "
+          f"total<={args.total}s margin={margin:+.1%}")
+    if args.margin is not None and margin < args.margin:
+        bad.append(f"MARGIN  {margin:+.1%} < required {args.margin:.0%}")
+
+    if args.bytes_vs:
+        with open(args.bytes_vs) as f:
+            prev = json.load(f)
+        cur_b = bench.get("shuffle_write_bytes", {})
+        prev_b = prev.get("shuffle_write_bytes", {})
+        common = sorted(set(cur_b) & set(prev_b))
+        added = sorted(set(cur_b) - set(prev_b))
+        removed = sorted(set(prev_b) - set(cur_b))
+        drift = []
+        identical = 0
+        for name in common:
+            a, b = prev_b[name], cur_b[name]
+            if a == b:
+                identical += 1
+                continue
+            rel = abs(b - a) / max(a, b, 1)
+            if rel > args.bytes_tol:
+                drift.append(f"BYTES   {name}: {a} -> {b} ({rel:+.1%})")
+        print(f"bytes-vs {args.bytes_vs}: {len(common)} common cells, "
+              f"{identical} byte-IDENTICAL, {len(drift)} drifted >"
+              f"{args.bytes_tol:.0%}, {len(added)} added, {len(removed)} removed")
+        for line in drift:
+            print(line)
+        if added:
+            print("added:   " + " ".join(added))
+        if removed:
+            print("removed: " + " ".join(removed))
+        if bad and not drift:
+            print("ADJUDICATION: budget violation with zero byte drift on common "
+                  "cells — probe-mistracking class (r16 convention), not a "
+                  "code regression. Re-run on a quiet box before concluding.")
+        # drift alone never fails the check: deliberate redesigns move bytes
+        # and are adjudicated in the round notes, not by this tool
+
     if bad:
         print("\n".join(bad))
         return 1
