@@ -118,6 +118,10 @@ object Bench {
     // state); the measured query is the republish + serve
     try { graft.queries.PipelineQueries.e10Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // e11's base-index publish (the pre-refresh store state); the
+    // measured query is the append+tombstone maintenance + serve
+    try { graft.queries.PipelineQueries.e11Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // s15's feed staging + eval-gram store publish: same category
     try { graft.queries.PipelineQueries.s15Setup(spark, sfDir) }
     catch { case _: Throwable => () }
@@ -128,10 +132,17 @@ object Bench {
     // s16's feed staging + classifier publish: same category
     try { graft.queries.PipelineQueries.s16Setup(spark, sfDir) }
     catch { case _: Throwable => () }
-    // p06's corpus-generation publish (scrubbed corpus + screen stores +
-    // packed store): what "the corpus is ingested" means in production;
-    // the measured query is the incremental refresh against it
+    // p06's generation-0 publish + maintaining batch-1 refresh (scrubbed
+    // corpus + screen stores + packed store, then generation 1): what
+    // "the corpus is ingested and one refresh window has landed" means
+    // in production; the measured query is the SECOND refresh — the
+    // chained hop
     try { graft.queries.PipelineQueries.p06Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
+    // the curation trio's shared front (scrub → span → near-dup kept
+    // relation + decon id list): the published cleaned-corpus artifact
+    // each training-run cell (p03/p04/p05) curates over
+    try { graft.queries.PipelineQueries.p0345Setup(spark, sfDir) }
     catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10

@@ -236,8 +236,8 @@ object AnnIndex {
     newVersion
   }
 
-  /** Repair any crashed [[republish]]/[[compact]] swap — called by the
-    * store read paths before touching files.
+  /** Repair any crashed [[republish]]/[[compact]]/[[tombstone]] swap —
+    * called by the store read paths before touching files.
     */
   private def recoverStore(spark: SparkSession, dir: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -245,6 +245,43 @@ object AnnIndex {
     Swap.recover(fs, new org.apache.hadoop.fs.Path(s"${dir}_republish_tmp"), dirPath)
     Swap.recover(fs, new org.apache.hadoop.fs.Path(s"$dir/codes_compact_tmp"),
       new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    Swap.recover(fs, new org.apache.hadoop.fs.Path(s"$dir/codes_tombstone_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes"))
+  }
+
+  /** DELETION for the index store — the refresh loop's evictee path
+    * ([[graft.operators.Pack.tombstone]]'s twin in the vector tier,
+    * and the op that makes e09/e10's append/republish pair a full
+    * maintenance set): drop every indexed row whose id is in `ids`,
+    * rewriting `codes/` aside and swapping it in atomically (the
+    * [[compact]] staging contract; [[recoverStore]] repairs a crash).
+    * Codes rows carry no positional provenance — the packed TEXT store
+    * must pad-mask in place to freeze global offsets, but an index row
+    * set just shrinks — so deletion is an honest anti-join rewrite:
+    * O(store) NARROW bytes (a few per vector, the [[compact]] cost
+    * class, never the raw dim·4 vectors), and a cell-partitioned
+    * production store would prune the rewrite to touched files.
+    * Idempotent: re-running with the same ids converges to the same
+    * row set. Centroids/codebooks are untouched — deletion never
+    * retrains (the frozen-model contract; the drift monitor decides
+    * when retraining is due).
+    */
+  def tombstone(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    recoverStore(spark, dir)
+    val codesDir = s"$dir/codes"
+    val tmpDir = s"$dir/codes_tombstone_tmp"
+    val stored = spark.read.parquet(codesDir)
+    val idName = stored.schema.fieldNames.head
+    val idType = stored.schema.fields.head.dataType
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpPath, true)
+    stored.join(
+        ids.select(col(ids.schema.fieldNames.head).cast(idType).as(idName))
+          .filter(col(idName).isNotNull),
+        Seq(idName), "left_anti")
+      .write.mode("overwrite").parquet(tmpDir)
+    Swap.publish(fs, tmpPath, new org.apache.hadoop.fs.Path(codesDir))
   }
 
   /** Compact the append-fragmented `codes/` store: every [[append]]

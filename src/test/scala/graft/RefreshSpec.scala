@@ -4,32 +4,42 @@ import org.apache.spark.sql.functions._
 import graft.queries.RefreshPipeline
 import graft.functions.Text
 
-/** Engine-side mechanics of the p06 incremental refresh that the DuckDB
-  * oracle gate cannot see (it hashes the final report only): a
-  * CONSTRUCTED corpus forces every hard refresh path at once —
+/** Engine-side mechanics of the p06 CHAINED incremental refresh that the
+  * DuckDB oracle gate cannot see (it hashes the final report only): a
+  * CONSTRUCTED corpus forces every hard refresh path at once, ACROSS the
+  * generation chain (gen-0 publish → maintaining refresh of batch-1 →
+  * gen-1 → timed refresh of batch-2 → gen-2) —
   *
-  *   - a batch doc BRIDGING two published near-dup clusters (similar to
-  *     both A and B while A≁B), evicting the higher-canonical survivor;
-  *   - a NEW benchmark doc in the batch contaminating a doc the
-  *     published generation had SELECTED (eviction through the
-  *     corpus-survivors-vs-new-eval-grams pass, in the SHARD tier);
+  *   - a batch-2 doc BRIDGING two published near-dup clusters (similar
+  *     to both A and B while A≁B), evicting the higher-canonical
+  *     survivor THROUGH the generation-1 label store;
+  *   - a NEW benchmark doc in batch-2 contaminating a doc generation 0
+  *     had SELECTED (eviction through the survivors-vs-new-eval-grams
+  *     pass, in the SHARD tier);
+  *   - a batch-1 ENTRANT that generation 1 admits, whose slices the
+  *     batch-2 refresh must both preserve (it stays selected) and whose
+  *     store/stat/label/gram state must flow through gen-1's layers;
   *   - budget RE-ADMISSION: the evictions free enough tokens that a
   *     corpus doc the published selection had cut at the budget line
   *     enters — a 'conserve'-statut doc that must nonetheless APPEND to
-  *     the store (its tokens read from the persisted scrubbed corpus,
+  *     the store (its tokens read from the persisted scrubbed LAYERS,
   *     never raw);
   *   - store invariants: evictee slices pad-masked in BOTH tiers
   *     (shards and open-tail log), surviving conserve docs keep their
   *     PUBLISHED global positions bit-for-bit, entrants land at
-  *     deb ≥ the published high-water mark.
+  *     deb ≥ generation 1's high-water mark.
   *
-  * Layout arithmetic of the fixture (budget 10000, seq 256, shard 8):
-  * publish selects D(id1,2400) F(2,3,4 ×2400) A(10,9) B(11,9) = 9618
-  * tokens → 4 whole shards cover [0,8192), log holds the tail — so the
-  * contaminated D lives in the SHARD tier and the bridge-evicted B in
-  * the LOG tier, exercising both mask paths. W(70, 500 tok, quality
-  * 0.25) crosses the line at 10118 → published OUT; after D+B evict,
-  * the refreshed prefix is F 7200, G(95) 7250, A 7259, W 7759 → W in.
+  * Layout arithmetic of the fixture (budget 10000, seq 256, shard 8,
+  * max id 100 ⇒ t1 = 80, t2 = 90): gen-0 (ids ≤ 80) selects D(1,2400)
+  * F(2,3,4 ×2400) A(10,9) B(11,9) = 9618 tokens → 4 whole shards cover
+  * [0,8192), log holds the tail — so the contaminated D lives in the
+  * SHARD tier and the bridge-evicted B in the LOG tier, exercising both
+  * mask paths. W(70, 500 tok, quality 0.25) crosses the line at
+  * 10118 → published OUT. Batch-1 = {H(85, 40 tok)}: gen-1 admits it
+  * (9658 ≤ 10000), appending [9618,9658) to the log tier. Batch-2 =
+  * {93 bridge, 95 entrant, 100 new benchmark}: after D+B evict, the
+  * refreshed prefix is F 7200, H(85) 7240, G(95) 7290, A 7299,
+  * W 7799 → W in.
   */
 class RefreshSpec extends SparkSpec {
 
@@ -47,12 +57,13 @@ class RefreshSpec extends SparkSpec {
     4L -> fill("fc", 2400),
     10L -> (core + " alfa1 alfa2 alfa3"), // A: bridge cluster canonical (survives)
     11L -> (core + " beta1 beta2 beta3"), // B: bridge-evicted (jaccard(A,B)=0.4 < 0.5)
-    50L -> fill("ev", 30), // published-generation benchmark (id%50=0): self-removes at publish
+    50L -> fill("ev", 30), // gen-0 benchmark (id%50=0): self-removes at publish
     // W: 13-char dotty tokens → punct 0.214 > 0.2, mean length 13 > 12,
     // no EN stopword ('a' would hit the \b list) → quality 0.25 exactly
     70L -> (1 to 500).map(i => f"w$i%04d.qq.xx.z").mkString(" "),
+    85L -> fill("h", 40), // H: the batch-1 doc generation 1 admits
     93L -> core, // the BRIDGE (jaccard 4/7 to both A and B); non-canonical, self-removes
-    95L -> fill("g", 50), // plain batch entrant
+    95L -> fill("g", 50), // plain batch-2 entrant
     100L -> (fill("e", 20) + " " + phrase + " " + (21 to 30).map(i => s"e$i").mkString(" "))
   ) // 100: the NEW benchmark (id%50=0) whose grams evict D
 
@@ -74,7 +85,8 @@ class RefreshSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  test("p06 refresh: bridge eviction, new-benchmark eviction, budget re-admission, store masking and append positions") {
+  test("p06 chained refresh: bridge eviction through gen-1 labels, new-benchmark eviction, " +
+      "budget re-admission, gen-1 layer contents, store masking and append positions") {
     withFixture { dir =>
       // fixture guard: the engineered quality tiers the arithmetic
       // above assumes (drifting Text.qualityScore would invalidate
@@ -83,30 +95,53 @@ class RefreshSpec extends SparkSpec {
       val q = docs().toDF("doc_id", "text")
         .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(Seq(1L, 2L, 3L, 4L, 95L).forall(q(_) == 1.0), s"filler tier drifted: $q")
+      assert(Seq(1L, 2L, 3L, 4L, 85L, 95L).forall(q(_) == 1.0), s"filler tier drifted: $q")
       assert(q(10L) == 0.5 && q(11L) == 0.5 && q(93L) == 0.5, s"core tier drifted: $q")
       assert(q(70L) == 0.25, s"budget-line doc drifted: ${q(70L)}")
 
       val report = RefreshPipeline.run(spark, dir)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(4), r.getLong(5)))
-      val work = RefreshPipeline.workDir(dir)
+      val gen0 = RefreshPipeline.gen0Dir(dir)
+      val gen1 = RefreshPipeline.gen1Dir(dir)
+      val gen2 = RefreshPipeline.gen2Dir(dir)
 
-      // the published generation selected D and B and cut W at the line
-      val published = spark.read.parquet(s"$work/selection")
+      // generation 0 (ids ≤ 80) selected D and B and cut W at the line
+      val pub0 = spark.read.parquet(s"$gen0/selection")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(published == Set(1L, 2L, 3L, 4L, 10L, 11L),
-        s"published selection drifted: $published")
+      assert(pub0 == Set(1L, 2L, 3L, 4L, 10L, 11L),
+        s"gen-0 selection drifted: $pub0")
+      // generation 1 admitted the batch-1 entrant H(85)
+      val pub1 = spark.read.parquet(s"$gen1/selection")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(pub1 == Set(1L, 2L, 3L, 4L, 10L, 11L, 85L),
+        s"gen-1 selection drifted: $pub1")
 
-      // refreshed selection: D(1) contaminated-evicted, B(11)
-      // bridge-evicted, W(70) re-admitted, G(95) the entrant;
-      // statut is corpus membership (id ≤ 9·max/10 = 90)
+      // gen-1 LAYER contents: batch-scale deltas only in the append-only
+      // stores (H's rows — never a rewrite of the standing corpus), the
+      // new split point, and a stats store carrying gen-0 survivors ∪ H
+      assert(spark.read.parquet(s"$gen1/scrubbed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(85L),
+        "gen-1 scrubbed layer must hold ONLY the batch-1 delta")
+      assert(spark.read.parquet(s"$gen1/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(85L),
+        "gen-1 sig layer must hold ONLY the batch-1 delta")
+      assert(RefreshPipeline.publishedThreshold(gen1) == 90L)
+      assert(spark.read.parquet(s"$gen1/stats")
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 4L, 10L, 11L, 70L, 85L),
+        "gen-1 stats must be gen-0 survivors ∪ the batch-1 survivor")
+
+      // refreshed (gen-2) selection: D(1) contaminated-evicted, B(11)
+      // bridge-evicted, W(70) re-admitted, H(85) conserved, G(95) the
+      // entrant; statut is generation-1 membership (id ≤ t2 = 90)
       assert(report.map(t => (t._1, t._2)).toSeq ==
         Seq((2L, "conserve"), (3L, "conserve"), (4L, "conserve"),
-          (10L, "conserve"), (70L, "conserve"), (95L, "entrant")))
+          (10L, "conserve"), (70L, "conserve"), (85L, "conserve"), (95L, "entrant")))
       // running totals of the re-selection (quality desc, id asc)
       assert(report.map(t => t._1 -> t._5).toMap ==
-        Map(2L -> 2400L, 3L -> 4800L, 4L -> 7200L, 95L -> 7250L, 10L -> 7259L, 70L -> 7759L))
+        Map(2L -> 2400L, 3L -> 4800L, 4L -> 7200L, 85L -> 7240L, 95L -> 7290L,
+          10L -> 7299L, 70L -> 7799L))
       // fingerprints decode bit-for-bit through the refreshed store
       val txt = docs().toMap
       report.foreach { case (id, _, emp, n, _) =>
@@ -115,12 +150,12 @@ class RefreshSpec extends SparkSpec {
       }
 
       // store forensics: per-slice rows of both refreshed tiers
-      val shardSlices = Pack.readShards(spark, s"$work/refreshed/store/shards")
+      val shardSlices = Pack.readShards(spark, s"$gen2/store/shards")
         .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
         .select(col("d.doc_id").as("doc_id"),
           (col("seq_id") * 256L + col("d.debut_dans_seq")).as("deb"),
           expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
-      val logSlices = spark.read.parquet(s"$work/refreshed/store/log")
+      val logSlices = spark.read.parquet(s"$gen2/store/log")
         .select(col("doc_id"), col("deb"), col("tranche"))
       val slices = shardSlices.unionByName(logSlices).cache()
 
@@ -138,75 +173,97 @@ class RefreshSpec extends SparkSpec {
         slices.filter(col("doc_id") === 11L).count() > 0,
         "fixture drifted: the bridge evictee must sit in the log tier")
 
-      // (b) conserve docs keep their PUBLISHED positions bit-for-bit
-      val pubShardSlices = Pack.readShards(spark, s"$work/store/shards")
+      // (b) conserve docs — including gen-1's entrant H(85) — keep their
+      // generation-1 positions bit-for-bit
+      val pubShardSlices = Pack.readShards(spark, s"$gen1/store/shards")
         .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
         .select(col("d.doc_id").as("doc_id"),
           (col("seq_id") * 256L + col("d.debut_dans_seq")).as("deb"),
           expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
-      val pubLogSlices = spark.read.parquet(s"$work/store/log")
+      val pubLogSlices = spark.read.parquet(s"$gen1/store/log")
         .select(col("doc_id"), col("deb"), col("tranche"))
       val pub = pubShardSlices.unionByName(pubLogSlices)
-        .filter(col("doc_id").isin(2L, 3L, 4L, 10L))
-      assert(slices.filter(col("doc_id").isin(2L, 3L, 4L, 10L))
+        .filter(col("doc_id").isin(2L, 3L, 4L, 10L, 85L))
+      assert(slices.filter(col("doc_id").isin(2L, 3L, 4L, 10L, 85L))
         .unionByName(pub).distinct().count() == pub.count(),
         "surviving conserve docs must keep their published slices verbatim")
+      // H(85) appended by generation 1 at gen-0's high-water mark
+      assert(pub.filter(col("doc_id") === 85L)
+        .agg(min(col("deb"))).collect()(0).getLong(0) == 9618L,
+        "gen-1 must have appended the batch-1 entrant at gen-0's high-water mark")
 
       // (c) entrants — including the re-ADMITTED conserve doc W(70) —
-      // append at deb ≥ the published high-water mark (9618)
+      // append at deb ≥ generation 1's high-water mark (9658)
       val entrantDebs = slices.filter(col("doc_id").isin(70L, 95L))
         .agg(min(col("deb"))).collect()(0).getLong(0)
-      assert(entrantDebs >= 9618L,
-        s"entrants must append after the published region, got min deb $entrantDebs")
+      assert(entrantDebs >= 9658L,
+        s"entrants must append after the gen-1 region, got min deb $entrantDebs")
       slices.unpersist()
+    }
+  }
+
+  test("storePerDoc: a store with no live slice in either tier yields an empty, " +
+      "well-schemaed frame (the everything-evicted generation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh_empty_").toString
+    try {
+      val out = RefreshPipeline.storePerDoc(spark, s"$dir/store")
+      assert(out.columns.toSeq == Seq("doc_id", "toks"))
+      assert(out.count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
 
   private def Pack = graft.operators.Pack
 
+  // shared law harness: two fixtures, IDENTICAL 10-doc final batch,
+  // corpus 10× apart; returns (publish+gen-1 bytes, timed-refresh bytes)
+  private def mkDocs(n: Int): Seq[(Long, String)] = {
+    // every corpus doc quality 0.75 (no stopword), every batch doc 1.0
+    // ("the") — so the batch ALWAYS heads the re-selection whatever n,
+    // displacing the corpus tail: entrants and evictees live at both
+    // fixture sizes. Batch ids 10n+1.. sit past t2 = ⌊9·max/10⌋, so the
+    // TIMED hop-2 refresh sees exactly this batch (batch-1 is empty —
+    // the idle-window path, exercised by every law run).
+    val corpus = (1 to n).map { i =>
+      (i.toLong, (1 to 60).map(j => s"c${i}w$j").mkString(" "))
+    }
+    val batch = (1 to 10).map { i =>
+      ((10L * n) + i, (1 to 60).map(j => s"b${i}w$j").updated(1, "the").mkString(" "))
+    }
+    corpus ++ batch
+  }
+
+  private def measured(n: Int): (Long, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_rsc_${n}_").toString
+    try {
+      import spark.implicits._
+      mkDocs(n).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val (_, _, wPub) = org.apache.spark.graft.ShuffleMeter
+        .measure(spark.sparkContext) { RefreshPipeline.setup(spark, dir) }
+      val (rows, _, wRef) = org.apache.spark.graft.ShuffleMeter
+        .measure(spark.sparkContext) { RefreshPipeline.run(spark, dir).collect() }
+      // deltas must be LIVE in both fixtures or the law is vacuous
+      assert(rows.exists(_.getString(1) == "entrant"),
+        s"fixture n=$n drifted: the batch must enter the selection")
+      (wPub, wRef)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(RefreshPipeline.workDir(dir)))
+    }
+  }
+
   test("incremental scaling law: refresh shuffle bytes track the BATCH, not the corpus") {
     // two fixtures, IDENTICAL 10-doc batch, corpus 10× apart: the
-    // refresh must probe every corpus-scale artifact map-side (span-gram
-    // store, signature store + band index, persisted scrubbed corpus),
-    // so its shuffled bytes stay nearly flat while the publish — which
-    // legitimately pays corpus-scale exchanges — grows with the corpus.
-    // This is THE property that makes p06 the 100 TB loop rather than a
-    // re-run: a corpus-keyed exchange sneaking into the refresh shows up
-    // here as ~10× bytes. Both fixtures exercise live deltas (the
-    // 1.0-quality batch displaces 0.75-quality corpus tail docs).
-    def mkDocs(n: Int): Seq[(Long, String)] = {
-      // every corpus doc quality 0.75 (no stopword), every batch doc 1.0
-      // ("the") — so the batch ALWAYS heads the re-selection whatever n,
-      // displacing the corpus tail: entrants and evictees live at both
-      // fixture sizes
-      val corpus = (1 to n).map { i =>
-        (i.toLong, (1 to 60).map(j => s"c${i}w$j").mkString(" "))
-      }
-      val batch = (1 to 10).map { i =>
-        ((10L * n) + i, (1 to 60).map(j => s"b${i}w$j").updated(1, "the").mkString(" "))
-      }
-      corpus ++ batch
-    }
-    def measured(n: Int): (Long, Long) = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_rsc_${n}_").toString
-      try {
-        import spark.implicits._
-        mkDocs(n).toDF("doc_id", "text").coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        val (_, _, wPub) = org.apache.spark.graft.ShuffleMeter
-          .measure(spark.sparkContext) { RefreshPipeline.setup(spark, dir) }
-        val (rows, _, wRef) = org.apache.spark.graft.ShuffleMeter
-          .measure(spark.sparkContext) { RefreshPipeline.run(spark, dir).collect() }
-        // deltas must be LIVE in both fixtures or the law is vacuous
-        assert(rows.exists(_.getString(1) == "entrant"),
-          s"fixture n=$n drifted: the batch must enter the selection")
-        (wPub, wRef)
-      } finally {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(RefreshPipeline.workDir(dir)))
-      }
-    }
+    // refresh must probe every corpus-scale artifact map-side (layered
+    // span-gram store, signature store + band index, persisted scrubbed
+    // layers), so its shuffled bytes stay nearly flat while the
+    // publish+gen-1 maintenance — which legitimately pays corpus-scale
+    // exchanges — grows with the corpus. This is THE property that
+    // makes p06 the 100 TB loop rather than a re-run: a corpus-keyed
+    // exchange sneaking into the refresh shows up here as ~10× bytes.
     val (pubSmall, refSmall) = measured(200)
     val (pubBig, refBig) = measured(2000)
     // sanity: the corpus really did grow — publish bytes scale with it
@@ -218,5 +275,23 @@ class RefreshSpec extends SparkSpec {
     assert(refBig < refSmall * 3 + (1L << 20),
       s"refresh shuffled $refSmall -> $refBig bytes under a 10× corpus — " +
         "a corpus-scale relation is crossing an exchange")
+  }
+
+  test("scaling-law NEGATIVE CONTROL: a planted corpus-keyed exchange in the refresh " +
+      "makes the law assertion fire (the z99 convention)") {
+    // a silently-regressed law test reads as a green round — prove the
+    // meter + inequality still catch the regression class they exist
+    // for by planting exactly one (conf-gated, never set in production
+    // code paths) corpus-scale token exchange inside refreshGen
+    spark.conf.set("spark.graft.plant.refreshCorpusExchange", "1")
+    try {
+      val (_, refSmall) = measured(200)
+      val (_, refBig) = measured(2000)
+      assert(!(refBig < refSmall * 3 + (1L << 20)),
+        s"planted corpus exchange went UNDETECTED ($refSmall -> $refBig bytes): " +
+          "the scaling-law test would no longer catch a real regression")
+    } finally {
+      spark.conf.unset("spark.graft.plant.refreshCorpusExchange")
+    }
   }
 }

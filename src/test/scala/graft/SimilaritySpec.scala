@@ -300,6 +300,17 @@ class SimilaritySpec extends SparkSpec {
       }
       val (cellsBefore, tuplesBefore) = driftTuples()
       val union = em.select(col("vec_id"), col("embedding")).unionByName(arrivals)
+      // the MONITOR GATES THE REPUBLISH (the s13 → e10 composition): the
+      // production-config recall probe on the drifted planted-twin
+      // sample must alarm on the frozen store — and the republish below
+      // runs BECAUSE it did, never as a per-batch reflex
+      val recBefore = graft.operators.AnnIndex.recallProbe(spark, ix, wave(1), union,
+        "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 16)
+        .agg(avg(col("rappel"))).collect()(0).getDouble(0)
+      info(s"pre-republish drifted-regime recall@1 = $recBefore")
+      val alarm = recBefore < 0.8 // the s13 RecallFloor
+      assert(alarm,
+        s"fixture check: the drifted regime must alarm at production config ($recBefore)")
       val v2 = graft.operators.AnnIndex.republish(union, "vec_id", "embedding", ix,
         nList = 16, m = 8, codes = 16, iters = 3)
       assert(v2 == 2L && graft.operators.AnnIndex.version(spark, ix) == 2L)
@@ -331,5 +342,50 @@ class SimilaritySpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
+  }
+
+  test("AnnIndex.tombstone: append ∘ tombstone ≡ the refreshed selection's code rows; " +
+      "survivors untouched, model frozen, re-run converges, swap aside gone") {
+    val em = Tables.embeddings(spark, sfDir)
+    val batch = graft.streaming.IngestSemantic.batchFeed(em)
+    val evict = em.filter(col("vec_id") % 4 === 1).select(col("vec_id"))
+    val base = java.nio.file.Files.createTempDirectory("graft_anntomb_").toString
+    val ix = s"$base/ix"
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.append(batch, "vec_id", "embedding", ix)
+      val before = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      val (centsBefore, _) = graft.operators.AnnIndex.readModel(spark, ix)
+      graft.operators.AnnIndex.tombstone(spark, ix, evict)
+      val evicted = evict.collect().map(_.getLong(0)).toSet
+      val after = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      // exactly the refreshed selection: (base − evictees) ∪ batch —
+      // and every surviving row BIT-IDENTICAL to its pre-tombstone self
+      // (deletion re-encodes nothing)
+      assert(after.keySet == before.keySet -- evicted,
+        "tombstone must drop exactly the eviction set")
+      assert(after.forall { case (id, row) => before(id) == row },
+        "surviving code rows must be untouched")
+      // the model is frozen: deletion never retrains
+      val (centsAfter, _) = graft.operators.AnnIndex.readModel(spark, ix)
+      assert(centsBefore.map(_.toSeq).toSeq == centsAfter.map(_.toSeq).toSeq,
+        "tombstone must not touch the trained model")
+      assert(!new java.io.File(s"$ix/codes_tombstone_tmp").exists(),
+        "the aside dir must be gone after a successful swap")
+      // idempotence: the refresh loop may retry a maintenance window
+      graft.operators.AnnIndex.tombstone(spark, ix, evict)
+      val again = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      assert(again == after, "re-running the same tombstone must converge")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  implicit private class Tuple3Map[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(t => t._1 -> ((t._2, t._3))).toMap
   }
 }
