@@ -122,7 +122,7 @@ object IncrementalEtl {
       .toSet
     val stream = spark.readStream
       .schema(orderSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(feedDir)
       .select(
         col("o_orderkey").as("source_commande_id"),

@@ -100,7 +100,7 @@ object IngestAnn {
 
     val q = spark.readStream
       .schema(emSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

@@ -83,7 +83,7 @@ object IngestClassify {
     outFs.mkdirs(outPath)
     val q = spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

@@ -203,14 +203,17 @@ object IngestCurate {
         .collect()(0).getLong(0)
 
     // micro-batch SIZING, the standard structured-streaming throughput
-    // lever: a composed pipeline pays its whole stage graph (screen →
-    // score → pack ≈ a dozen job barriers) per TRIGGER, so the composed
-    // ingest runs 2 files/trigger where the single-stage screens
-    // (s06–s09) run 1 — same cross-batch offset carry (2 real triggers,
-    // resumed between), half the fixed per-trigger overhead. Results
-    // are trigger-count-invariant (asserted in StreamingSpec vs the
-    // one-shot composition): the feed ranges are ascending and packing
-    // re-sorts by doc_id within the batch.
+    // lever: every pipeline pays its stage graph (a composed ingest ≈ a
+    // dozen job barriers) per TRIGGER, so the catalog drains run
+    // 2 files/trigger — TWO real triggers over the 4-range feed, the
+    // minimum composition that exercises cross-batch state carry and
+    // per-batch independence (the io05 two-batch convention; richer
+    // many-trigger shapes are StreamingSpec's, at spec scale). The
+    // per-lot monitors (s11/s13) stay at 1 file/trigger: their OUTPUT
+    // is one row per staged lot. Results are trigger-count-invariant
+    // (asserted in StreamingSpec vs the one-shot composition): the
+    // feed ranges are ascending and packing re-sorts by doc_id within
+    // the batch.
     val q = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", "2")

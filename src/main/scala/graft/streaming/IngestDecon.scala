@@ -98,7 +98,7 @@ object IngestDecon {
     try {
       val q = spark.readStream
         .schema(docSchema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(s"$workDir/feed")
         .writeStream
         .outputMode("append")

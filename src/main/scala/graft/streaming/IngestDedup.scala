@@ -123,7 +123,7 @@ object IngestDedup {
 
     val q = spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(feedDir)
       .writeStream
       .outputMode("append")

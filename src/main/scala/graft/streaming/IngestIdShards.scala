@@ -129,7 +129,7 @@ object IngestIdShards {
 
     val q = spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(feedDir)
       .writeStream
       .outputMode("append")

@@ -99,7 +99,7 @@ object IngestPack {
 
     val q = spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(feedDir)
       .writeStream
       .outputMode("append")

@@ -119,7 +119,7 @@ object IngestQuality {
 
     val q = spark.readStream
       .schema(feedSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

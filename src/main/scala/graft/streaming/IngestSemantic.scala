@@ -116,7 +116,7 @@ object IngestSemantic {
 
     val q = spark.readStream
       .schema(emSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

@@ -464,6 +464,89 @@ class PackSpec extends SparkSpec {
     inter.unpersist(); packed.unpersist()
   }
 
+  test("interleaved store MAINTENANCE: reshard migration and tombstone masking preserve " +
+      "media-run provenance (text hash, run positions/widths, payload fingerprint pairing)") {
+    // the m06 gate packs the interleaved store; this law runs the
+    // MAINTENANCE ops over it — io06's context-length migration and
+    // io07's deletion masking, then their composition — and requires
+    // the media-run provenance to survive: every surviving doc's
+    // reassembly must reproduce the placeholder-stripped text hash,
+    // each run's position and width in the stream, and (through the
+    // doc-keyed parallel media columns) the payload fingerprint
+    // pairing; every masked doc must be pad end to end, runs included.
+    val inter = graft.multimodal.Multimodal
+      .interleaved(Tables.documents(spark, sfDir)).persist()
+    val at256 = Pack.packedSequencesTokens(
+      inter.select(col("doc_id"), col("jetons")), "doc_id", "jetons", 256).persist()
+
+    def reassemble(shards: org.apache.spark.sql.DataFrame, seqTokens: Int) = shards
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * seqTokens.toLong + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+
+    // the provenance report of a reassembled (or source) token stream:
+    // the m06 gate columns plus the payload pairing fingerprints
+    def report(toks: org.apache.spark.sql.DataFrame) = toks
+      .join(inter.select(col("doc_id"), col("media_image"), col("media_audio")),
+        Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ",
+          filter(col("toks"), t => t =!= "<img>" && t =!= "<aud>"))).as("texte"),
+        (array_position(col("toks"), "<img>") - 1).as("debut_image"),
+        size(filter(col("toks"), t => t === "<img>")).as("n_img"),
+        (array_position(col("toks"), "<aud>") - 1).as("debut_audio"),
+        size(filter(col("toks"), t => t === "<aud>")).as("n_aud"),
+        sha2(encode(col("media_image"), "UTF-8"), 256).as("empreinte_image"),
+        sha2(encode(col("media_audio"), "UTF-8"), 256).as("empreinte_audio"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+
+    val expected = rows(report(inter.select(col("doc_id"), col("jetons").as("toks"))))
+    assert(expected.nonEmpty, "fixture drifted: no interleaved docs")
+
+    // (1) io06-class migration: re-cut 256 → 384 from stored offsets
+    val migrated = rows(report(reassemble(Pack.reshard(at256, 256, 384), 384)))
+    assert(migrated == expected,
+      "context-length migration must preserve every doc's media-run provenance")
+
+    // (2) io07-class deletion: mask a doc subset in place
+    val tomb = inter.filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+    val tombSet = tomb.collect().map(_.getLong(0)).toSet
+    assert(tombSet.nonEmpty, "fixture drifted: empty deletion set")
+    val masked = Pack.tombstone(at256, tomb, lit("<scrub>")).persist()
+    val mReassembled = reassemble(masked, 256).persist()
+    val mSurvivors = rows(report(
+      mReassembled.join(tomb, Seq("doc_id"), "left_anti")))
+    assert(mSurvivors == expected.view.filterKeys(!tombSet(_)).toMap,
+      "survivors of a masked interleaved store must keep full provenance")
+    // masked docs: pad end to end — media runs erased WITH the text
+    val maskedLeft = mReassembled
+      .join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => t =!= "<scrub>")).as("nonpad"))
+      .collect()
+    assert(maskedLeft.nonEmpty && maskedLeft.forall(_.getInt(1) == 0),
+      "masked interleaved docs must be pad end to end, placeholder runs included")
+
+    // (3) composition: deletion then migration — a store lifecycle
+    val comp = reassemble(Pack.reshard(masked, 256, 384), 384).persist()
+    val cSurvivors = rows(report(comp.join(tomb, Seq("doc_id"), "left_anti")))
+    assert(cSurvivors == expected.view.filterKeys(!tombSet(_)).toMap,
+      "tombstone ∘ reshard must preserve surviving media-run provenance")
+    assert(comp.join(tomb, Seq("doc_id"), "left_semi")
+      .select(size(filter(col("toks"), t => t =!= "<scrub>")).as("nonpad"))
+      .collect().forall(_.getInt(0) == 0),
+      "masked docs must stay pad through the migration")
+    inter.unpersist(); at256.unpersist(); masked.unpersist()
+    mReassembled.unpersist(); comp.unpersist()
+  }
+
   test("tombstone id typing: narrower integrals widen, nulls drop, non-integral ids fail loud") {
     val docsToks = Seq(
       (1L, Seq("a", "b")), (2L, Seq("c", "d")), (3L, Seq("e", "f"))
