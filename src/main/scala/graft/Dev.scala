@@ -64,6 +64,50 @@ object Dev {
             sources.Tables.embeddings(spark, dir), "vec_id", "embedding", nBits = knob).count()
       println(f"[dev] $cmd knob=$knob: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
       spark.stop()
+    // Metered fixed-batch refresh law at an arbitrary corpus size — the
+    // SCALE.md documentation run for decades past RefreshSpec's 10×
+    // gate: `Dev refreshlaw <nCorpus>` builds the law fixture (n
+    // corpus docs, a FIXED 10-doc batch), meters setup (gen-0 publish +
+    // gen-1 maintenance) and the timed hop-2 refresh with ShuffleMeter,
+    // and prints bytes + seconds. Expected shape: refresh bytes =
+    // batch-scale work + ONLY the narrow per-doc survivor-stats
+    // exchange (∼30 B/doc — the exact-global-re-selection price),
+    // publish bytes corpus-scale.
+    case Some("refreshlaw") =>
+      val n = args(1).toLong
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      val dir = Files.createTempDirectory(s"graft_rlaw_${n}_").toString
+      try {
+        val corpus = spark.range(1, n + 1, 1, 32).selectExpr(
+          "id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), j -> concat('c', id, 'w', j))) AS text")
+        val batch = spark.range(1, 11).selectExpr(
+          s"id + ${10L * n} AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), " +
+            "j -> if(j = 2, 'the', concat('b', id, 'w', j)))) AS text")
+        corpus.unionByName(batch)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val (_, _, wPub) = org.apache.spark.graft.ShuffleMeter
+          .measure(spark.sparkContext) {
+            graft.queries.RefreshPipeline.setup(spark, dir)
+          }
+        val t0 = System.nanoTime()
+        val (rows, _, wRef) = org.apache.spark.graft.ShuffleMeter
+          .measure(spark.sparkContext) {
+            graft.queries.RefreshPipeline.run(spark, dir).collect()
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(rows.exists(_.getString(1) == "entrant"), "fixture drifted: no entrants")
+        println(f"[refreshlaw] n=$n publish_shw=${wPub / 1e6}%.1f MB " +
+          f"refresh_shw=${wRef / 1e6}%.1f MB refresh_sec=$sec%.2f rows=${rows.length}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(graft.queries.RefreshPipeline.workDir(dir)))
+      }
+      spark.stop()
     // Diagnostic: Hamming distribution of known-true e03 pairs (each
     // original vs its jittered twin) under the packed sign-bit sketch.
     case Some("ham") =>

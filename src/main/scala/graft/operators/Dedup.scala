@@ -1164,9 +1164,20 @@ object Dedup {
       .select("id_batch", "id_corpus")
       .distinct()
       .cache()
+    // the verification side must NOT shuffle the corpus: the candidate
+    // id lists are kill-survivor-bounded (batch-scale by the estimate
+    // cut), but they sit behind a cache with no size stats, so the semi
+    // joins below would otherwise SORT-MERGE the token relations
+    // against them — measured 58 MB / 200 k docs of corpus-keyed
+    // exchange in every incremental screen, ∝ corpus and invisible at
+    // gate scale. Count once (materializes the cache the two shingle
+    // sides reuse) and broadcast under the budget; past it the shuffle
+    // is the honest dup-storm price.
+    val nCand = candidates.count()
+    val candFits = nCand * 48L <= budget
     def shingleSide(docs0: DataFrame, cand: DataFrame, idAs: String, shAs: String) = docs0
       .select(col(idCol).as(idAs), col(textCol).as("text"))
-      .join(cand, Seq(idAs), "left_semi")
+      .join(if (candFits) broadcast(cand) else cand, Seq(idAs), "left_semi")
       .select(col(idAs), Text.shingles(col("text"), shingleN).as(shAs))
     val shB = shingleSide(batch, candidates.select("id_batch"), "id_batch", "sh_b")
     val shC = shingleSide(corpus, candidates.select("id_corpus"), "id_corpus", "sh_c")

@@ -342,10 +342,20 @@ private[graft] object RefreshPipeline {
       threshold: Long,
       maintainThreshold: Option[Long] = None): DataFrame = {
     val trace = sys.env.contains("SPARK_GRAFT_P06_TRACE")
+    val traceMeter = if (!trace) None else {
+      val m = new org.apache.spark.graft.ShuffleMeter
+      spark.sparkContext.addSparkListener(m)
+      Some(m)
+    }
     var t0 = System.nanoTime()
+    var traceW = 0L
     def mark(stage: String): Unit = if (trace) {
       val t1 = System.nanoTime()
-      System.err.println(f"P06TRACE $stage ${(t1 - t0) / 1e9}%.2f s")
+      org.apache.spark.graft.ShuffleMeter.drain(spark.sparkContext)
+      val w = traceMeter.map(_.writeBytes).getOrElse(0L)
+      System.err.println(
+        f"P06TRACE $stage ${(t1 - t0) / 1e9}%.2f s shw_delta=${(w - traceW) / 1e6}%.2f MB")
+      traceW = w
       t0 = t1
     }
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -474,18 +484,30 @@ private[graft] object RefreshPipeline {
     val removed = labelsFull
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
+    // both parents are eager checkpoints, so the optimizer sees no size
+    // for this side and would SORT-MERGE the corpus-scale stats against
+    // it — a corpus-keyed narrow exchange the refresh must not pay. The
+    // row count is a cheap driver scalar over in-memory blocks; under
+    // the broadcast budget the anti joins below go map-side (the
+    // budget-gated convention), past it the shuffle is the honest
+    // giant-delta price.
     val dropped = removed.unionByName(contaminated)
-    val bFinal = bScrubbed.join(dropped, Seq("doc_id"), "left_anti")
+    val nDropped = dropped.count()
+    val droppedSide =
+      if (nDropped * 48L <= Dedup.sigBroadcastBudget(spark)) broadcast(dropped)
+      else dropped
+    val bFinal = bScrubbed.join(droppedSide, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     mark("batch_final")
 
-    // 5: budget RE-selection over narrow merged stats
-    val evicted = stats.select(col("doc_id"))
-      .join(dropped, Seq("doc_id"), "left_semi")
-    val newStats = stats.join(evicted, Seq("doc_id"), "left_anti")
+    // 5: budget RE-selection over narrow merged stats. Checkpointed
+    // only when this hop also publishes the stats store — the timed
+    // refresh feeds it straight to the selection's prefix machinery
+    val newStats0 = stats.join(droppedSide, Seq("doc_id"), "left_anti")
       .unionByName(bFinal.select(col("doc_id"),
         Text.qualityScore(concat_ws(" ", col("jetons"))).as("qualite"), col("n_jetons")))
-      .localCheckpoint(true) // re-selection input AND gen N+1's stats store
+    val newStats =
+      if (maintainThreshold.isDefined) newStats0.localCheckpoint(true) else newStats0
     val sel = Curate.budgetSelect(newStats, "doc_id", "qualite", "n_jetons", Budget)
       .select(col("doc_id"), col("qualite"), col("n_jetons"),
         col("cum").as("jetons_cumules"))

@@ -45,4 +45,10 @@ object ShuffleMeter {
       (r, meter.readBytes, meter.writeBytes)
     } finally sc.removeSparkListener(meter)
   }
+
+  /** Drain the listener bus so an attached meter's counters reflect
+    * every task that has finished — the stage-mark variant of the
+    * measure() drain, for callers that keep one meter across stages.
+    */
+  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
