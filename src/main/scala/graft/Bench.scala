@@ -144,6 +144,14 @@ object Bench {
     // each training-run cell (p03/p04/p05) curates over
     try { graft.queries.PipelineQueries.p0345Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // the verified near-dup pair store (the d06 screen's output, an
+    // ingest artifact): d09/d25/d34 are downstream consumers
+    try { graft.queries.PipelineQueries.pairsSetup(spark, sfDir) }
+    catch { case _: Throwable => () }
+    // the per-doc quality-signal store (span ratios + LM scores — d30/
+    // d29's ops at ingest): p02's curation decision reads it
+    try { graft.queries.PipelineQueries.p02Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -1561,8 +1561,17 @@ object Dedup {
       k: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5
-  ): DataFrame = {
-    val pairs = minhashLsh(docs, idCol, textCol, shingleN, k, bands, threshold)
+  ): DataFrame =
+    neardupScrubPairs(docs,
+      minhashLsh(docs, idCol, textCol, shingleN, k, bands, threshold), idCol)
+
+  /** [[neardupScrub]] over a PRE-COMPUTED verified pair relation — the
+    * production shape when the pair screen's output is a published
+    * ingest artifact (the p06 loop persists and maintains exactly this
+    * relation as its label store's edge set): connected components +
+    * the min-id-survivor anti join only.
+    */
+  def neardupScrubPairs(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val remove = clusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

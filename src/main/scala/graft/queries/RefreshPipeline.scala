@@ -199,8 +199,9 @@ private[graft] object RefreshPipeline {
   /** Build and persist every store of a fresh generation. Mirrors the
     * p04 one-shot stages exactly (curationKept/deconKept conventions),
     * materializing each cross-batch artifact later refreshes probe.
+    * private[graft] so RefreshSpec can chain arbitrary generations.
     */
-  private def publish(spark: SparkSession, corpus: DataFrame, work: String): Unit = {
+  private[graft] def publish(spark: SparkSession, corpus: DataFrame, work: String): Unit = {
     // stage 1: repetition scrub — the span stage's input streams
     val rep = corpus.select(col("doc_id"),
       org.apache.spark.sql.graft.TextExpr
@@ -279,21 +280,27 @@ private[graft] object RefreshPipeline {
     * empty/absent: tiny corpora close no whole shard, and an
     * everything-evicted refresh leaves no live slice at all.
     */
-  private[graft] def storePerDoc(spark: SparkSession, storeDir: String): DataFrame = {
-    val hc = spark.sparkContext.hadoopConfiguration
-    def nonEmpty(p: String): Boolean = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(hc)
-      fs.exists(path) && {
-        val it = fs.listFiles(path, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val f = it.next()
-          found = f.getPath.getName.startsWith("part-") && f.getLen > 0
-        }
-        found
+  /** Does `p` hold at least one non-empty parquet part file? A tiny
+    * generation closes no whole shard (finalize emits nothing), so a
+    * store's shard tier — and, after an everything-evicted refresh, its
+    * log tier — may legitimately be absent.
+    */
+  private def nonEmptyStore(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
       }
+      found
     }
+  }
+
+  private[graft] def storePerDoc(spark: SparkSession, storeDir: String): DataFrame = {
+    def nonEmpty(p: String): Boolean = nonEmptyStore(spark, p)
     val b = lit(SeqTokens.toLong)
     val fromShards =
       if (!nonEmpty(s"$storeDir/shards")) None
@@ -526,20 +533,25 @@ private[graft] object RefreshPipeline {
     // the two mask writes and the selection write touch disjoint dirs
     // and share no inputs beyond checkpointed frames — run them
     // concurrently (the screens' convention above)
+    // a tiny generation may lack either store tier (no whole shard ever
+    // closed; an everything-evicted log) — mask only what exists, the
+    // storePerDoc read-back convention
     val shardsF = scala.concurrent.Future {
-      Pack.tombstone(Pack.readShards(spark, s"${layers.head}/store/shards"),
-          evictees, lit(Pad))
-        .write.mode("overwrite").partitionBy("shard_id")
-        .parquet(s"$outDir/store/shards")
+      if (nonEmptyStore(spark, s"${layers.head}/store/shards"))
+        Pack.tombstone(Pack.readShards(spark, s"${layers.head}/store/shards"),
+            evictees, lit(Pad))
+          .write.mode("overwrite").partitionBy("shard_id")
+          .parquet(s"$outDir/store/shards")
     }
     val logF = scala.concurrent.Future {
-      spark.read.parquet(s"${layers.head}/store/log")
-        .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
-        .withColumn("tranche",
-          when(col("__evince"), array_repeat(lit(Pad), col("n").cast("int")))
-            .otherwise(col("tranche")))
-        .drop("__evince")
-        .write.mode("overwrite").parquet(s"$outDir/store/log")
+      if (nonEmptyStore(spark, s"${layers.head}/store/log"))
+        spark.read.parquet(s"${layers.head}/store/log")
+          .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
+          .withColumn("tranche",
+            when(col("__evince"), array_repeat(lit(Pad), col("n").cast("int")))
+              .otherwise(col("tranche")))
+          .drop("__evince")
+          .write.mode("overwrite").parquet(s"$outDir/store/log")
     }
     val selF = scala.concurrent.Future {
       sel.withColumn("statut",

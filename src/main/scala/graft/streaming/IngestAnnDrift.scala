@@ -198,7 +198,11 @@ object IngestAnnDrift {
 
     val q = spark.readStream
       .schema(feedSchema)
-      .option("maxFilesPerTrigger", "1")
+      // two lots per trigger (the catalog two-trigger minimum
+      // composition): the batch loop below emits one drift row PER LOT
+      // PRESENT, and each row measures base ∪ its own lot only, so rows
+      // are identical however the staged lots share triggers
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

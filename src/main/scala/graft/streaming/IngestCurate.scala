@@ -208,9 +208,10 @@ object IngestCurate {
     // 2 files/trigger — TWO real triggers over the 4-range feed, the
     // minimum composition that exercises cross-batch state carry and
     // per-batch independence (the io05 two-batch convention; richer
-    // many-trigger shapes are StreamingSpec's, at spec scale). The
-    // per-lot monitors (s11/s13) stay at 1 file/trigger: their OUTPUT
-    // is one row per staged lot. Results are trigger-count-invariant
+    // many-trigger shapes are StreamingSpec's, at spec scale) — the
+    // per-lot monitors (s11/s13) included: their foreachBatch emits one
+    // row per lot PRESENT in the batch, so rows are identical however
+    // the staged lots share triggers. Results are trigger-count-invariant
     // (asserted in StreamingSpec vs the one-shot composition): the
     // feed ranges are ascending and packing re-sorts by doc_id within
     // the batch.

@@ -117,7 +117,11 @@ object IngestDrift {
 
     val q = spark.readStream
       .schema(feedSchema)
-      .option("maxFilesPerTrigger", "1")
+      // two sources per trigger (the catalog two-trigger minimum
+      // composition): driftAgainst groups by source inside the batch, so
+      // rows are identical however the staged sources share triggers —
+      // and a source still never straddles one (the staging is by-source)
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$workDir/feed")
       .writeStream
       .outputMode("append")

@@ -202,6 +202,76 @@ class RefreshSpec extends SparkSpec {
     }
   }
 
+  test("three-generation chain: two maintaining hops then a refresh over a THREE-layer " +
+      "store chain ≡ the one-shot selection over everything") {
+    // the inductive step the catalog gate (2 hops) cannot see: hop 3
+    // reads gen-2's layered stores (gen2 ∪ gen1 ∪ gen0 for the
+    // append-only tiers), a near-dup pair SPANS the chain (batch-2 doc
+    // 25 duplicates gen-0 doc 10), and a batch-3 benchmark (id 50)
+    // evicts a gen-0 survivor (doc 1, phrase planted) through the
+    // survivors-vs-new-eval-grams pass. Statut threshold = gen-2's
+    // split point (30).
+    val chainDocs = Seq(
+      1L -> (fill("a", 100) + " " + phrase), // evicted by the batch-3 benchmark
+      2L -> fill("b", 100),
+      10L -> (core + " alfa1 alfa2 alfa3"), // near-dup canonical (survives)
+      15L -> fill("c", 50), // batch-1 entrant
+      25L -> core, // batch-2 dup of 10 (jaccard 4/7): self-removes
+      28L -> fill("d", 40), // batch-2 entrant
+      35L -> fill("e", 60), // batch-3 entrant
+      50L -> (fill("ev", 20) + " " + phrase) // batch-3 benchmark (id%50=0)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh3_").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_refresh3w_").toString
+    try {
+      import spark.implicits._
+      chainDocs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      RefreshPipeline.publish(spark, docs.filter(col("doc_id") <= 10), s"$work/g0")
+      RefreshPipeline.refreshGen(spark, Seq(s"$work/g0"),
+        docs.filter(col("doc_id") > 10 && col("doc_id") <= 20), s"$work/g1",
+        threshold = 10L, maintainThreshold = Some(20L)).collect()
+      RefreshPipeline.refreshGen(spark, Seq(s"$work/g1", s"$work/g0"),
+        docs.filter(col("doc_id") > 20 && col("doc_id") <= 30), s"$work/g2",
+        threshold = 20L, maintainThreshold = Some(30L)).collect()
+      val report = RefreshPipeline.refreshGen(spark,
+        Seq(s"$work/g2", s"$work/g1", s"$work/g0"),
+        docs.filter(col("doc_id") > 30), s"$work/g3", threshold = 30L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(4), r.getLong(5)))
+      // gen-2's append-only layer holds ONLY batch-2's span survivors
+      // (the dup 25 stays in the scrubbed layer — pair verification
+      // needs its tokens — while the selection drops it)
+      assert(spark.read.parquet(s"$work/g2/scrubbed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(25L, 28L),
+        "gen-2 scrubbed layer must hold only the batch-2 delta")
+      // the chained end state: doc 1 benchmark-evicted at hop 3, 25
+      // near-dup-removed at hop 2, the three entrants admitted, 50
+      // self-contaminated — exactly the one-shot selection over all
+      assert(report.map(t => (t._1, t._2)).toSeq ==
+        Seq((2L, "conserve"), (10L, "conserve"), (15L, "conserve"),
+          (28L, "conserve"), (35L, "entrant")))
+      assert(report.map(t => t._1 -> t._5).toMap ==
+        Map(2L -> 100L, 15L -> 150L, 28L -> 190L, 35L -> 250L, 10L -> 259L))
+      val txt = chainDocs.toMap
+      report.foreach { case (id, _, emp, n, _) =>
+        assert(emp == md5Hex(txt(id)), s"doc $id fingerprint drifted through 3 generations")
+        assert(n == txt(id).split("\\s+").length.toLong)
+      }
+      // and the engine one-shot twin agrees: a fresh publish over the
+      // WHOLE table selects the same set with the same totals
+      RefreshPipeline.publish(spark, docs, s"$work/one")
+      val oneShot = spark.read.parquet(s"$work/one/selection")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(oneShot == report.map(t => t._1 -> t._5).toMap,
+        "the chained refresh must equal the one-shot selection over everything")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("storePerDoc: a store with no live slice in either tier yields an empty, " +
       "well-schemaed frame (the everything-evicted generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_refresh_empty_").toString
