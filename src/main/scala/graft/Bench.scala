@@ -152,6 +152,10 @@ object Bench {
     // d29's ops at ingest): p02's curation decision reads it
     try { graft.queries.PipelineQueries.p02Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // the embedding near-dup pair store (the e03 screen's output):
+    // d26's semantic scrub and e07's positive mining read it
+    try { graft.queries.PipelineQueries.vecPairsSetup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // environment calibration (each probe twice, min — the first may
     // carry JIT). CPU probe: 0.48 s measured quiet on the round-10
     // machine; expected 0.50 keeps a sliver of headroom for same-

@@ -447,10 +447,17 @@ object Similarity {
       cents: Array[Array[Double]],
       nProbe: Int,
       nTables: Int = 8,
-      maxAnchors: Int = 0
+      maxAnchors: Int = 0,
+      nearDupPairs: Option[DataFrame] = None
   ): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpr
-    val pairs = Dedup.embeddingNearDup(em, idCol, vecCol, threshold, nTables = nTables)
+    // a pipeline that already published the corpus's verified near-dup
+    // pair relation (the e03 screen's output as an ingest artifact)
+    // passes it in and skips the in-flight LSH pass — the positives ARE
+    // that relation; the mining (probe-pruned hard negatives) is what
+    // this operator adds
+    val pairs = nearDupPairs.getOrElse(
+      Dedup.embeddingNearDup(em, idCol, vecCol, threshold, nTables = nTables))
     val sym = pairs
       .select(col("id_a").as("anchor_id"), col("id_b").as("partner_id"), col("cosine"))
       .unionByName(

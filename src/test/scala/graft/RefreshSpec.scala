@@ -325,25 +325,38 @@ class RefreshSpec extends SparkSpec {
     }
   }
 
-  test("incremental scaling law: refresh shuffle bytes track the BATCH, not the corpus") {
-    // two fixtures, IDENTICAL 10-doc batch, corpus 10× apart: the
-    // refresh must probe every corpus-scale artifact map-side (layered
-    // span-gram store, signature store + band index, persisted scrubbed
-    // layers), so its shuffled bytes stay nearly flat while the
-    // publish+gen-1 maintenance — which legitimately pays corpus-scale
-    // exchanges — grows with the corpus. This is THE property that
-    // makes p06 the 100 TB loop rather than a re-run: a corpus-keyed
-    // exchange sneaking into the refresh shows up here as ~10× bytes.
+  test("incremental scaling law: refresh shuffle bytes track the BATCH, not the corpus " +
+      "— near-flat across TWO decades") {
+    // three fixtures, IDENTICAL 10-doc batch, corpus 100× apart end to
+    // end: the refresh must probe every corpus-scale artifact map-side
+    // (layered span-gram store, signature store + band index, persisted
+    // scrubbed layers), so its shuffled bytes stay nearly flat while
+    // the publish+gen-1 maintenance — which legitimately pays
+    // corpus-scale exchanges — grows with the corpus. This is THE
+    // property that makes p06 the 100 TB loop rather than a re-run.
+    // TWO decades because one is not enough: the round-17
+    // verification-broadcast hole (minhashLshAgainst sort-merging the
+    // corpus tokens against its stats-less cached candidate list, ∝
+    // corpus) hid UNDER the single-decade allowance at the 200→2 000
+    // fixture and only surfaced at 200 000 docs — the same absolute
+    // bound held across both decades catches that class.
     val (pubSmall, refSmall) = measured(200)
-    val (pubBig, refBig) = measured(2000)
+    val (_, refMid) = measured(2000)
+    val (pubBig, refBig) = measured(20000)
+    info(s"refresh bytes at 200/2k/20k docs, fixed batch: $refSmall / $refMid / $refBig " +
+      s"(publish $pubSmall -> $pubBig)")
     // sanity: the corpus really did grow — publish bytes scale with it
-    assert(pubBig > pubSmall * 4,
+    assert(pubBig > pubSmall * 40,
       s"fixture drifted: publish bytes $pubSmall -> $pubBig should grow with the corpus")
-    // the law: refresh bytes near-flat under 10× corpus (narrow survivor
-    // stats are the only corpus-∝ exchange — ~bytes-per-doc, far under
-    // the 3× allowance; a corpus-keyed token exchange would read ~10×)
+    // the law: refresh bytes near-flat under a 100× corpus (narrow
+    // survivor stats are the only corpus-∝ exchange — ~bytes-per-doc,
+    // far under the allowance; a corpus-keyed token exchange would
+    // read ~100× here)
     assert(refBig < refSmall * 3 + (1L << 20),
-      s"refresh shuffled $refSmall -> $refBig bytes under a 10× corpus — " +
+      s"refresh shuffled $refSmall -> $refBig bytes under a 100× corpus — " +
+        "a corpus-scale relation is crossing an exchange")
+    assert(refMid < refSmall * 3 + (1L << 20),
+      s"refresh shuffled $refSmall -> $refMid bytes under a 10× corpus — " +
         "a corpus-scale relation is crossing an exchange")
   }
 
