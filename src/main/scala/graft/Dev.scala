@@ -108,6 +108,75 @@ object Dev {
           new java.io.File(graft.queries.RefreshPipeline.workDir(dir)))
       }
       spark.stop()
+    // Chain-depth refresh probe (SCALE.md): `Dev chaindepth <nCorpus>
+    // <depth>` publishes gen-0 over n docs, runs <depth> maintaining
+    // 10-doc refreshes (each adds a layer), metering every hop — the
+    // probe-cost-vs-layer-count curve the layered-union readers imply —
+    // then folds the chain with compactGen and re-runs the SAME final
+    // batch against (a) the full chain and (b) the single compacted
+    // layer: the depth tax and what the fold buys back, plus the fold's
+    // own (publish-class) cost.
+    case Some("chaindepth") =>
+      val n = args(1).toLong; val depth = args(2).toInt
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val RP = graft.queries.RefreshPipeline
+      val dir = Files.createTempDirectory(s"graft_cdepth_${n}_").toString
+      val work = Files.createTempDirectory(s"graft_cdepthw_${n}_").toString
+      try {
+        val corpus = spark.range(1, n + 1, 1, 32).selectExpr(
+          "id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), j -> concat('c', id, 'w', j))) AS text")
+        val batches = spark.range(1, (depth + 1) * 10 + 1).selectExpr(
+          s"id + ${n} AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), " +
+            "j -> if(j = 2, 'the', concat('b', id, 'w', j)))) AS text")
+        corpus.unionByName(batches)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val docs = graft.sources.Tables.documents(spark, dir)
+        import org.apache.spark.sql.functions.col
+        graft.queries.RefreshPipeline.publish(
+          spark, docs.filter(col("doc_id") <= n), s"$work/g0")
+        var layers = List(s"$work/g0")
+        def hopBatch(h: Int) = docs.filter(
+          col("doc_id") > n + (h - 1) * 10L && col("doc_id") <= n + h * 10L)
+        (1 to depth).foreach { h =>
+          val t0 = System.nanoTime()
+          val (rows, _, w) = org.apache.spark.graft.ShuffleMeter
+            .measure(spark.sparkContext) {
+              RP.refreshGen(spark, layers, hopBatch(h), s"$work/g$h",
+                threshold = n + (h - 1) * 10L,
+                maintainThreshold = Some(n + h * 10L)).collect()
+            }
+          println(f"[chaindepth] hop=$h layers=${layers.size} " +
+            f"sec=${(System.nanoTime() - t0) / 1e9}%.2f shw=${w / 1e6}%.2f MB " +
+            f"rows=${rows.length}")
+          layers = s"$work/g$h" :: layers
+        }
+        val fin = depth + 1
+        def probe(tag: String, ls: Seq[String], out: String): Unit = {
+          val t0 = System.nanoTime()
+          val (rows, _, w) = org.apache.spark.graft.ShuffleMeter
+            .measure(spark.sparkContext) {
+              RP.refreshGen(spark, ls, hopBatch(fin), out,
+                threshold = n + depth * 10L).collect()
+            }
+          println(f"[chaindepth] probe=$tag layers=${ls.size} " +
+            f"sec=${(System.nanoTime() - t0) / 1e9}%.2f shw=${w / 1e6}%.2f MB " +
+            f"rows=${rows.length}")
+        }
+        probe("chain", layers, s"$work/pa")
+        val t0 = System.nanoTime()
+        val (_, _, wc) = org.apache.spark.graft.ShuffleMeter
+          .measure(spark.sparkContext) { RP.compactGen(spark, layers, s"$work/gc") }
+        println(f"[chaindepth] compact layers=${layers.size} " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f shw=${wc / 1e6}%.2f MB")
+        probe("folded", Seq(s"$work/gc"), s"$work/pb")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+      }
+      spark.stop()
     // Diagnostic: Hamming distribution of known-true e03 pairs (each
     // original vs its jittered twin) under the packed sign-bit sketch.
     case Some("ham") =>

@@ -273,12 +273,35 @@ object AnnIndex {
     val stored = spark.read.parquet(codesDir)
     val idName = stored.schema.fieldNames.head
     val idType = stored.schema.fields.head.dataType
+    // fail LOUDLY on an id relation the store cannot address
+    // (Pack.tombstone's contract — its integral-id require is pinned in
+    // PackSpec): a silent cast-to-null here would "delete" nothing and
+    // read as a clean maintenance pass. Integral widths may differ
+    // (value-preserving widening/narrowing is checked by the no-new-
+    // nulls assertion below via try_cast), anything else is a caller
+    // bug.
+    val idField = ids.schema.fields.head
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(idField.dataType == idType ||
+        (integral.contains(idField.dataType) && integral.contains(idType)),
+      s"tombstone id column '${idField.name}' has type " +
+        s"${idField.dataType.simpleString}, incompatible with the store's " +
+        s"id type ${idType.simpleString}")
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmpPath, true)
+    // assert_true rides the anti join's build side: a non-null id that
+    // try_casts to null (an out-of-range narrowing) fails the job
+    // instead of silently deleting nothing
     stored.join(
-        ids.select(col(ids.schema.fieldNames.head).cast(idType).as(idName))
-          .filter(col(idName).isNotNull),
+        ids.select(col(idField.name).as("__src"))
+          .filter(col("__src").isNotNull)
+          .select(when(col("__src").try_cast(idType).isNull,
+              raise_error(concat(lit("tombstone: id out of range for the " +
+                s"store's ${idType.simpleString} id column: "), col("__src").cast("string"))))
+            .otherwise(col("__src").try_cast(idType)).as(idName)),
         Seq(idName), "left_anti")
       .write.mode("overwrite").parquet(tmpDir)
     Swap.publish(fs, tmpPath, new org.apache.hadoop.fs.Path(codesDir))

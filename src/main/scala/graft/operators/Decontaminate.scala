@@ -164,27 +164,31 @@ object Decontaminate {
       tokensCol: String,
       evalGrams: DataFrame,
       n: Int = 5,
-      gramBroadcastBytes: Long = -1L
+      gramBroadcastBytes: Long = -1L,
+      preparedEval: Option[DataFrame] = None
   ): DataFrame =
     contaminatedGrams(trainToks.sparkSession,
       trainToks.select(col(idCol).as("doc_id"),
         explode(org.apache.spark.sql.graft.TextExpr
           .shinglesOf(col(tokensCol), n)).as("g")),
       evalGrams.select(col(evalGrams.columns.head).as("g")),
-      gramBroadcastBytes)
+      gramBroadcastBytes, preparedEval)
 
-  private def contaminatedGrams(
-      spark: org.apache.spark.sql.SparkSession,
-      trainGrams: DataFrame,
-      evalGrams: DataFrame,
-      gramBroadcastBytes: Long
+  /** The eval-side preparation of [[contaminatedGrams]] on its own: size
+    * the gram relation (one bounded aggregate) and return the
+    * broadcast-local side when it fits the budget, the raw relation
+    * otherwise. Public so a composed pipeline (the p06 refresh) can run
+    * this driver-side measurement+collect CONCURRENTLY with unrelated
+    * stages and pass the result back via `preparedEval` — the screen
+    * itself then starts with zero eval-side jobs on its critical path.
+    */
+  def preparedEvalGrams(
+      evalGrams0: DataFrame,
+      gramBroadcastBytes: Long = -1L
   ): DataFrame = {
-    val budget = Dedup.clampToDriverLimit(spark,
-      if (gramBroadcastBytes >= 0) gramBroadcastBytes
-      else spark.conf
-        .getOption("spark.graft.decontaminate.gramBroadcastBytes")
-        .map(Dedup.parseBytes)
-        .getOrElse(512L * 1024 * 1024))
+    val spark = evalGrams0.sparkSession
+    val evalGrams = evalGrams0.select(col(evalGrams0.columns.head).as("g"))
+    val budget = evalBudget(spark, gramBroadcastBytes)
     // the eval side is small BY CONTRACT, but the budget must be proven
     // BEFORE any driver materialization: a row-count limit at the 48 B
     // accounting floor admits few-but-huge grams (a 1 KB-gram eval set
@@ -216,11 +220,30 @@ object Decontaminate {
           broadcast(capped.map(_.getString(0)).toSeq.toDF("g"))
         else evalGrams
       } else evalGrams
+    evalSide
+  }
+
+  private def evalBudget(
+      spark: org.apache.spark.sql.SparkSession, gramBroadcastBytes: Long): Long =
+    Dedup.clampToDriverLimit(spark,
+      if (gramBroadcastBytes >= 0) gramBroadcastBytes
+      else spark.conf
+        .getOption("spark.graft.decontaminate.gramBroadcastBytes")
+        .map(Dedup.parseBytes)
+        .getOrElse(512L * 1024 * 1024))
+
+  private def contaminatedGrams(
+      spark: org.apache.spark.sql.SparkSession,
+      trainGrams: DataFrame,
+      evalGrams: DataFrame,
+      gramBroadcastBytes: Long,
+      preparedEval: Option[DataFrame] = None
+  ): DataFrame =
     trainGrams
-      .join(evalSide, Seq("g"), "left_semi")
+      .join(preparedEval.getOrElse(preparedEvalGrams(evalGrams, gramBroadcastBytes)),
+        Seq("g"), "left_semi")
       .select(col("doc_id"))
       .distinct()
-  }
 
   /** Bloom-pruned variant of [[ngramOverlap]] — EXACTLY the same result
     * (the bloom only prunes; false positives die in an exact verify),

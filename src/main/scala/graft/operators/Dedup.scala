@@ -384,7 +384,14 @@ object Dedup {
     * contract as [[duplicatedFingerprints]]; the payload is three
     * narrow columns per DISTINCT duplicated fingerprint.
     */
-  private def duplicatedFirstOccurrences(grams: DataFrame, keyBytes: Long): DataFrame = {
+  /** `maxRowsHint`: a caller-known upper bound on the duplicated-gram
+    * count (e.g. the batch's distinct-key count in the incremental span
+    * screen — dup keys ⊆ batch keys). When ≥ 0 and within budget, the
+    * broadcast decision needs no counting job at all; otherwise the
+    * relation is counted (cache + count — one materializing job).
+    */
+  private def duplicatedFirstOccurrences(
+      grams: DataFrame, keyBytes: Long, maxRowsHint: Long = -1L): DataFrame = {
     val spark = grams.sparkSession
     val dup = grams
       .groupBy(col("h"))
@@ -396,14 +403,17 @@ object Dedup {
         col("h"),
         col("f").getField("doc_id").as("first_doc"),
         col("f").getField("pos").as("first_pos"))
-      .localCheckpoint(true)
     val budget = clampToDriverLimit(spark,
       spark.conf
         .getOption("spark.graft.dedup.sigBroadcastBytes")
         .map(parseBytes)
         .getOrElse(512L * 1024 * 1024))
-    val nDup = dup.count()
-    if (nDup * (keyBytes + 12L + 48L) <= budget) broadcast(dup) else dup
+    def fits(n: Long) = n * (keyBytes + 12L + 48L) <= budget
+    if (maxRowsHint >= 0L && fits(maxRowsHint)) broadcast(dup)
+    else {
+      val cached = dup.cache()
+      if (fits(cached.count())) broadcast(cached) else cached
+    }
   }
 
   /** The APPLY side of [[spanDedup]] — ExactSubstr-style duplicated-span
@@ -554,28 +564,36 @@ object Dedup {
     val base = batchToks.select(col(idCol).as("doc_id"), col(tokensCol).as("a"))
     val keyBytes = if (exactFingerprints) 32L else 8L
     // batch grams feed three consumers (key build, store-hit probe,
-    // fresh-gram dedup) — checkpoint once, batch-scale rows only
-    val grams = slidingGrams(base, k, exactFingerprints).localCheckpoint(true)
-    val batchKeys = grams.select(col("h")).distinct().localCheckpoint(true)
+    // fresh-gram dedup) — cached once, batch-scale rows only. cache +
+    // count (not checkpoint + count): one job materializes the gram
+    // cache AND the key cache AND yields the budget-gate cardinality,
+    // where the eager-checkpoint pattern paid a separate job per frame
+    // (the p06 job-floor lesson: at batch scale every extra action is
+    // pure scheduling floor)
+    val grams = slidingGrams(base, k, exactFingerprints).cache()
+    val batchKeys = grams.select(col("h")).distinct().cache()
     val nKeys = batchKeys.count()
     val budget = sigBroadcastBudget(spark)
     val keysFit = nKeys * (keyBytes + 48L) <= budget
-    // the store∩batch intersection: ≤ batch keys rows either way; under
-    // the budget it is ONE map-side pass over the store scan
+    // the store∩batch intersection: ≤ batch keys rows either way, so the
+    // batch-key budget check covers it — no second count job, and the
+    // corpus-scale store scan happens ONCE inside the first consumer's
+    // job (the cache serves the other two consumers). Past the budget
+    // the whole screen is already on the honest shuffled-join path.
     val present = storeGrams
       .select(col(storeGrams.columns.head).as("h"))
       .join(if (keysFit) broadcast(batchKeys) else batchKeys, Seq("h"), "left_semi")
-      .localCheckpoint(true)
-    val nPresent = present.count()
-    val presentSide =
-      if (nPresent * (keyBytes + 48L) <= budget) broadcast(present) else present
+      .cache()
+    val presentSide = if (keysFit) broadcast(present) else present
     // every batch occurrence of a stored gram is a hit; fresh grams
     // resolve first-occurrence within the batch (the one-shot order)
     val storeHits = grams.join(presentSide, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val fresh = grams.join(presentSide, Seq("h"), "left_anti")
+    // dup keys ⊆ fresh keys ⊆ batch keys: nKeys (already counted for the
+    // probe gate) bounds the dup relation, so no second counting job
     val internalHits = fresh
-      .join(duplicatedFirstOccurrences(fresh, keyBytes), Seq("h"))
+      .join(duplicatedFirstOccurrences(fresh, keyBytes, maxRowsHint = nKeys), Seq("h"))
       .filter(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
       .select(col("doc_id"), col("pos"))
     applySpanRemoval(base, storeHits.unionByName(internalHits), k)
@@ -1038,13 +1056,14 @@ object Dedup {
       corpusSigs: Option[DataFrame] = None,
       hotBuckets: Option[DataFrame] = None,
       corpusBands: Option[DataFrame] = None,
-      batchSigs: Option[DataFrame] = None
+      batchSigs: Option[DataFrame] = None,
+      eager: Boolean = true
   ): DataFrame = {
     def asText(df: DataFrame) = df.select(
       col(idCol), concat_ws(" ", col(tokensCol)).as("__graft_text"))
     minhashLshAgainst(asText(batchToks), asText(corpusToks), idCol, "__graft_text",
       shingleN, k, bands, threshold, maxBucket, corpusSigs, hotBuckets, corpusBands,
-      batchSigs)
+      batchSigs, eager)
   }
 
   def minhashLshAgainst(
@@ -1060,7 +1079,8 @@ object Dedup {
       corpusSigs: Option[DataFrame] = None,
       hotBuckets: Option[DataFrame] = None,
       corpusBands: Option[DataFrame] = None,
-      batchSigs: Option[DataFrame] = None
+      batchSigs: Option[DataFrame] = None,
+      eager: Boolean = true
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -1158,7 +1178,7 @@ object Dedup {
           if (nB <= budget / (k * 8L + 48L)) broadcast(sigSide) else sigSide
         prunedC.join(bandsSide, Seq("bb")).join(sigAttach, Seq("id_batch"))
       }
-    val candidates = probed
+    val candCached = probed
       .withColumn("e", est)
       .filter(col("e") >= cut)
       .select("id_batch", "id_corpus")
@@ -1170,11 +1190,23 @@ object Dedup {
     // joins below would otherwise SORT-MERGE the token relations
     // against them — measured 58 MB / 200 k docs of corpus-keyed
     // exchange in every incremental screen, ∝ corpus and invisible at
-    // gate scale. Count once (materializes the cache the two shingle
-    // sides reuse) and broadcast under the budget; past it the shuffle
-    // is the honest dup-storm price.
-    val nCand = candidates.count()
-    val candFits = nCand * 48L <= budget
+    // gate scale. ONE capped collect (the TOCTOU-capped
+    // preparedEvalGrams convention — the cap bounds the driver pull
+    // BEFORE it happens) yields the list and its cardinality together:
+    // under the budget the candidates become a DRIVER-LOCAL relation,
+    // so the three verification joins broadcast it with zero further
+    // jobs — where the count-then-broadcast shape paid a counting job
+    // plus a broadcast build per join. Past the cap the screen keeps
+    // the cached distributed relation — the honest dup-storm price.
+    val maxCand = math.min(budget / 48L, Int.MaxValue.toLong - 1L)
+    val capped = candCached.limit(maxCand.toInt + 1).collect()
+    val candFits = capped.length <= maxCand
+    val candidates =
+      if (candFits) {
+        candCached.unpersist()
+        broadcast(batch.sparkSession.createDataFrame(
+          java.util.Arrays.asList(capped: _*), candCached.schema))
+      } else candCached
     def shingleSide(docs0: DataFrame, cand: DataFrame, idAs: String, shAs: String) = docs0
       .select(col(idCol).as(idAs), col(textCol).as("text"))
       .join(if (candFits) broadcast(cand) else cand, Seq(idAs), "left_semi")
@@ -1187,10 +1219,20 @@ object Dedup {
       .withColumn("jaccard", round(Text.jaccard(col("sh_b"), col("sh_c")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_batch"), col("id_corpus"), col("jaccard"))
-      .localCheckpoint(true)
-    candidates.unpersist()
-    sigB.unpersist()
-    verified
+    // eager (the default, the multi-trigger streaming-screen contract):
+    // materialize the verification once and release the working caches —
+    // a per-batch caller must not accumulate cache entries across
+    // triggers. eager = false (the p06 refresh): the caller's OWN next
+    // materializing action (the cluster-merge edge count) computes the
+    // verify in ITS job, skipping a whole checkpoint job; the working
+    // caches stay pinned for that consumer and drop with the cell's
+    // per-query unpersist sweep.
+    if (eager) {
+      val out = verified.localCheckpoint(true)
+      candCached.unpersist()
+      sigB.unpersist()
+      out
+    } else verified
   }
 
   /** The stored-sketch contract for the embedding screen (the
@@ -1370,17 +1412,20 @@ object Dedup {
     * equality — no hash-collision shortcut.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // eager checkpoint: truncates the (possibly expensive) pair-pipeline
-    // lineage once, so loop iterations never re-derive it and the plan
-    // does not grow with the iteration count. Edges are canonical
-    // (hi, lo) with hi > lo — both star steps preserve that invariant.
+    // cache + count: one job materializes the (possibly expensive)
+    // pair pipeline once, so the loop/union-find never re-derives it —
+    // and unlike the former eager checkpoint + count pair it costs ONE
+    // action, not two (the p06 job-floor lesson). Loop iterations
+    // still checkpoint their own output, so the plan does not grow
+    // with the iteration count. Edges are canonical (hi, lo) with
+    // hi > lo — both star steps preserve that invariant.
     var edges = pairs
       .select(
         greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .cache()
     var cnt = edges.count()
     // Budget-gated in-memory finish (the GraphX/Kiveris "finish small"
     // hybrid): when the DEDUPLICATED edge set — already counted for the

@@ -348,7 +348,9 @@ object Pack {
     * were emitted by THIS call, the store's sequence watermark after it
     * (sequences `[0, watermarkSeqs)` live in shard files; the log holds
     * only `seq_id >= watermarkSeqs`), and the residual open-tail slice
-    * count left in the trimmed log.
+    * count left in the trimmed log (-1 when the caller passed
+    * `countResidual = false` — the count is reporting-only, one whole
+    * job a hot loop like the p06 refresh skips).
     */
   final case class FinalizeResult(newShards: Long, watermarkSeqs: Long, residualSlices: Long)
 
@@ -472,7 +474,8 @@ object Pack {
       shardDir: String,
       seqTokens: Int,
       seqsPerShard: Int,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      countResidual: Boolean = true
   ): FinalizeResult = {
     require(seqTokens > 0, "seqTokens must be positive")
     require(seqsPerShard > 0, "seqsPerShard must be positive")
@@ -488,7 +491,8 @@ object Pack {
     val closedSeqs = hw / seqTokens
     val after = (closedSeqs / seqsPerShard) * seqsPerShard
     if (after <= before) {
-      val residual = slices.filter(col("seq_id") >= before).count()
+      val residual =
+        if (countResidual) slices.filter(col("seq_id") >= before).count() else -1L
       return FinalizeResult(0L, before, residual)
     }
 
@@ -546,7 +550,7 @@ object Pack {
     try out.writeLong(after) finally out.close()
 
     FinalizeResult((after - before) / seqsPerShard, after,
-      spark.read.parquet(logDir).count())
+      if (countResidual) spark.read.parquet(logDir).count() else -1L)
   }
 
   /** Re-cut an existing shard store at a NEW sequence budget — the

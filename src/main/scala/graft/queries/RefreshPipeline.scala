@@ -17,8 +17,8 @@ import graft.operators.{Curate, Decontaminate, Dedup, Pack}
   * token corpus, minhash signatures, benchmark eval grams — read as the
   * union of the chain's layers, so maintaining them costs one
   * BATCH-SCALE delta write per refresh (the standing corpus is never
-  * rewritten; a production loop bounds chain length with the io03
-  * compaction op). The rewritten-per-generation state lives whole in
+  * rewritten; a production loop bounds chain length with [[compactGen]]
+  * — the io03 class applied to the chain, gated in RefreshSpec). The rewritten-per-generation state lives whole in
   * the newest layer: duplicate-cluster labels (edge-scale: components
   * over published labels ∪ new pairs — labels are a spanning structure
   * of the pair graph, so the merge never recomputes corpus pairs),
@@ -270,6 +270,60 @@ private[graft] object RefreshPipeline {
   }
 
   // -------------------------------------------------------------------
+  // generation-chain compaction — the io03 class applied to the layer
+  // chain itself
+  // -------------------------------------------------------------------
+
+  /** Fold a generation's layer chain into ONE equivalent layer at
+    * `outDir` — the maintenance op that BOUNDS chain length (every
+    * refresh adds a layer; every layered-union reader re-reads the
+    * whole chain, so probe cost grows with depth until a fold). A
+    * production loop runs this on a cadence (depth watermark), exactly
+    * like shard-log finalize or index compaction.
+    *
+    * Contract (RefreshSpec pins it): a refresh against `Seq(outDir)`
+    * ≡ the same refresh against `layers` —
+    *   - append-only stores (span grams, scrubbed corpus, signatures,
+    *     eval grams): the compacted store holds exactly the layered
+    *     UNION's rows (plain union — cross-layer duplicate grams are
+    *     legitimate store content: a batch re-stating a corpus gram
+    *     recorded it again in its own layer);
+    *   - rewritten-per-generation state (labels, stats, selection, the
+    *     LSH probe accelerators, the packed shard store, the split
+    *     point): lives whole in the newest layer — carried over
+    *     verbatim, the store FILES byte-copied so published global
+    *     positions and the shard watermark survive bit-for-bit.
+    *
+    * Corpus-scale reads and writes, zero corpus-keyed exchange (pure
+    * union → write; Spark plans no shuffle) — publish-class work on the
+    * maintenance cadence, never the per-batch path.
+    */
+  def compactGen(spark: SparkSession, layers: Seq[String], outDir: String): Unit = {
+    require(layers.nonEmpty, "compactGen: need at least one layer")
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    Seq("span_grams", "scrubbed", "sigs", "eval_grams").foreach { sub =>
+      layered(spark, layers, sub).write.mode("overwrite").parquet(s"$outDir/$sub")
+    }
+    // newest-layer state: parquet stores rewritten whole per generation
+    Seq("labels", "stats", "selection", "hot", "bands").foreach { sub =>
+      spark.read.parquet(s"${layers.head}/$sub")
+        .write.mode("overwrite").parquet(s"$outDir/$sub")
+    }
+    // the packed store: byte-copied, not rewritten — conserve docs keep
+    // their PUBLISHED positions bit-for-bit and the shard watermark
+    // marker (a non-parquet file) must survive
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"${layers.head}/store"),
+      fs, new org.apache.hadoop.fs.Path(s"$outDir/store"),
+      false, true, conf)
+    writeThreshold(outDir, publishedThreshold(layers.head))
+  }
+
+  // -------------------------------------------------------------------
   // refresh — the incremental loop body (timed for the final hop)
   // -------------------------------------------------------------------
 
@@ -354,6 +408,26 @@ private[graft] object RefreshPipeline {
       spark.sparkContext.addSparkListener(m)
       Some(m)
     }
+    try {
+      refreshGenBody(spark, layers, batch, outDir, threshold, maintainThreshold,
+        trace, traceMeter)
+    } finally {
+      // remove the trace listener (ShuffleMeter.measure's convention) —
+      // leaving it registered leaked one ever-growing meter per refresh
+      // call in a trace session
+      traceMeter.foreach(spark.sparkContext.removeSparkListener)
+    }
+  }
+
+  private def refreshGenBody(
+      spark: SparkSession,
+      layers: Seq[String],
+      batch: DataFrame,
+      outDir: String,
+      threshold: Long,
+      maintainThreshold: Option[Long],
+      trace: Boolean,
+      traceMeter: Option[org.apache.spark.graft.ShuffleMeter]): DataFrame = {
     var t0 = System.nanoTime()
     var traceW = 0L
     def mark(stage: String): Unit = if (trace) {
@@ -368,6 +442,30 @@ private[graft] object RefreshPipeline {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the entrant-append offset of stage 6 is a property of the
+    // GENERATION'S published store alone (masking rewrites slice
+    // contents, never deb/n or shard layout, so the masked copy's
+    // recovered offset equals the source's) — recover it from the
+    // published store CONCURRENTLY with the screens instead of
+    // re-reading the freshly-masked copy on the critical path
+    val offsetF = scala.concurrent.Future {
+      Pack.recoveredOffset(spark, s"${layers.head}/store/log",
+        s"${layers.head}/store/shards", SeqTokens, SeqsPerShard)
+    }
+    // the decontamination screen's eval side — (generation ∪ new
+    // benchmark) grams, sized and (under budget) collected for
+    // broadcast — touches only the gram stores and the raw batch, so
+    // its one measuring aggregate + bounded collect run here,
+    // concurrent with the span screen, and the screen itself starts
+    // with zero eval-side jobs on its critical path
+    val newEvalGrams = batch.filter(col("doc_id") % 50 === 0)
+      .select(explode(Text.shingles(col("text"), DeconN)).as("g")).distinct()
+    val evalSideF = scala.concurrent.Future {
+      Decontaminate.preparedEvalGrams(
+        layered(spark, layers, "eval_grams").unionByName(newEvalGrams))
+    }
 
     // negative control for RefreshSpec's metered scaling law (the z99
     // convention): when planted, push the corpus-scale token relation
@@ -378,8 +476,11 @@ private[graft] object RefreshPipeline {
       .contains("1")
 
     // 1-2: repetition scrub (map) + incremental span screen vs the
-    // generation's layered gram store; checkpointed — five downstream
-    // consumers
+    // generation's layered gram store; eagerly checkpointed — five
+    // downstream consumers across two concurrent screen threads (a lazy
+    // cache here measured a ~20× driver-side stall: both futures race
+    // to materialize the same uncached relation and serialize on the
+    // cache/AQE machinery instead of running jobs)
     val bRep = batch.select(col("doc_id"),
       org.apache.spark.sql.graft.TextExpr
         .repetitionScrub(Text.tokens(col("text")), 3).as("a1"))
@@ -425,13 +526,13 @@ private[graft] object RefreshPipeline {
     // removed ∩ contaminated double-removal is harmless) — so the two
     // screen chains run CONCURRENTLY, the way a production refresh
     // overlaps independent stages. Spark schedules jobs from both
-    // threads; each future ends in an eager checkpoint, so nothing
-    // lazy escapes its thread.
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
+    // threads; each future ends in a materializing count, so nothing
+    // lazy escapes its thread — and the counts double as the
+    // broadcast-budget cardinalities below, so the former separate
+    // dropped.count() job disappears.
     val lshF = scala.concurrent.Future {
       val bSigs = Dedup.signaturesTokens(bScrubbed, "doc_id", "jetons", ShingleN, SigK)
-        .localCheckpoint(true)
+        .cache()
       val bandR = SigK / Bands
       val bBands = bSigs.select(
         col("doc_id").as("id_corpus"),
@@ -452,17 +553,23 @@ private[graft] object RefreshPipeline {
           corpusSigs = Some(sigStore.unionByName(bSigs)),
           hotBuckets = Some(spark.read.parquet(s"${layers.head}/hot")),
           corpusBands = unionBands,
-          batchSigs = Some(bSigs))
+          batchSigs = Some(bSigs),
+          eager = false)
         .filter(col("id_batch") =!= col("id_corpus"))
         .select(col("id_batch").as("id_a"), col("id_corpus").as("id_b"))
       val labelEdges = spark.read.parquet(s"${layers.head}/labels")
         .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
       // the FULL merged labeling — generation N+1's labels store when
-      // maintaining, the eviction list either way (checkpointed once,
-      // removed derives lazily from it)
-      val labelsFull = Dedup.clusters(labelEdges.unionByName(newPairs))
-        .localCheckpoint(true)
-      (labelsFull, bSigs)
+      // maintaining, the eviction list either way. One count
+      // materializes the labeling AND the eviction list AND yields the
+      // removal cardinality the broadcast gate below prices — the
+      // cache+count fold of the former checkpoint
+      val labelsFull = Dedup.clusters(labelEdges.unionByName(newPairs)).cache()
+      val removed = labelsFull
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+        .cache()
+      (labelsFull, removed, removed.count(), bSigs)
     }
     // 4: decontamination — ONE merged screen: the batch (pre-near-dup)
     // AND the generation's survivors, against (generation ∪ new) eval
@@ -471,40 +578,41 @@ private[graft] object RefreshPipeline {
     // to the new-grams check; batch docs need the full union — one
     // screen stack replaces the former two, and it runs while the LSH
     // chain does.
-    val newEvalGrams = batch.filter(col("doc_id") % 50 === 0)
-      .select(explode(Text.shingles(col("text"), DeconN)).as("g")).distinct()
     val contaminatedF = scala.concurrent.Future {
-      Decontaminate.contaminatedIdsTokensVsGrams(
+      val c = Decontaminate.contaminatedIdsTokensVsGrams(
           bScrubbed.select(col("doc_id"), col("jetons"))
             .unionByName(scrubbedStore
               .join(stats.select(col("doc_id")), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("jetons"))),
           "doc_id", "jetons",
-          layered(spark, layers, "eval_grams").unionByName(newEvalGrams), DeconN)
-        .localCheckpoint(true)
+          layered(spark, layers, "eval_grams").unionByName(newEvalGrams), DeconN,
+          preparedEval = Some(scala.concurrent.Await
+            .result(evalSideF, scala.concurrent.duration.Duration.Inf)))
+        .cache()
+      (c, c.count())
     }
-    val (labelsFull, bSigs) = scala.concurrent.Await
+    val (labelsFull, removed, nRemoved, bSigs) = scala.concurrent.Await
       .result(lshF, scala.concurrent.duration.Duration.Inf)
-    val contaminated = scala.concurrent.Await
+    val (contaminated, nContaminated) = scala.concurrent.Await
       .result(contaminatedF, scala.concurrent.duration.Duration.Inf)
     mark("screens")
-    val removed = labelsFull
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("doc_id"))
-    // both parents are eager checkpoints, so the optimizer sees no size
-    // for this side and would SORT-MERGE the corpus-scale stats against
-    // it — a corpus-keyed narrow exchange the refresh must not pay. The
-    // row count is a cheap driver scalar over in-memory blocks; under
-    // the broadcast budget the anti joins below go map-side (the
+    // both parents are materialized caches, so the optimizer sees no
+    // size for this side and would SORT-MERGE the corpus-scale stats
+    // against it — a corpus-keyed narrow exchange the refresh must not
+    // pay. The two screen futures already counted their outputs (the
+    // union can only be ≤ the sum — over-pricing is the safe side);
+    // under the broadcast budget the anti joins below go map-side (the
     // budget-gated convention), past it the shuffle is the honest
     // giant-delta price.
     val dropped = removed.unionByName(contaminated)
-    val nDropped = dropped.count()
+    val nDropped = nRemoved + nContaminated
     val droppedSide =
       if (nDropped * 48L <= Dedup.sigBroadcastBudget(spark)) broadcast(dropped)
       else dropped
-    val bFinal = bScrubbed.join(droppedSide, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // lazy cache, not eager checkpoint: the first consumer (the
+    // re-selection's materializing action) computes the broadcast anti
+    // join in ITS job instead of paying a separate one here
+    val bFinal = bScrubbed.join(droppedSide, Seq("doc_id"), "left_anti").cache()
     mark("batch_final")
 
     // 5: budget RE-selection over narrow merged stats. Checkpointed
@@ -530,7 +638,7 @@ private[graft] object RefreshPipeline {
       .localCheckpoint(true) // three consumers across two threads
     val entrants = sel.select(col("doc_id"))
       .join(published.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    // the two mask writes and the selection write touch disjoint dirs
+    // the shard-mask, log, and selection writes touch disjoint dirs
     // and share no inputs beyond checkpointed frames — run them
     // concurrently (the screens' convention above)
     // a tiny generation may lack either store tier (no whole shard ever
@@ -543,15 +651,29 @@ private[graft] object RefreshPipeline {
           .write.mode("overwrite").partitionBy("shard_id")
           .parquet(s"$outDir/store/shards")
     }
+    // the new log is ONE write: the generation's log with evictee
+    // slices pad-masked, UNION the entrant slices appended at the
+    // recovered offset (computed from the published store up front,
+    // concurrent with the screens) — the former mask-write /
+    // offset-read / append-write sequence folded into a single job
+    val offset = scala.concurrent.Await
+      .result(offsetF, scala.concurrent.duration.Duration.Inf)
+    val entrantToks = scrubbedStore
+      .unionByName(bFinal.select(col("doc_id"), col("jetons"), col("n_jetons")))
+      .join(broadcast(entrants), Seq("doc_id"), "left_semi")
+    val entrantSlices = Pack.packedSlicesTokens(entrantToks, "doc_id", "jetons",
+      SeqTokens, numPartitions = 1, startOffset = offset)
     val logF = scala.concurrent.Future {
-      if (nonEmptyStore(spark, s"${layers.head}/store/log"))
-        spark.read.parquet(s"${layers.head}/store/log")
+      val maskedLog =
+        if (!nonEmptyStore(spark, s"${layers.head}/store/log")) None
+        else Some(spark.read.parquet(s"${layers.head}/store/log")
           .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
           .withColumn("tranche",
             when(col("__evince"), array_repeat(lit(Pad), col("n").cast("int")))
               .otherwise(col("tranche")))
-          .drop("__evince")
-          .write.mode("overwrite").parquet(s"$outDir/store/log")
+          .drop("__evince"))
+      maskedLog.map(_.unionByName(entrantSlices)).getOrElse(entrantSlices)
+        .write.mode("overwrite").parquet(s"$outDir/store/log")
     }
     val selF = scala.concurrent.Future {
       sel.withColumn("statut",
@@ -562,16 +684,9 @@ private[graft] object RefreshPipeline {
     scala.concurrent.Await.result(logF, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(selF, scala.concurrent.duration.Duration.Inf)
     mark("mask_and_publish")
-    val offset = Pack.recoveredOffset(spark,
-      s"$outDir/store/log", s"$outDir/store/shards", SeqTokens, SeqsPerShard)
-    val entrantToks = scrubbedStore
-      .unionByName(bFinal.select(col("doc_id"), col("jetons"), col("n_jetons")))
-      .join(broadcast(entrants), Seq("doc_id"), "left_semi")
-    Pack.packedSlicesTokens(entrantToks, "doc_id", "jetons", SeqTokens,
-        numPartitions = 1, startOffset = offset)
-      .write.mode("append").parquet(s"$outDir/store/log")
     Pack.finalizeSliceLog(spark, s"$outDir/store/log",
-      s"$outDir/store/shards", SeqTokens, SeqsPerShard, numPartitions = 1)
+      s"$outDir/store/shards", SeqTokens, SeqsPerShard, numPartitions = 1,
+      countResidual = false)
     mark("append_finalize")
 
     // generation N+1's screen stores: batch-scale deltas of the
@@ -605,13 +720,16 @@ private[graft] object RefreshPipeline {
     // joined with per-doc fingerprints decoded from the store files
     // (evictee slices are pad-masked and their ids absent from the
     // selection, so they drop out here)
+    // no presentation sort: the gate equality is a hash over SORTED rows
+    // on the compare side (check_oracle sorts both relations), so an
+    // ORDER BY here would buy nothing but a range-sampling job + a sort
+    // stage on the timed path
     sel.withColumn("statut",
         when(col("doc_id") <= threshold, lit("conserve")).otherwise(lit("entrant")))
       .join(storePerDoc(spark, s"$outDir/store"), Seq("doc_id"))
       .select(col("doc_id"), col("statut"),
         md5(concat_ws(" ", col("toks"))).as("empreinte"),
         col("qualite"), col("n_jetons"), col("jetons_cumules"))
-      .orderBy(col("doc_id"))
   }
 
   /** The TIMED refresh — the SECOND hop of the generation chain: batch-2

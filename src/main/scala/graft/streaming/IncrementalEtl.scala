@@ -84,13 +84,36 @@ object IncrementalEtl {
     */
   def stageFeed(spark: SparkSession, dir: String, targetDir: String): Unit = {
     val feedDir = s"$targetDir/feed"
-    val done = new org.apache.hadoop.fs.Path(s"$feedDir/_SUCCESS")
+    val feedPath = new org.apache.hadoop.fs.Path(feedDir)
+    val done = new org.apache.hadoop.fs.Path(s"$feedDir/_STAGED")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
+      // one range-partitioned write, then the part files are republished
+      // with STRICTLY INCREASING mtimes in range order: the file stream
+      // source orders its triggers by modification time, and a single
+      // job's part files share one mtime — leaving the 2-file trigger
+      // pairing to a filesystem tie-break that varies by box (observed:
+      // ranges paired (1,3)(2,4) on one VM, tripling the month-boundary
+      // overlaps the spec bounds). Date-ordered ARRIVAL is the feed
+      // contract, so the staging must actually encode it.
+      val staging = new org.apache.hadoop.fs.Path(s"$targetDir/feed_stage")
+      fs.delete(staging, true)
+      fs.delete(feedPath, true)
       spark.read.parquet(s"$dir/orders.parquet")
         .select(orderSchema.fieldNames.map(col): _*)
         .repartitionByRange(4, col("o_orderdate"))
-        .write.mode("overwrite").parquet(feedDir)
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(feedPath)
+      val parts = fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 60000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dst = new org.apache.hadoop.fs.Path(feedPath, p.getName)
+        require(fs.rename(p, dst), s"stageFeed: publishing $p failed")
+        fs.setTimes(dst, base + i * 60000L, -1)
+      }
+      fs.delete(staging, true)
+      fs.create(done, true).close()
     }
   }
 
@@ -146,9 +169,9 @@ object IncrementalEtl {
           mergedMonths += overlap.length
           if (overlap.isEmpty) {
             // no month collides with existing data: pure append — no
-            // read, no join, no shuffle; the batch is one staged
-            // date-range file, so its few input tasks write
-            // month-contiguous files
+            // read, no join, no shuffle; a batch spans up to two staged
+            // date-range files (the 2-files/trigger drain), so its few
+            // input tasks write month-contiguous files
             part.write.mode("append").partitionBy("mois_cle").parquet(target)
           } else {
             // some months collide: pruned read of ONLY those

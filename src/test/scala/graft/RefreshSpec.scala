@@ -99,9 +99,11 @@ class RefreshSpec extends SparkSpec {
       assert(q(10L) == 0.5 && q(11L) == 0.5 && q(93L) == 0.5, s"core tier drifted: $q")
       assert(q(70L) == 0.25, s"budget-line doc drifted: ${q(70L)}")
 
+      // the gate relation is ORDER-FREE (the oracle compare sorts rows);
+      // the spec sorts on collect
       val report = RefreshPipeline.run(spark, dir)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(4), r.getLong(5)))
+          r.getLong(4), r.getLong(5))).sortBy(_._1)
       val gen0 = RefreshPipeline.gen0Dir(dir)
       val gen1 = RefreshPipeline.gen1Dir(dir)
       val gen2 = RefreshPipeline.gen2Dir(dir)
@@ -239,7 +241,7 @@ class RefreshSpec extends SparkSpec {
         Seq(s"$work/g2", s"$work/g1", s"$work/g0"),
         docs.filter(col("doc_id") > 30), s"$work/g3", threshold = 30L)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(4), r.getLong(5)))
+          r.getLong(4), r.getLong(5))).sortBy(_._1)
       // gen-2's append-only layer holds ONLY batch-2's span survivors
       // (the dup 25 stays in the scrubbed layer — pair verification
       // needs its tokens — while the selection drops it)
@@ -266,6 +268,91 @@ class RefreshSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
       assert(oneShot == report.map(t => t._1 -> t._5).toMap,
         "the chained refresh must equal the one-shot selection over everything")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
+  test("generation-chain compaction law: a SIX-layer chain folds into one layer that is " +
+      "store-identical to the layered union, and the next refresh is invariant under the fold") {
+    // the chain-depth gate the r17 review asked for: five maintaining
+    // refreshes build a gen-5 whose append-only stores span SIX layers
+    // (g0..g5); compactGen folds them; the law is two-sided —
+    //   (a) store equality: every append-only store of the compacted
+    //       layer holds EXACTLY the layered union's rows (multiset),
+    //       and the rewritten newest-layer state survives verbatim,
+    //       the packed store bit-for-bit (positions + watermark);
+    //   (b) refresh invariance: batch-6 refreshed against Seq(compact)
+    //       returns the same report, fingerprints included, as against
+    //       the full chain — so a production loop can fold at ANY
+    //       cadence without perturbing the loop's fixpoint property.
+    val n = 30 // ids 1..30 = gen-0; five 6-id batches follow; batch-6 = ids > 60
+    // ids 50 (a benchmark row: id % 50 = 0 — its grams enter hop-4's new
+    // eval grams and self-contaminate it) and 45 (a near-dup of gen-0's
+    // core doc 20, removed by a pair that SPANS the chain) keep the
+    // eviction channels live across the fold
+    val chainDocs =
+      ((1 to 30).map {
+        case 20 => (20L, core + " alfa1 alfa2 alfa3")
+        case i => (i.toLong, (1 to 40).map(j => s"c${i}w$j").mkString(" "))
+      } ++
+      (31 to 66).map {
+        case 45 => (45L, core) // jaccard 4/7 vs doc 20: removed, canonical 20
+        case i => (i.toLong,
+          (1 to 40).map(j => s"b${i}w$j").updated(1, "the").mkString(" "))
+      })
+    val dir = java.nio.file.Files.createTempDirectory("graft_refreshc_").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_refreshcw_").toString
+    try {
+      import spark.implicits._
+      chainDocs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      RefreshPipeline.publish(spark, docs.filter(col("doc_id") <= n), s"$work/g0")
+      var layers = List(s"$work/g0")
+      (1 to 5).foreach { h =>
+        val lo = n + (h - 1) * 6L; val hi = n + h * 6L
+        RefreshPipeline.refreshGen(spark, layers,
+          docs.filter(col("doc_id") > lo && col("doc_id") <= hi), s"$work/g$h",
+          threshold = lo, maintainThreshold = Some(hi)).collect()
+        layers = s"$work/g$h" :: layers
+      }
+      RefreshPipeline.compactGen(spark, layers, s"$work/gc")
+      // (a) append-only stores: compacted ≡ layered union as multisets
+      Seq("span_grams", "scrubbed", "sigs", "eval_grams").foreach { sub =>
+        val union = layers.map(l => spark.read.parquet(s"$l/$sub"))
+          .reduce(_.unionByName(_))
+        val compacted = spark.read.parquet(s"$work/gc/$sub")
+        assert(compacted.count() == union.count() &&
+          compacted.exceptAll(union).isEmpty && union.exceptAll(compacted).isEmpty,
+          s"compacted $sub store is not the layered union")
+      }
+      // newest-layer rewritten state carried verbatim
+      Seq("labels", "stats", "selection").foreach { sub =>
+        val head = spark.read.parquet(s"${layers.head}/$sub")
+        val compacted = spark.read.parquet(s"$work/gc/$sub")
+        assert(compacted.exceptAll(head).isEmpty && head.exceptAll(compacted).isEmpty,
+          s"compacted $sub must carry the newest layer's store verbatim")
+      }
+      // packed store byte-copied: per-doc splices identical
+      val viaChain = RefreshPipeline.storePerDoc(spark, s"${layers.head}/store")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val viaCompact = RefreshPipeline.storePerDoc(spark, s"$work/gc/store")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaChain == viaCompact, "packed store must survive the fold bit-for-bit")
+      // (b) the NEXT refresh is invariant under the fold
+      val batch6 = docs.filter(col("doc_id") > n + 30L)
+      val viaLayers = RefreshPipeline.refreshGen(spark, layers, batch6,
+          s"$work/g6a", threshold = n + 30L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+      val viaFold = RefreshPipeline.refreshGen(spark, Seq(s"$work/gc"), batch6,
+          s"$work/g6b", threshold = n + 30L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+      assert(viaLayers.nonEmpty && viaLayers.sameElements(viaFold),
+        "refresh over the compacted layer must equal refresh over the six-layer chain")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
