@@ -139,6 +139,11 @@ object Bench {
     // chained hop
     try { graft.queries.PipelineQueries.p06Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // p07's three published stores (gen-2 text artifacts, the gen-1
+    // vector index, the gen-1 interleaved media store): the measured
+    // query is applying ONE selection delta across all three tiers
+    try { graft.queries.PipelineQueries.p07Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // the curation trio's shared front (scrub → span → near-dup kept
     // relation + decon id list): the published cleaned-corpus artifact
     // each training-run cell (p03/p04/p05) curates over

@@ -3797,24 +3797,311 @@ object PipelineQueries {
   private def p06(spark: SparkSession, dir: String): DataFrame =
     RefreshPipeline.run(spark, dir)
 
+  // ---------------------------------------------------------------------
+  // p07 — ONE REFRESH, THREE TIERS: the composed maintenance transaction
+  // a production refresh actually is. One batch's selection delta (the
+  // gen-1 → gen-2 re-selection p06 gates) drives, in a single run,
+  //   - the TEXT tier: the gen-2 packed store + selection read back
+  //     (fingerprints decoded from disk — the p06 gate columns);
+  //   - the VECTOR tier: entrant embeddings appended with the frozen
+  //     publish-time model, evictee rows tombstoned out of the codes
+  //     store (e11's ops, driven here by the REAL text delta instead of
+  //     a synthetic one), then an exhaustive serve;
+  //   - the MEDIA tier: evictee docs pad-masked in the interleaved
+  //     packed store (shards + open tail), entrant interleaved streams
+  //     appended at the recovered offset, whole shards finalized
+  //     (PackSpec's interleaved-maintenance laws run as a gated cell).
+  // ONE oracle gate covers all three: the refreshed vector/media
+  // membership is exactly the gen-2 selection ((sel1 − evictees) ∪
+  // entrants = sel2 by construction), so the oracle computes the
+  // one-shot selection ONCE and states each tier against it — text
+  // report ≡ the p06 one-shot rebuild, exhaustive ANN serve ≡ brute
+  // force over the refreshed selection's embeddings (evicted/base ids
+  // among the probes), media reassembly ≡ the closed-form interleave
+  // over the refreshed selection (an unmasked evictee would surface as
+  // an EXTRA media row, an over-masked survivor as a broken hash).
+  // Setup (untimed, the store-publish convention): gen-0/gen-1 via
+  // p06Setup, ONE materialized gen-2 (the delta source — p06 itself
+  // times that refresh; this cell times the COMPOSED application of its
+  // delta, the d39-vs-d22 decomposition precedent), the vector store
+  // over gen-1's selection, the media store over gen-1's interleaved
+  // selection. The timed maintenance is idempotent-converging (append-
+  // missing anti-joins, masking, staged swaps), so re-runs converge.
+  // Scale shape: deltas are selection-scale (narrow, broadcast), vector
+  // maintenance moves narrow code rows, media maintenance is budget-
+  // bounded store rows; the corpus appears ONLY through the gen-2
+  // artifacts setup built — nothing here exchanges corpus-scale data.
+  // ---------------------------------------------------------------------
+  private def p07WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p07_${Integer.toHexString(dir.hashCode)}"
+
+  private val p07Pad = "<scrub>"
+
+  def p07Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    RefreshPipeline.setup(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(f: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f"))
+    val d = mtime("documents.parquet"); val e = mtime("embeddings.parquet")
+    // bump the trailing tag when the p06 store layout (RefreshPipeline
+    // `format`) or any published-store convention here changes
+    val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
+      s"${e.getLen}:${e.getModificationTime}:p07-threetier-v1"
+    val w = p07WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      fs.delete(new org.apache.hadoop.fs.Path(w), true)
+      val docs = Tables.documents(spark, dir)
+      // the delta source: ONE materialized hop-2 refresh into p07's own
+      // generation dir (p06's gen2 is rebuilt by every timed p06 run —
+      // this cell must own a stable copy)
+      val t2 = RefreshPipeline.publishedThreshold(RefreshPipeline.gen1Dir(dir))
+      RefreshPipeline.refreshGen(spark,
+        Seq(RefreshPipeline.gen1Dir(dir), RefreshPipeline.gen0Dir(dir)),
+        docs.filter(col("doc_id") > t2), s"$w/gen2", threshold = t2)
+        .write.mode("overwrite").format("noop").save()
+      val sel1 = spark.read
+        .parquet(s"${RefreshPipeline.gen1Dir(dir)}/selection").select(col("doc_id"))
+      // vector store: gen-1 selection's embeddings under the frozen model
+      graft.operators.AnnIndex.write(
+        Tables.embeddings(spark, dir)
+          .join(broadcast(sel1.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", s"$w/index", nList = 16, m = 8, codes = 16, iters = 3)
+      // media store: gen-1 selection's interleaved documents
+      val med = Multimodal.interleaved(docs)
+        .join(broadcast(sel1), Seq("doc_id"), "left_semi")
+      Pack.packedSlicesTokens(med.select(col("doc_id"), col("jetons")),
+          "doc_id", "jetons", 256, numPartitions = 1)
+        .write.mode("overwrite").parquet(s"$w/media/log")
+      Pack.finalizeSliceLog(spark, s"$w/media/log", s"$w/media/shards", 256, 8,
+        numPartitions = 1)
+      new java.io.File(w).mkdirs()
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def p07(spark: SparkSession, dir: String): DataFrame = {
+    p07Setup(spark, dir)
+    val w = p07WorkDir(dir)
+    val t2 = RefreshPipeline.publishedThreshold(RefreshPipeline.gen1Dir(dir))
+    val sel1 = spark.read
+      .parquet(s"${RefreshPipeline.gen1Dir(dir)}/selection").select(col("doc_id"))
+    val sel2full = spark.read.parquet(s"$w/gen2/selection")
+    val sel2 = sel2full.select(col("doc_id"))
+    // the selection delta — narrow, checkpointed once, consumed by both
+    // tier futures
+    val entrants = sel2.join(sel1, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val evictees = sel1.join(sel2, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    // ---- vector tier (concurrent with media maintenance) ----
+    val vecF = scala.concurrent.Future {
+      val em = Tables.embeddings(spark, dir)
+      val stored = graft.operators.AnnIndex.codes(spark, s"$w/index")
+      val missing = em
+        .join(broadcast(entrants.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      if (!missing.isEmpty)
+        graft.operators.AnnIndex.append(
+          missing.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          s"$w/index")
+      graft.operators.AnnIndex.tombstone(spark, s"$w/index",
+        evictees.select(col("doc_id").as("vec_id")))
+      // exhaustive serve (nProbe = nList, unbounded shortlist ⇒ ≡ brute
+      // force): probes = fixed base ids (selected, evicted or never
+      // indexed) ∪ the selection's entrant-side vectors
+      val (cents, books) = graft.operators.AnnIndex.readModel(spark, s"$w/index")
+      val coded = graft.operators.AnnIndex.codes(spark, s"$w/index")
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      val vecs = em.select(col("vec_id").as("neighbor_id"),
+        Vectors.toDouble(col("embedding")).as("v_c"))
+      val queries = em.filter(col("vec_id") < 10)
+        .unionByName(em
+          .join(broadcast(sel2.filter(col("doc_id") > t2)
+            .select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_semi"))
+      Similarity
+        .pqKnnIvfCoded(coded, vecs, queries, "vec_id", "embedding", k = 5,
+          cents, books, nProbe = 16, shortlist = Int.MaxValue)
+        .localCheckpoint(true)
+    }
+
+    // ---- media tier ----
+    val mediaF = scala.concurrent.Future {
+      val mw = s"$w/media"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(mw).getFileSystem(hconf)
+      val inter = Multimodal.interleaved(Tables.documents(spark, dir))
+        .localCheckpoint(true) // feeds the append AND the report join
+      // evictee masking, staged + swapped (the AnnIndex.tombstone
+      // convention — never rewrite a store over its own scan)
+      if (graft.operators.Pack.shardWatermarkSeqs(spark, s"$mw/shards", 8) > 0) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$mw/shards__mask_tmp")
+        fs.delete(tmp, true)
+        Pack.tombstone(Pack.readShards(spark, s"$mw/shards"), evictees, lit(p07Pad))
+          .write.mode("overwrite").partitionBy("shard_id").parquet(tmp.toString)
+        graft.operators.Swap.publish(fs, tmp,
+          new org.apache.hadoop.fs.Path(s"$mw/shards"))
+      }
+      // open tail: mask evictees and append the MISSING entrants' slices
+      // (append-missing on store provenance ids — re-runs converge) in
+      // ONE staged write at the recovered offset
+      val offset = Pack.recoveredOffset(spark, s"$mw/log", s"$mw/shards", 256, 8)
+      val presentIds = Pack.readShards(spark, s"$mw/shards")
+        .select(explode(col("docs")).as("d")).select(col("d.doc_id").as("doc_id"))
+        .unionByName(spark.read.parquet(s"$mw/log").select(col("doc_id")))
+        .distinct()
+      val toAppend = inter
+        .join(broadcast(entrants), Seq("doc_id"), "left_semi")
+        .join(presentIds, Seq("doc_id"), "left_anti")
+      val newSlices = Pack.packedSlicesTokens(
+        toAppend.select(col("doc_id"), col("jetons")), "doc_id", "jetons", 256,
+        numPartitions = 1, startOffset = offset)
+      val maskedLog = spark.read.parquet(s"$mw/log")
+        .join(broadcast(evictees.withColumn("__evince", lit(true))), Seq("doc_id"), "left")
+        .withColumn("tranche",
+          when(col("__evince"), array_repeat(lit(p07Pad), col("n").cast("int")))
+            .otherwise(col("tranche")))
+        .drop("__evince")
+      val logTmp = new org.apache.hadoop.fs.Path(s"$mw/log__mask_tmp")
+      fs.delete(logTmp, true)
+      maskedLog.unionByName(newSlices).write.mode("overwrite").parquet(logTmp.toString)
+      graft.operators.Swap.publish(fs, logTmp, new org.apache.hadoop.fs.Path(s"$mw/log"))
+      Pack.finalizeSliceLog(spark, s"$mw/log", s"$mw/shards", 256, 8,
+        numPartitions = 1, countResidual = false)
+      // report: every doc with live (non-pad) content in the maintained
+      // store — an unmasked evictee would surface as an extra row here
+      RefreshPipeline.storePerDoc(spark, mw)
+        .filter(size(filter(col("toks"), t => t =!= p07Pad)) > 0)
+        .join(inter.drop("jetons"), Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_jetons"),
+          (array_position(col("toks"), "<img>") - 1).as("debut_image"),
+          size(filter(col("toks"), t => t === "<img>")).cast("long").as("n_jetons_image"),
+          (array_position(col("toks"), "<aud>") - 1).as("debut_audio"),
+          size(filter(col("toks"), t => t === "<aud>")).cast("long").as("n_jetons_audio"),
+          md5(concat_ws(" ",
+            filter(col("toks"), t => t =!= "<img>" && t =!= "<aud>"))).as("empreinte_texte"),
+          sha2(encode(col("media_image"), "UTF-8"), 256).as("empreinte_image"),
+          sha2(encode(col("media_audio"), "UTF-8"), 256).as("empreinte_audio"))
+        .localCheckpoint(true)
+    }
+
+    // ---- text tier (main thread): gen-2 selection + fingerprints read
+    // back through the refreshed packed store — the p06 gate columns ----
+    val texte = sel2full
+      .join(RefreshPipeline.storePerDoc(spark, s"$w/gen2/store"), Seq("doc_id"))
+      .select(col("doc_id"), col("statut"),
+        md5(concat_ws(" ", col("toks"))).as("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"))
+    val serve = scala.concurrent.Await
+      .result(vecF, scala.concurrent.duration.Duration.Inf)
+    val media = scala.concurrent.Await
+      .result(mediaF, scala.concurrent.duration.Duration.Inf)
+
+    // ---- the composed report: one wide relation, sentinel-filled (no
+    // NULLs — cross-engine null sorting/hashing stays out of the gate) ----
+    val bN = lit(-1L); val bD = lit(-1.0); val bS = lit("")
+    val rTexte = texte.select(
+      lit("texte").as("tier"), col("doc_id"), col("statut"), col("empreinte"),
+      col("qualite"), col("n_jetons"), col("jetons_cumules"),
+      bN.as("rang"), bN.as("voisin"), bD.as("cosinus"),
+      bN.as("debut_image"), bN.as("n_jetons_image"),
+      bN.as("debut_audio"), bN.as("n_jetons_audio"),
+      bS.as("empreinte_image"), bS.as("empreinte_audio"))
+    val rVec = serve.select(
+      lit("vecteur").as("tier"), col("query_id").as("doc_id"), bS.as("statut"),
+      bS.as("empreinte"), bD.as("qualite"), bN.as("n_jetons"), bN.as("jetons_cumules"),
+      col("rank").cast("long").as("rang"), col("neighbor_id").as("voisin"),
+      col("cosine").as("cosinus"),
+      bN.as("debut_image"), bN.as("n_jetons_image"),
+      bN.as("debut_audio"), bN.as("n_jetons_audio"),
+      bS.as("empreinte_image"), bS.as("empreinte_audio"))
+    val rMedia = media.select(
+      lit("media").as("tier"), col("doc_id"), bS.as("statut"),
+      col("empreinte_texte").as("empreinte"), bD.as("qualite"),
+      col("n_jetons"), bN.as("jetons_cumules"),
+      bN.as("rang"), bN.as("voisin"), bD.as("cosinus"),
+      col("debut_image"), col("n_jetons_image"),
+      col("debut_audio"), col("n_jetons_audio"),
+      col("empreinte_image"), col("empreinte_audio"))
+    rTexte.unionByName(rVec).unionByName(rMedia)
+  }
+
+  private val p07Sql = curationChainSql(decon = true) +
+    s"""
+       |, t2v AS (SELECT (9 * max(doc_id)) // 10 AS t FROM documents)
+       |, vcorpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings JOIN sel ON vec_id = sel.doc_id
+       |), vq AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings JOIN sel ON vec_id = sel.doc_id
+       |  WHERE vec_id > (SELECT t FROM t2v)
+       |), vscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(q.v, c.v)
+       |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cosine
+       |  FROM vq q CROSS JOIN vcorpus c WHERE q.vec_id <> c.vec_id
+       |), vranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM vscored
+       |), msrc AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a, text
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(trim(text)) > 0
+       |)
+       |SELECT 'texte' AS tier, sel.doc_id,
+       |  CASE WHEN sel.doc_id <= (SELECT t FROM t2v) THEN 'conserve' ELSE 'entrant'
+       |       END AS statut,
+       |  md5(cln.texte) AS empreinte, sel.qualite, sel.n_jetons,
+       |  CAST(sel.jc AS BIGINT) AS jetons_cumules,
+       |  CAST(-1 AS BIGINT) AS rang, CAST(-1 AS BIGINT) AS voisin,
+       |  CAST(-1 AS DOUBLE) AS cosinus,
+       |  CAST(-1 AS BIGINT) AS debut_image, CAST(-1 AS BIGINT) AS n_jetons_image,
+       |  CAST(-1 AS BIGINT) AS debut_audio, CAST(-1 AS BIGINT) AS n_jetons_audio,
+       |  '' AS empreinte_image, '' AS empreinte_audio
+       |FROM sel JOIN cln USING (doc_id)
+       |UNION ALL
+       |SELECT 'vecteur', query_id, '', '', CAST(-1 AS DOUBLE), CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(rank AS BIGINT), neighbor_id, cosine,
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  '', ''
+       |FROM vranked WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'media', msrc.doc_id, '', md5(array_to_string(a, ' ')),
+       |  CAST(-1 AS DOUBLE), CAST(len(a) + 12 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS DOUBLE),
+       |  CAST(len(a) // 3 AS BIGINT), CAST(8 AS BIGINT),
+       |  CAST((2 * len(a)) // 3 + 8 AS BIGINT), CAST(4 AS BIGINT),
+       |  sha256(substring(text, 1, length(text) // 2)),
+       |  sha256(substring(text, length(text) // 2 + 1, length(text)))
+       |FROM msrc JOIN sel USING (doc_id)
+       |ORDER BY tier, doc_id, rang""".stripMargin
+
   /** The shared curation-pipeline oracle: `seed` keys the training-order
     * permutation; `decon` inserts the benchmark-decontamination stage
     * (the d16 semantics recomputed over the REBUILT post-scrub text)
     * between the near-dup survivors and quality selection.
     */
-  private def curationSql(
-      seed: String, decon: Boolean, seqCols: Boolean = true,
-      refreshStatut: Boolean = false): String = {
-    val srcRel = if (decon) "cln" else "keptd"
-    // id-shard gates (p05) drop the sequence-boundary columns: those
-    // live in BPE-id space, which SQL cannot re-derive (the tokenizer
-    // is a trained model); the decoded fingerprint carries the
-    // losslessness proof instead
-    val seqColsSql = if (seqCols)
-      """,
-        |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
-        |  (pk.cum - 1) // 256 AS seq_fin""".stripMargin
-    else ""
+  private def curationSrcRel(decon: Boolean): String = if (decon) "cln" else "keptd"
+
+  /** The shared curation CTE chain alone — everything from the raw
+    * `documents` tokenization through the budget selection `sel` (no
+    * trailing SELECT), so composed oracles (p07's three-tier refresh)
+    * can reuse the selection and append their own tier subqueries.
+    */
+  private def curationChainSql(decon: Boolean): String = {
     val gram5 = (rel: String, guard: String) =>
       s"""SELECT doc_id, unnest(CASE WHEN len(a) < 5 THEN CAST([] AS VARCHAR[])
          |      ELSE list_distinct(list_transform(range(1, len(a) - 3),
@@ -3916,14 +4203,30 @@ object PipelineQueries {
        |  WHERE rm.id IS NULL
        |)$deconCtes, q AS (
        |  SELECT doc_id, $qualityExprSql AS qualite, n_jetons
-       |  FROM (SELECT doc_id, texte AS text, n_jetons FROM $srcRel)
+       |  FROM (SELECT doc_id, texte AS text, n_jetons FROM ${curationSrcRel(decon)})
        |), w AS (
        |  SELECT doc_id, qualite, n_jetons,
        |    SUM(n_jetons) OVER (ORDER BY qualite DESC, doc_id ROWS UNBOUNDED PRECEDING) AS jc
        |  FROM q
        |), sel AS (
        |  SELECT * FROM w WHERE jc <= 10000
-       |)${
+       |)""".stripMargin
+  }
+
+  private def curationSql(
+      seed: String, decon: Boolean, seqCols: Boolean = true,
+      refreshStatut: Boolean = false): String = {
+    val srcRel = curationSrcRel(decon)
+    // id-shard gates (p05) drop the sequence-boundary columns: those
+    // live in BPE-id space, which SQL cannot re-derive (the tokenizer
+    // is a trained model); the decoded fingerprint carries the
+    // losslessness proof instead
+    val seqColsSql = if (seqCols)
+      """,
+        |  (pk.cum - pk.n_jetons) // 256 AS seq_debut,
+        |  (pk.cum - 1) // 256 AS seq_fin""".stripMargin
+    else ""
+    curationChainSql(decon) + {
       if (refreshStatut)
         // the incremental-refresh gate (p06): no rang — the engine side
         // keeps the PUBLISHED pack order for survivors and appends
@@ -3952,7 +4255,7 @@ object PipelineQueries {
            |  sel.qualite, sel.n_jetons, CAST(sel.jc AS BIGINT) AS jetons_cumules$seqColsSql
            |FROM pk JOIN sel USING (doc_id) JOIN $srcRel USING (doc_id)
            |ORDER BY rang""".stripMargin
-    }""".stripMargin
+    }
   }
 
   private val p03Sql = curationSql("p03", decon = false)
@@ -4385,6 +4688,7 @@ object PipelineQueries {
     Q("p04_decon_pipeline", "decontaminating curation: p03 + benchmark n-gram decontamination on the rebuilt post-scrub text before budget selection", p04, Some(p04Sql)),
     Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
     Q("p06_incremental_refresh", "CHAINED incremental corpus refresh: gen-0 publish → maintaining batch-1 refresh → gen-1 (setup), timed batch-2 refresh against gen-1's stores — gate ≡ one-shot rebuild over corpus ∪ b1 ∪ b2 (refresh ∘ refresh ≡ one-shot), fingerprints read back through the gen-2 store", p06, Some(p06Sql)),
+    Q("p07_threetier_refresh", "ONE refresh, THREE tiers: the gen-1→gen-2 selection delta drives text-store read-back, frozen-model ANN append+tombstone+exhaustive serve, and interleaved media-store mask+append+finalize in a single run — one oracle gates all three against the one-shot selection", p07, Some(p07Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql)),
     Q("s16_stream_classify", "streaming classifier screen: per-batch pure-map scoring with the published hashed-NB weights == one-shot d24 (§2.9)", s16, Some(d24Sql)),
