@@ -122,6 +122,10 @@ object Bench {
     // measured query is the append+tombstone maintenance + serve
     try { graft.queries.PipelineQueries.e11Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // e12's pristine frozen store (the pre-transition state); the
+    // measured query replays the full alarm→republish transition
+    try { graft.queries.PipelineQueries.e12Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // s15's feed staging + eval-gram store publish: same category
     try { graft.queries.PipelineQueries.s15Setup(spark, sfDir) }
     catch { case _: Throwable => () }

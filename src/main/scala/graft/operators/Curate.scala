@@ -50,10 +50,11 @@ object Curate {
     // measured 17.7×/decade on d33's second decade (0.4 s → 7.5 s at
     // 500 k docs) vs ~linear once the three passes read one
     // materialization. O(corpus) rows but ~24 B each; blocks released
-    // by the ContextCleaner (the repo checkpoint convention). A lazy
-    // cache (materialized by the range sampler's own pass) rather than
-    // an eager checkpoint: one fewer job per call (the p06 job-floor
-    // lesson), and an evicted block recomputes instead of failing.
+    // by the ContextCleaner (the repo checkpoint convention). LAZY
+    // checkpoint (materialized by the range sampler's own first pass)
+    // rather than eager: one fewer job per call (the p06 job-floor
+    // lesson) with the same cleaner-managed lifecycle — a cache() here
+    // would pin a CacheManager entry per call for the session.
     // The weight is cast to long HERE (the public contract accepts any
     // numeric weight column — an int/double weight would otherwise hit
     // getLong below as an opaque executor-side ClassCastException).
@@ -72,7 +73,7 @@ object Curate {
         (col(weightCol).try_cast(LongType).cast("double") ===
           col(weightCol).try_cast("double")))
       .withColumn(weightCol, col(weightCol).try_cast(LongType))
-      .cache()
+      .localCheckpoint(false)
     val sorted = src
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)

@@ -411,8 +411,8 @@ object Dedup {
     def fits(n: Long) = n * (keyBytes + 12L + 48L) <= budget
     if (maxRowsHint >= 0L && fits(maxRowsHint)) broadcast(dup)
     else {
-      val cached = dup.cache()
-      if (fits(cached.count())) broadcast(cached) else cached
+      val mat = dup.localCheckpoint(false) // counted next — one job, cleaner-managed
+      if (fits(mat.count())) broadcast(mat) else mat
     }
   }
 
@@ -564,14 +564,15 @@ object Dedup {
     val base = batchToks.select(col(idCol).as("doc_id"), col(tokensCol).as("a"))
     val keyBytes = if (exactFingerprints) 32L else 8L
     // batch grams feed three consumers (key build, store-hit probe,
-    // fresh-gram dedup) — cached once, batch-scale rows only. cache +
-    // count (not checkpoint + count): one job materializes the gram
-    // cache AND the key cache AND yields the budget-gate cardinality,
+    // fresh-gram dedup) — materialized once, batch-scale rows only.
+    // LAZY checkpoints + one count: one job materializes the gram
+    // blocks AND the key blocks AND yields the budget-gate cardinality,
     // where the eager-checkpoint pattern paid a separate job per frame
     // (the p06 job-floor lesson: at batch scale every extra action is
-    // pure scheduling floor)
-    val grams = slidingGrams(base, k, exactFingerprints).cache()
-    val batchKeys = grams.select(col("h")).distinct().cache()
+    // pure scheduling floor); blocks stay ContextCleaner-managed, so a
+    // per-trigger caller leaks nothing (no CacheManager pin)
+    val grams = slidingGrams(base, k, exactFingerprints).localCheckpoint(false)
+    val batchKeys = grams.select(col("h")).distinct().localCheckpoint(false)
     val nKeys = batchKeys.count()
     val budget = sigBroadcastBudget(spark)
     val keysFit = nKeys * (keyBytes + 48L) <= budget
@@ -583,7 +584,7 @@ object Dedup {
     val present = storeGrams
       .select(col(storeGrams.columns.head).as("h"))
       .join(if (keysFit) broadcast(batchKeys) else batchKeys, Seq("h"), "left_semi")
-      .cache()
+      .localCheckpoint(false)
     val presentSide = if (keysFit) broadcast(present) else present
     // every batch occurrence of a stored gram is a hit; fresh grams
     // resolve first-occurrence within the batch (the one-shot order)
@@ -1412,20 +1413,21 @@ object Dedup {
     * equality — no hash-collision shortcut.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // cache + count: one job materializes the (possibly expensive)
-    // pair pipeline once, so the loop/union-find never re-derives it —
-    // and unlike the former eager checkpoint + count pair it costs ONE
-    // action, not two (the p06 job-floor lesson). Loop iterations
-    // still checkpoint their own output, so the plan does not grow
-    // with the iteration count. Edges are canonical (hi, lo) with
-    // hi > lo — both star steps preserve that invariant.
+    // LAZY checkpoint + count: one job materializes the (possibly
+    // expensive) pair pipeline once, so the loop/union-find never
+    // re-derives it — and unlike the former eager checkpoint + count
+    // pair it costs ONE action, not two (the p06 job-floor lesson),
+    // with blocks ContextCleaner-managed like every repo checkpoint.
+    // Loop iterations still checkpoint their own output, so the plan
+    // does not grow with the iteration count. Edges are canonical
+    // (hi, lo) with hi > lo — both star steps preserve that invariant.
     var edges = pairs
       .select(
         greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     var cnt = edges.count()
     // Budget-gated in-memory finish (the GraphX/Kiveris "finish small"
     // hybrid): when the DEDUPLICATED edge set — already counted for the

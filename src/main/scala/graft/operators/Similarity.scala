@@ -476,7 +476,7 @@ object Similarity {
     val positives =
       (if (maxAnchors > 0) allPositives.orderBy(col("anchor_id")).limit(maxAnchors)
        else allPositives)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the nAnchors count — one job, cleaner-managed
     val c = em
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
       .withColumn("cell", nearestCell(col("v_c"), cents))

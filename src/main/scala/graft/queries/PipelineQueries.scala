@@ -768,6 +768,173 @@ object PipelineQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // e12 — the DRIFT → REPUBLISH TRANSITION as one gated flow: the s13
+  // monitor's alarm DRIVES the e10 republish inside a single run —
+  // frozen-model append of the drifted arrivals, production-config
+  // recall probe on the planted-twin sample (the s13 machinery), the
+  // republish executed BECAUSE the probe alarmed (never as a per-batch
+  // reflex), the post-republish production-config probe, and an
+  // exhaustive serve over the republished store. Previously the
+  // ordering was only spec-pinned (SimilaritySpec); this cell runs the
+  // composed transition under the oracle.
+  //
+  // GATE: the serve section ≡ brute force over the union (the e10
+  // exhaustive convention — retrain → re-encode → swap lost, duplicated
+  // and corrupted nothing), and a three-row DECISION section the oracle
+  // states as constants — alarm fired (pre-republish production recall
+  // < the s13 floor), the republish ran because of it (store version
+  // bumped), and the production payoff landed (post-republish recall on
+  // the same sample ≥ the floor). The fixture (SimilaritySpec's four
+  // jittered +4.0-shifted waves — a regime the frozen quantizer
+  // collapses into a handful of code tuples) makes each decision
+  // deterministic; an engine whose monitor, gating or retrain breaks
+  // emits a 0 where the oracle states 1 and the hash mismatches.
+  //
+  // Re-run convergence: the transition is one-way (an already-
+  // republished store no longer alarms), so the timed flow REPLAYS it —
+  // the pristine frozen store is restored from the setup-published copy
+  // first (a bytes-of-codes fs copy, the restart-replay convention;
+  // production reruns a transition from its journal the same way).
+  // ---------------------------------------------------------------------
+  private def e12WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_e12_${Integer.toHexString(dir.hashCode)}"
+
+  /** SimilaritySpec's drifted arrival wave j: every 5th base vector,
+    * ±1% per-copy jitter then a +4.0 per-component shift, disjoint id
+    * range per wave — deterministic arithmetic the oracle rebuilds.
+    */
+  private def e12Wave(em: DataFrame, j: Int): DataFrame =
+    em.filter(col("vec_id") % 5 === 0)
+      .select(
+        (col("vec_id") + lit(2000000L + j * 10000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) *
+            (lit(1.0) + (pmod(col("vec_id") * 13 + i.cast(LongType) * 5 + lit(j * 3L), lit(100L))
+              .cast(DoubleType) / 100.0 - 0.5) * 0.02) + lit(4.0)).cast(FloatType))
+          .as("embedding"))
+
+  /** Publish the pristine frozen store (load phase, untimed). */
+  def e12Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint =
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-transition-v1"
+    val w = e12WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      fs.delete(new org.apache.hadoop.fs.Path(w), true)
+      graft.operators.AnnIndex.write(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", s"$w/pristine", nList = 16, m = 8, codes = 16, iters = 3)
+      new java.io.File(w).mkdirs()
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def e12(spark: SparkSession, dir: String): DataFrame = {
+    e12Setup(spark, dir)
+    val w = e12WorkDir(dir)
+    val ix = s"$w/index"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
+    // replay from the pristine frozen store (see scaladoc above)
+    fs.delete(new org.apache.hadoop.fs.Path(ix), true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$w/pristine"),
+      fs, new org.apache.hadoop.fs.Path(ix), false, true, hconf)
+    val em = Tables.embeddings(spark, dir)
+    // two waves: enough for the planted-twin truth (each drifted src has
+    // a near-twin copy) and the frozen-model collapse that fires the
+    // alarm, at half the append/serve corpus of the spec's four-wave
+    // fixture (SimilaritySpec keeps the four-wave version)
+    val waves = (1 to 2).map(e12Wave(em, _)).reduce(_.unionByName(_))
+    val union = em.select(col("vec_id"), col("embedding")).unionByName(waves)
+    // 1. the drifted arrivals land under the frozen model
+    graft.operators.AnnIndex.append(waves, "vec_id", "embedding", ix)
+    // 2. the monitor: production-config recall on a bounded
+    //    deterministic planted-twin sample (s13's probe, s13's %7
+    //    sampling, s13's floor — the brute truth is O(sample · corpus),
+    //    never corpus²)
+    def productionRecall(): Double = graft.operators.AnnIndex
+      .recallProbe(spark, ix,
+        e12Wave(em, 1).filter(pmod(col("vec_id"), lit(7L)) === 0), union,
+        "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 16)
+      .agg(avg(col("rappel"))).collect()(0).getDouble(0)
+    val alarmPre = productionRecall() < 0.8
+    // 3. the alarm DRIVES the republish — the composed decision, not a
+    //    per-batch reflex
+    val vBefore = graft.operators.AnnIndex.version(spark, ix)
+    if (alarmPre)
+      graft.operators.AnnIndex.republish(union, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+    val republished = graft.operators.AnnIndex.version(spark, ix) == vBefore + 1
+    // 4. the payoff: the same production-config probe clears the floor
+    val postOk = productionRecall() >= 0.8
+    // 5. exhaustive serve over the republished store ≡ brute (e10)
+    val (cents, books) = graft.operators.AnnIndex.readModel(spark, ix)
+    val coded = graft.operators.AnnIndex.codes(spark, ix)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val vecs = union.select(col("vec_id").as("neighbor_id"),
+      Vectors.toDouble(col("embedding")).as("v_c"))
+    val serve = Similarity
+      .pqKnnIvfCoded(coded, vecs,
+        union.filter(col("vec_id") < 10 ||
+          (col("vec_id") >= 2010000L && col("vec_id") < 2010025L)),
+        "vec_id", "embedding", k = 5, cents, books,
+        nProbe = 16, shortlist = Int.MaxValue)
+    import spark.implicits._
+    val decision = Seq(
+      ("transition", -1L, 1L, -1L, if (alarmPre) 1.0 else 0.0),
+      ("transition", -1L, 2L, -1L, if (republished) 1.0 else 0.0),
+      ("transition", -1L, 3L, -1L, if (postOk) 1.0 else 0.0)
+    ).toDF("section", "query_id", "rang", "voisin", "cosinus")
+    serve
+      .select(lit("serve").as("section"), col("query_id"),
+        col("rank").cast("long").as("rang"), col("neighbor_id").as("voisin"),
+        col("cosine").as("cosinus"))
+      .unionByName(decision)
+  }
+  private val e12Sql =
+    """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |waves AS (
+      |  SELECT src_id + 2000000 + j * 10000 AS vec_id,
+      |    list_transform(range(1, len(e) + 1),
+      |      i -> CAST(CAST(e[i] AS DOUBLE)
+      |        * (1.0 + (((src_id * 13 + (i - 1) * 5 + j * 3) % 100) / 100.0 - 0.5) * 0.02)
+      |        + 4.0 AS FLOAT)) AS e
+      |  FROM (SELECT vec_id AS src_id, e FROM orig WHERE vec_id % 5 = 0)
+      |  CROSS JOIN (SELECT unnest(range(1, 3)) AS j)
+      |),
+      |allv AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id, CAST(e AS DOUBLE[]) AS v FROM waves
+      |),
+      |q AS (SELECT * FROM allv
+      |      WHERE vec_id < 10 OR (vec_id >= 2010000 AND vec_id < 2010025)),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v)
+      |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cosine
+      |  FROM q CROSS JOIN allv c
+      |  WHERE q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT 'serve' AS section, query_id, CAST(rank AS BIGINT) AS rang,
+      |  neighbor_id AS voisin, cosine AS cosinus
+      |FROM ranked WHERE rank <= 5
+      |UNION ALL
+      |SELECT 'transition', CAST(-1 AS BIGINT), CAST(etape AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(1.0 AS DOUBLE)
+      |FROM (SELECT unnest(range(1, 4)) AS etape)
+      |ORDER BY section, query_id, rang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // e11 — ANN REFRESH MAINTENANCE: the vector tier of the p06 refresh
   // loop. A corpus refresh produces a selection DELTA — entrants and
   // evictees — and the index store must track it without a rebuild:
@@ -851,8 +1018,8 @@ object PipelineQueries {
     val missing = entrants.join(
         stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
         Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    if (!missing.isEmpty)
+      .localCheckpoint(false) // one materializing count job, not checkpoint + isEmpty
+    if (missing.count() > 0)
       graft.operators.AnnIndex.append(
         missing.select(col("vec_id"), col("embedding")), "vec_id", "embedding", s"$w/index")
     graft.operators.AnnIndex.tombstone(spark, s"$w/index", e11Evictees(em))
@@ -2513,9 +2680,11 @@ object PipelineQueries {
       Pack.packedSlicesTokens(b, "doc_id", "toks", seqTokens, startOffset = off)
         .write.mode("append").parquet(logDir)
       if (i < batches.size - 1)
-        Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard)
+        Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard,
+          countResidual = false) // result discarded — skip the reporting count
     }
-    Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard)
+    Pack.finalizeSliceLog(spark, logDir, shardDir, seqTokens, seqsPerShard,
+      countResidual = false)
     // reassembly: store slices recover their GLOBAL positions from
     // seq_id·budget + in-sequence offset; tail slices carry theirs
     val fromStore = Pack.readShards(spark, shardDir)
@@ -3907,8 +4076,8 @@ object PipelineQueries {
           Seq("vec_id"), "left_semi")
         .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
           Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
-      if (!missing.isEmpty)
+        .localCheckpoint(false) // one materializing count job, not checkpoint + isEmpty
+      if (missing.count() > 0)
         graft.operators.AnnIndex.append(
           missing.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           s"$w/index")
@@ -4707,6 +4876,7 @@ object PipelineQueries {
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("e10_index_republish", "index re-publish (the recall-drift alarm's action): retrain on the drifted corpus, re-encode in one map pass, atomic swap; exhaustive serve over both regimes vs the union brute oracle", e10, Some(e10Sql)),
     Q("e11_index_refresh", "ANN refresh maintenance (the p06 selection delta in the vector tier): frozen-model append of entrants + tombstone of evictees from the codes store, exhaustive serve ≡ one-shot index over the refreshed selection", e11, Some(e11Sql)),
+    Q("e12_drift_republish", "the drift→republish TRANSITION as one flow: frozen-model append of drifted arrivals → production-config recall alarm (s13) → republish driven BY the alarm (e10) → post-republish production probe clears the floor → exhaustive serve ≡ brute over the union; decision chain + serve under one oracle", e12, Some(e12Sql)),
     Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample (gate in the exhaustive e05/e06 configuration: recall ≡ 1.0 SQL-derivable; production-config alarm pinned in StreamingSpec)", s13, Some(s13Sql)),
     Q("s14_stream_idshards", "streaming BPE-id shard emission: frozen published tokenizer, slice-grain incremental pack continuing the global offset; decode of the drained log rebuilds every doc (d39 through the stream)", s14, Some(d39Sql)),
     Q("e07_triplet_mine", "contrastive triplet mining: LSH positives + exhaustive-probe IVF hard negatives, batched", e07, Some(e07Sql)),

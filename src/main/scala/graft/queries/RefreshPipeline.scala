@@ -563,12 +563,13 @@ private[graft] object RefreshPipeline {
       // maintaining, the eviction list either way. One count
       // materializes the labeling AND the eviction list AND yields the
       // removal cardinality the broadcast gate below prices — the
-      // cache+count fold of the former checkpoint
-      val labelsFull = Dedup.clusters(labelEdges.unionByName(newPairs)).cache()
+      // lazy-checkpoint fold of the former eager checkpoint + count
+      val labelsFull = Dedup.clusters(labelEdges.unionByName(newPairs))
+        .localCheckpoint(false)
       val removed = labelsFull
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
-        .cache()
+        .localCheckpoint(false)
       (labelsFull, removed, removed.count(), bSigs)
     }
     // 4: decontamination — ONE merged screen: the batch (pre-near-dup)
@@ -588,7 +589,7 @@ private[graft] object RefreshPipeline {
           layered(spark, layers, "eval_grams").unionByName(newEvalGrams), DeconN,
           preparedEval = Some(scala.concurrent.Await
             .result(evalSideF, scala.concurrent.duration.Duration.Inf)))
-        .cache()
+        .localCheckpoint(false)
       (c, c.count())
     }
     val (labelsFull, removed, nRemoved, bSigs) = scala.concurrent.Await
@@ -609,10 +610,11 @@ private[graft] object RefreshPipeline {
     val droppedSide =
       if (nDropped * 48L <= Dedup.sigBroadcastBudget(spark)) broadcast(dropped)
       else dropped
-    // lazy cache, not eager checkpoint: the first consumer (the
-    // re-selection's materializing action) computes the broadcast anti
-    // join in ITS job instead of paying a separate one here
-    val bFinal = bScrubbed.join(droppedSide, Seq("doc_id"), "left_anti").cache()
+    // lazy checkpoint, not eager: the first consumer (the re-selection's
+    // materializing action) computes the broadcast anti join in ITS job
+    // instead of paying a separate one here
+    val bFinal = bScrubbed.join(droppedSide, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     mark("batch_final")
 
     // 5: budget RE-selection over narrow merged stats. Checkpointed

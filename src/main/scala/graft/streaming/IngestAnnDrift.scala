@@ -134,8 +134,8 @@ object IngestAnnDrift {
     val storedId = stored.schema.fieldNames.head
     val missing = rows
       .join(stored.select(col(storedId).as("vec_id")), Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    if (!missing.isEmpty)
+      .localCheckpoint(false) // one materializing count job, cleaner-managed (per-trigger caller)
+    if (missing.count() > 0)
       AnnIndex.append(missing.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", s"$workDir/index")
   }
@@ -211,12 +211,14 @@ object IngestAnnDrift {
           appendMissing(spark, workDir, batch)
           val lots = batch.select(col("lot")).distinct()
             .collect().map(_.getInt(0)).sorted
-          lots.foreach { l =>
+          // per-lot rows, ONE append write per trigger (each row still
+          // measures base ∪ its own lot only — the write grain is
+          // commit plumbing, not measurement state)
+          lots.map { l =>
             lotRow(spark, workDir, base, batch.filter(col("lot") === l), nProbe, shortlist)
               .withColumn("lot", lit(l))
               .select("lot", "n_requetes", "k", "rappel", "alarme")
-              .write.mode("append").parquet(outDir)
-          }
+          }.reduce(_.unionByName(_)).write.mode("append").parquet(outDir)
         }
         ()
       }
