@@ -853,13 +853,17 @@ object PipelineQueries {
     val union = em.select(col("vec_id"), col("embedding")).unionByName(waves)
     // 1. the drifted arrivals land under the frozen model
     graft.operators.AnnIndex.append(waves, "vec_id", "embedding", ix)
-    // 2. the monitor: production-config recall on a bounded
-    //    deterministic planted-twin sample (s13's probe, s13's %7
-    //    sampling, s13's floor — the brute truth is O(sample · corpus),
-    //    never corpus²)
+    // 2. the monitor: production-config recall on a BOUNDED
+    //    deterministic planted-twin sample — s13's %7 thinning plus an
+    //    absolute cap (TakeOrdered, no full sort), so the brute truth
+    //    stays O(cap · corpus) at ANY corpus size: a monitor's sample
+    //    is a fixed query budget, never a corpus fraction (an uncapped
+    //    %7 sample measured 25.7 MB at the x10 fixture — sample·corpus
+    //    is corpus² in disguise)
     def productionRecall(): Double = graft.operators.AnnIndex
       .recallProbe(spark, ix,
-        e12Wave(em, 1).filter(pmod(col("vec_id"), lit(7L)) === 0), union,
+        e12Wave(em, 1).filter(pmod(col("vec_id"), lit(7L)) === 0)
+          .orderBy(col("vec_id")).limit(64), union,
         "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 16)
       .agg(avg(col("rappel"))).collect()(0).getDouble(0)
     val alarmPre = productionRecall() < 0.8
