@@ -140,7 +140,18 @@ object Dev {
         var layers = List(s"$work/g0")
         def hopBatch(h: Int) = docs.filter(
           col("doc_id") > n + (h - 1) * 10L && col("doc_id") <= n + h * 10L)
+        // harness parity with Bench.time(): drop blocks pinned by the
+        // PREVIOUS stage before each timed stage — without this the
+        // later stages (the folded probe runs LAST) inherit an
+        // ever-growing block-manager + GC burden and read 2× slow for
+        // identical work (measured: folded probe 7.7 s clean vs 19.1 s
+        // after six unpersist-free maintaining hops)
+        def dropBlocks(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+        }
         (1 to depth).foreach { h =>
+          dropBlocks()
           val t0 = System.nanoTime()
           val (rows, _, w) = org.apache.spark.graft.ShuffleMeter
             .measure(spark.sparkContext) {
@@ -155,6 +166,7 @@ object Dev {
         }
         val fin = depth + 1
         def probe(tag: String, ls: Seq[String], out: String): Unit = {
+          dropBlocks()
           val t0 = System.nanoTime()
           val (rows, _, w) = org.apache.spark.graft.ShuffleMeter
             .measure(spark.sparkContext) {
@@ -166,6 +178,7 @@ object Dev {
             f"rows=${rows.length}")
         }
         probe("chain", layers, s"$work/pa")
+        dropBlocks()
         val t0 = System.nanoTime()
         val (_, _, wc) = org.apache.spark.graft.ShuffleMeter
           .measure(spark.sparkContext) { RP.compactGen(spark, layers, s"$work/gc") }
