@@ -4113,8 +4113,12 @@ object PipelineQueries {
       val inter = Multimodal.interleaved(Tables.documents(spark, dir))
         .localCheckpoint(true) // feeds the append AND the report join
       // evictee masking, staged + swapped (the AnnIndex.tombstone
-      // convention — never rewrite a store over its own scan)
-      if (graft.operators.Pack.shardWatermarkSeqs(spark, s"$mw/shards", 8) > 0) {
+      // convention — never rewrite a store over its own scan). A tiny
+      // selection may never have closed a whole shard (finalize emitted
+      // nothing) — every shard-tier read below is gated on the
+      // watermark, the storePerDoc absent-tier convention.
+      val hasShards = graft.operators.Pack.shardWatermarkSeqs(spark, s"$mw/shards", 8) > 0
+      if (hasShards) {
         val tmp = new org.apache.hadoop.fs.Path(s"$mw/shards__mask_tmp")
         fs.delete(tmp, true)
         Pack.tombstone(Pack.readShards(spark, s"$mw/shards"), evictees, lit(p07Pad))
@@ -4126,9 +4130,11 @@ object PipelineQueries {
       // (append-missing on store provenance ids — re-runs converge) in
       // ONE staged write at the recovered offset
       val offset = Pack.recoveredOffset(spark, s"$mw/log", s"$mw/shards", 256, 8)
-      val presentIds = Pack.readShards(spark, s"$mw/shards")
-        .select(explode(col("docs")).as("d")).select(col("d.doc_id").as("doc_id"))
-        .unionByName(spark.read.parquet(s"$mw/log").select(col("doc_id")))
+      val logIds = spark.read.parquet(s"$mw/log").select(col("doc_id"))
+      val presentIds = (if (!hasShards) logIds
+        else Pack.readShards(spark, s"$mw/shards")
+          .select(explode(col("docs")).as("d")).select(col("d.doc_id").as("doc_id"))
+          .unionByName(logIds))
         .distinct()
       val toAppend = inter
         .join(broadcast(entrants), Seq("doc_id"), "left_semi")
