@@ -148,6 +148,15 @@ object Bench {
     // query is applying ONE selection delta across all three tiers
     try { graft.queries.PipelineQueries.p07Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // p08's policy-governed generation chain (gen-0 publish + three
+    // maintaining hops with the depth-watermark fold firing mid-chain):
+    // the measured query is the fourth refresh against the policy chain
+    try { graft.queries.PipelineQueries.p08Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
+    // e13's fragmented index store (publish + tombstone + six per-wave
+    // appends): the measured query is the compaction + serve proof
+    try { graft.queries.PipelineQueries.e13Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // the curation trio's shared front (scrub → span → near-dup kept
     // relation + decon id list): the published cleaned-corpus artifact
     // each training-run cell (p03/p04/p05) curates over

@@ -190,6 +190,61 @@ object Dev {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       }
       spark.stop()
+    // Policy-driven chain (SCALE.md, r18 ask #2): `Dev chainpolicy
+    // <nCorpus> <hops>` publishes gen-0 over n docs then runs <hops>
+    // maintaining 10-doc refreshes through RefreshPipeline
+    // .maintainedRefresh — the CompactDepth watermark fires the fold
+    // INSIDE the loop — metering every hop with its live layer count.
+    // Expected shape: hop cost climbs with depth, resets on the hop
+    // after each policy fold (the probe-cost reset the policy buys),
+    // refresh bytes stay batch-scale throughout (the depth law).
+    case Some("chainpolicy") =>
+      val n = args(1).toLong; val hops = args(2).toInt
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val RP = graft.queries.RefreshPipeline
+      val dir = Files.createTempDirectory(s"graft_cpol_${n}_").toString
+      val work = Files.createTempDirectory(s"graft_cpolw_${n}_").toString
+      try {
+        val corpus = spark.range(1, n + 1, 1, 32).selectExpr(
+          "id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), j -> concat('c', id, 'w', j))) AS text")
+        val batches = spark.range(1, hops * 10 + 1).selectExpr(
+          s"id + ${n} AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), " +
+            "j -> if(j = 2, 'the', concat('b', id, 'w', j)))) AS text")
+        corpus.unionByName(batches)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val docs = graft.sources.Tables.documents(spark, dir)
+        import org.apache.spark.sql.functions.col
+        RP.publish(spark, docs.filter(col("doc_id") <= n), s"$work/g0")
+        var chain: Seq[String] = Seq(s"$work/g0")
+        def dropBlocks(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+        }
+        (1 to hops).foreach { h =>
+          dropBlocks()
+          val depthIn = chain.size
+          val t0 = System.nanoTime()
+          val (_, _, w) = org.apache.spark.graft.ShuffleMeter
+            .measure(spark.sparkContext) {
+              chain = RP.maintainedRefresh(spark, chain,
+                docs.filter(col("doc_id") > n + (h - 1) * 10L &&
+                  col("doc_id") <= n + h * 10L),
+                s"$work/g$h", threshold = n + (h - 1) * 10L,
+                newThreshold = n + h * 10L)
+            }
+          val folded = chain.size < depthIn + 1
+          println(f"[chainpolicy] hop=$h layers_in=$depthIn layers_out=${chain.size} " +
+            f"folded=$folded sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+            f"shw=${w / 1e6}%.2f MB")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+      }
+      spark.stop()
     // Diagnostic: Hamming distribution of known-true e03 pairs (each
     // original vs its jittered twin) under the packed sign-bit sketch.
     case Some("ham") =>

@@ -326,6 +326,24 @@ object Multimodal {
       )
   }
 
+  /** The narrow per-doc media-payload projection of [[interleaved]]'s
+    * corpus — (doc_id, media_image, media_audio) under the same row
+    * filter, WITHOUT tokenizing or splicing anything. A maintenance
+    * pass needs the interleaved token streams only for the entrant
+    * slices it appends; the maintained store itself carries every live
+    * doc's tokens, so a read-back report joins THIS projection for the
+    * payload hashes instead of re-interleaving the whole corpus
+    * (r18 verdict ask #7 — the p07 timed-path trim).
+    */
+  def mediaPayloads(docs: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("media_image"),
+        expr("substring(text, length(text) div 2 + 1, length(text))").as("media_audio"))
+
   /** Real image resize: decode → bilinear rescale → PNG re-encode, one
     * decoder per partition. Undecodable rows are dropped (they were
     * already flagged by [[decodeImageMeta]] upstream).

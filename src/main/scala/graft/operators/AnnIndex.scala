@@ -278,27 +278,38 @@ object AnnIndex {
     // PackSpec): a silent cast-to-null here would "delete" nothing and
     // read as a clean maintenance pass. Integral widths may differ
     // (value-preserving widening/narrowing is checked by the no-new-
-    // nulls assertion below via try_cast), anything else is a caller
+    // nulls assertion below via try_cast), and an integral list may
+    // address a STRING-id store — cast-to-string is value-preserving
+    // ('5' matches CAST(5 AS STRING)), so that widening is allowed
+    // explicitly (SimilaritySpec pins it). Anything else is a caller
     // bug.
     val idField = ids.schema.fields.head
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
     require(idField.dataType == idType ||
-        (integral.contains(idField.dataType) && integral.contains(idType)),
+        (integral.contains(idField.dataType) &&
+          (integral.contains(idType) ||
+            idType == org.apache.spark.sql.types.StringType)),
       s"tombstone id column '${idField.name}' has type " +
         s"${idField.dataType.simpleString}, incompatible with the store's " +
         s"id type ${idType.simpleString}")
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmpPath, true)
-    // assert_true rides the anti join's build side: a non-null id that
-    // try_casts to null (an out-of-range narrowing) fails the job
-    // instead of silently deleting nothing
+    // the null and out-of-range guards ride the anti join's build side:
+    // a NULL eviction id has no deletion semantics — silently dropping
+    // it (the pre-r19 behavior) "deleted" fewer rows than the caller
+    // sent, so it fails the job (Pack.tombstone's shared contract), and
+    // a non-null id that try_casts to null (an out-of-range narrowing)
+    // fails the same way instead of silently deleting nothing
     stored.join(
         ids.select(col(idField.name).as("__src"))
-          .filter(col("__src").isNotNull)
-          .select(when(col("__src").try_cast(idType).isNull,
+          .select(when(col("__src").isNull,
+              raise_error(lit("tombstone: eviction id list contains NULL — " +
+                "a null id has no deletion semantics; resolve or drop nulls " +
+                "explicitly before calling")))
+            .when(col("__src").try_cast(idType).isNull,
               raise_error(concat(lit("tombstone: id out of range for the " +
                 s"store's ${idType.simpleString} id column: "), col("__src").cast("string"))))
             .otherwise(col("__src").try_cast(idType)).as(idName)),

@@ -1199,7 +1199,12 @@ object Dedup {
     // jobs — where the count-then-broadcast shape paid a counting job
     // plus a broadcast build per join. Past the cap the screen keeps
     // the cached distributed relation — the honest dup-storm price.
-    val maxCand = math.min(budget / 48L, Int.MaxValue.toLong - 1L)
+    // 128 B/row accounting, not the 48 B/row the distributed relation
+    // weighs: the capped collect holds BOXED GenericRows on the driver
+    // (~2-4× the compact encoding) and createDataFrame+broadcast briefly
+    // doubles the footprint, so a near-cap candidate storm must still
+    // fit the clamped budget (r18 ADVICE #2)
+    val maxCand = math.min(budget / 128L, Int.MaxValue.toLong - 1L)
     val capped = candCached.limit(maxCand.toInt + 1).collect()
     val candFits = capped.length <= maxCand
     val candidates =

@@ -628,8 +628,10 @@ object Pack {
     // the probe kernel is a LONG hash set: require an integral id
     // column up front (a string/decimal relation would otherwise die in
     // an opaque ClassCastException at collect time) and widen narrower
-    // integrals to long; null ids carry no deletion semantics — drop
-    // them rather than NPE
+    // integrals to long; a NULL id has no deletion semantics — it FAILS
+    // the job (the AnnIndex.tombstone shared contract, r18 verdict:
+    // silently dropping nulls "deleted" fewer rows than the caller sent
+    // and read as a clean maintenance pass)
     require(Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
@@ -637,8 +639,11 @@ object Pack {
       s"tombstone id column '${idField.name}' must be an integral type " +
         s"(got ${idField.dataType.simpleString}) — the in-place scrub probes a long hash set")
     val collected = tombstoneIds
-      .select(col(idField.name).cast("long").as("id"))
-      .filter(col("id").isNotNull)
+      .select(when(col(idField.name).isNull,
+          raise_error(lit("tombstone: deletion id list contains NULL — a null " +
+            "id has no deletion semantics; resolve or drop nulls explicitly " +
+            "before calling")))
+        .otherwise(col(idField.name).cast("long")).as("id"))
       .distinct()
       .limit(maxIds + 1).collect()
     if (collected.length > maxIds)
@@ -699,8 +704,11 @@ object Pack {
       s"tombstone id column '${idField.name}' must be an integral type " +
         s"(got ${idField.dataType.simpleString})")
     val ids = tombstoneIds
-      .select(col(idField.name).cast("long").as("doc_id"))
-      .filter(col("doc_id").isNotNull)
+      .select(when(col(idField.name).isNull,
+          raise_error(lit("tombstone: deletion id list contains NULL — a null " +
+            "id has no deletion semantics; resolve or drop nulls explicitly " +
+            "before calling")))
+        .otherwise(col(idField.name).cast("long")).as("doc_id"))
       .distinct()
     val hits = shards
       .select(col("seq_id"), posexplode(col("docs")).as(Seq("entree", "d")))

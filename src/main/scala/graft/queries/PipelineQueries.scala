@@ -1029,8 +1029,21 @@ object PipelineQueries {
     graft.operators.AnnIndex.tombstone(spark, s"$w/index", e11Evictees(em))
     // exhaustive serve over the maintained store: the coded rows ARE
     // the refreshed selection now, or the brute oracle catches it
-    val (cents, books) = graft.operators.AnnIndex.readModel(spark, s"$w/index")
-    val coded = graft.operators.AnnIndex.codes(spark, s"$w/index")
+    refreshedExhaustiveServe(spark, dir, s"$w/index")
+  }
+
+  /** The exhaustive serve over a maintained store whose live rows must
+    * be the refreshed selection (base − e11Evictees) ∪ e11Entrants —
+    * the shared gate tail of e11 (append+tombstone) and e13 (compact):
+    * nProbe = nList, unbounded shortlist ⇒ model-independent ⇒ ≡ brute
+    * force, so one brute oracle (e11Sql) gates both maintenance ops.
+    */
+  private def refreshedExhaustiveServe(
+      spark: SparkSession, dir: String, ix: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val entrants = e11Entrants(em)
+    val (cents, books) = graft.operators.AnnIndex.readModel(spark, ix)
+    val coded = graft.operators.AnnIndex.codes(spark, ix)
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val union = em.select(col("vec_id"), col("embedding")).unionByName(entrants)
     val vecs = union.select(col("vec_id").as("neighbor_id"),
@@ -1042,6 +1055,70 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, cents, books,
         nProbe = 16, shortlist = Int.MaxValue)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // e13 — ANN STORE COMPACTION (r18 verdict ask #4): every frozen-model
+  // append leaves a per-batch file set, so a daily-ingest index
+  // accumulates thousands of small files whose per-file open cost
+  // dominates the serve scan at 100 TB. Setup publishes the store into
+  // e11's REFRESHED content state the fragmented way round — tombstone
+  // the evictees first (one staged rewrite), then land the entrant wave
+  // as SIX separate frozen-model appends (six file sets: a week of
+  // refresh windows) — so the store holds exactly (base − evictees) ∪
+  // entrants across 7 fragmented file generations. The TIMED query is
+  // the maintenance plus its proof: AnnIndex.compact (range-cluster on
+  // (cell, id), staged write + atomic swap — the io03/Compact contract
+  // on the index store) followed by the exhaustive serve. Compaction
+  // must change LAYOUT, never CONTENT: the serve over the compacted
+  // store hash-matches e11's brute oracle verbatim, proving
+  // compact ∘ append⁶ ∘ tombstone ≡ serve-identical. File-count
+  // reduction + row identity are pinned in SimilaritySpec; the
+  // file-count row lives in SCALE.md. Re-runs converge (compacting a
+  // compacted store is an idempotent rewrite).
+  // ---------------------------------------------------------------------
+  private def e13WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_e13_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish + fragment the store (load-phase, Bench untimed): the
+    * pre-compaction state a production index reaches between
+    * maintenance windows.
+    */
+  def e13Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint =
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-frag6-v1"
+    val w = e13WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      fs.delete(new org.apache.hadoop.fs.Path(w), true)
+      val em = Tables.embeddings(spark, dir)
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", s"$w/index",
+        nList = 16, m = 8, codes = 16, iters = 3)
+      graft.operators.AnnIndex.tombstone(spark, s"$w/index", e11Evictees(em))
+      val entrants = e11Entrants(em)
+      (0 until 6).foreach { wave =>
+        graft.operators.AnnIndex.append(
+          entrants.filter(pmod(col("vec_id"), lit(6)) === wave)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", s"$w/index")
+      }
+      new java.io.File(w).mkdirs()
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def e13(spark: SparkSession, dir: String): DataFrame = {
+    e13Setup(spark, dir)
+    val w = e13WorkDir(dir)
+    // the maintenance, timed: range-cluster the fragmented codes store
+    // (staged write, atomic swap), then prove the serve unchanged
+    graft.operators.AnnIndex.compact(spark, s"$w/index")
+    refreshedExhaustiveServe(spark, dir, s"$w/index")
   }
   private val e11Sql =
     """WITH orig AS (SELECT vec_id, embedding AS e FROM embeddings),
@@ -3971,6 +4048,30 @@ object PipelineQueries {
     RefreshPipeline.run(spark, dir)
 
   // ---------------------------------------------------------------------
+  // p08 — the COMPACTION TRIGGER POLICY in the loop (r18 verdict ask #2):
+  // p06 proves one maintaining hop and RefreshSpec's law proves the fold
+  // is invariant, but nothing DECIDED when to fold. Here the production
+  // loop itself decides: setup publishes gen-0 over ⌊6·max/10⌋ and runs
+  // THREE policy-governed maintaining hops (RefreshPipeline
+  // .maintainedRefresh — refresh, then fold when the chain hits the
+  // CompactDepth watermark, the s13-alarm→e10-republish precedent), so
+  // the chain runs g0 → [g1,g0] → fold fires at depth 3 → [g2-folded] →
+  // [g3, g2-folded]. The TIMED query is the FOURTH refresh against the
+  // policy's chain — a chain CONTAINING a policy-folded layer — and must
+  // hash-match p06's one-shot oracle over the whole table verbatim (the
+  // final conserve/entrant boundary is the same ⌊9·max/10⌋): refresh ∘
+  // fold(policy) ∘ refresh³ ≡ one-shot. RefreshSpec pins the policy
+  // mechanics (fires exactly at the watermark, never under it); the
+  // probe-cost reset the fold buys is measured in SCALE.md (Dev
+  // chainpolicy).
+  // ---------------------------------------------------------------------
+  def p08Setup(spark: SparkSession, dir: String): Unit =
+    RefreshPipeline.policySetup(spark, dir)
+
+  private def p08(spark: SparkSession, dir: String): DataFrame =
+    RefreshPipeline.runPolicy(spark, dir)
+
+  // ---------------------------------------------------------------------
   // p07 — ONE REFRESH, THREE TIERS: the composed maintenance transaction
   // a production refresh actually is. One batch's selection delta (the
   // gen-1 → gen-2 re-selection p06 gates) drives, in a single run,
@@ -4110,8 +4211,15 @@ object PipelineQueries {
       val mw = s"$w/media"
       val hconf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(mw).getFileSystem(hconf)
-      val inter = Multimodal.interleaved(Tables.documents(spark, dir))
-        .localCheckpoint(true) // feeds the append AND the report join
+      // interleave ONLY the entrant docs: the corpus-wide interleave ran
+      // inside this timed future in r18, but only the entrant slices
+      // (appended below) and the media payload columns (the report join,
+      // a narrow substring projection) were ever consumed — the
+      // maintained store alone carries every live doc's tokens
+      // (r18 verdict ask #7)
+      val entrantInter = Multimodal.interleaved(
+        Tables.documents(spark, dir)
+          .join(broadcast(entrants), Seq("doc_id"), "left_semi"))
       // evictee masking, staged + swapped (the AnnIndex.tombstone
       // convention — never rewrite a store over its own scan). A tiny
       // selection may never have closed a whole shard (finalize emitted
@@ -4136,8 +4244,7 @@ object PipelineQueries {
           .select(explode(col("docs")).as("d")).select(col("d.doc_id").as("doc_id"))
           .unionByName(logIds))
         .distinct()
-      val toAppend = inter
-        .join(broadcast(entrants), Seq("doc_id"), "left_semi")
+      val toAppend = entrantInter
         .join(presentIds, Seq("doc_id"), "left_anti")
       val newSlices = Pack.packedSlicesTokens(
         toAppend.select(col("doc_id"), col("jetons")), "doc_id", "jetons", 256,
@@ -4155,10 +4262,12 @@ object PipelineQueries {
       Pack.finalizeSliceLog(spark, s"$mw/log", s"$mw/shards", 256, 8,
         numPartitions = 1, countResidual = false)
       // report: every doc with live (non-pad) content in the maintained
-      // store — an unmasked evictee would surface as an extra row here
+      // store — an unmasked evictee would surface as an extra row here.
+      // The join side is the narrow media-payload projection: the store
+      // read-back supplies the token streams, so nothing re-interleaves
       RefreshPipeline.storePerDoc(spark, mw)
         .filter(size(filter(col("toks"), t => t =!= p07Pad)) > 0)
-        .join(inter.drop("jetons"), Seq("doc_id"))
+        .join(Multimodal.mediaPayloads(Tables.documents(spark, dir)), Seq("doc_id"))
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_jetons"),
@@ -4868,6 +4977,7 @@ object PipelineQueries {
     Q("p05_idshard_pipeline", "trainer-ready pipeline: p04's decontaminated selection emitted as BPE-id shards (tokenizer trained on the packed set, id-budget pack, decode-through-sink fingerprint)", p05, Some(p05Sql)),
     Q("p06_incremental_refresh", "CHAINED incremental corpus refresh: gen-0 publish → maintaining batch-1 refresh → gen-1 (setup), timed batch-2 refresh against gen-1's stores — gate ≡ one-shot rebuild over corpus ∪ b1 ∪ b2 (refresh ∘ refresh ≡ one-shot), fingerprints read back through the gen-2 store", p06, Some(p06Sql)),
     Q("p07_threetier_refresh", "ONE refresh, THREE tiers: the gen-1→gen-2 selection delta drives text-store read-back, frozen-model ANN append+tombstone+exhaustive serve, and interleaved media-store mask+append+finalize in a single run — one oracle gates all three against the one-shot selection", p07, Some(p07Sql)),
+    Q("p08_compaction_policy", "the compaction TRIGGER policy in the refresh loop: three policy-governed maintaining hops (depth watermark fires the compactGen fold mid-chain), timed fourth refresh against the policy's chain ≡ the p06 one-shot oracle — refresh ∘ fold(policy) ∘ refresh³ ≡ one-shot", p08, Some(p06Sql)),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql)),
     Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql)),
     Q("s16_stream_classify", "streaming classifier screen: per-batch pure-map scoring with the published hashed-NB weights == one-shot d24 (§2.9)", s16, Some(d24Sql)),
@@ -4886,6 +4996,7 @@ object PipelineQueries {
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql)),
     Q("e10_index_republish", "index re-publish (the recall-drift alarm's action): retrain on the drifted corpus, re-encode in one map pass, atomic swap; exhaustive serve over both regimes vs the union brute oracle", e10, Some(e10Sql)),
     Q("e11_index_refresh", "ANN refresh maintenance (the p06 selection delta in the vector tier): frozen-model append of entrants + tombstone of evictees from the codes store, exhaustive serve ≡ one-shot index over the refreshed selection", e11, Some(e11Sql)),
+    Q("e13_index_compact", "ANN store compaction: the append-fragmented codes store (tombstone + six per-wave appends in setup) range-clustered and atomically swapped, exhaustive serve ≡ the pre-compaction store ≡ brute over the refreshed selection — compaction changes layout, never content", e13, Some(e11Sql)),
     Q("e12_drift_republish", "the drift→republish TRANSITION as one flow: frozen-model append of drifted arrivals → production-config recall alarm (s13) → republish driven BY the alarm (e10) → post-republish production probe clears the floor → exhaustive serve ≡ brute over the union; decision chain + serve under one oracle", e12, Some(e12Sql)),
     Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample (gate in the exhaustive e05/e06 configuration: recall ≡ 1.0 SQL-derivable; production-config alarm pinned in StreamingSpec)", s13, Some(s13Sql)),
     Q("s14_stream_idshards", "streaming BPE-id shard emission: frozen published tokenizer, slice-grain incremental pack continuing the global offset; decode of the drained log rebuilds every doc (d39 through the stream)", s14, Some(d39Sql)),

@@ -324,6 +324,126 @@ private[graft] object RefreshPipeline {
   }
 
   // -------------------------------------------------------------------
+  // compaction TRIGGER policy — the watermark that schedules the fold
+  // inside the production loop (r18 verdict ask #2: compactGen existed
+  // and was law-pinned, but nothing DECIDED when to fold)
+  // -------------------------------------------------------------------
+
+  /** Chain-depth watermark: a maintaining hop that leaves the new
+    * generation's layer chain at this depth or deeper schedules the
+    * fold. The depth law (SCALE.md chain-depth table, three decades)
+    * justifies the policy: refresh BYTES are depth-invariant, but every
+    * layered-union reader re-reads D directories per append-only store,
+    * so probe cost grows without bound in D while the fold resets it —
+    * and the fold's own cost is publish-class (linear, sequential-write
+    * -bound), fine on the maintenance cadence. 3 keeps the steady state
+    * at ≤ 2 live layers + periodic folds, the smallest depth at which
+    * the policy actually cycles (1 would fold every hop — a rewrite per
+    * batch, the exact corpus-scale-per-batch shape the layered design
+    * exists to avoid; 2 folds every other hop, still nearly that).
+    */
+  private[graft] val CompactDepth = 3
+
+  /** One POLICY-GOVERNED hop of the production maintenance loop: run
+    * the maintaining refresh into `outDir`, then — when the resulting
+    * chain has reached [[CompactDepth]] — fold it with [[compactGen]]
+    * on the spot (the s13-alarm→e10-republish precedent: measurement
+    * schedules maintenance; here the measurement is the chain depth
+    * itself, known without a probe). Returns the NEXT generation's
+    * layer chain, newest first: `outDir +: layers` when under the
+    * watermark, or the single folded layer. The fold is invariant
+    * (RefreshSpec's six-layer law), so the loop's fixpoint property —
+    * refreshᴺ ≡ one-shot — survives any fold cadence; the p08 gate
+    * hash-proves it end-to-end with a fold mid-chain.
+    */
+  def maintainedRefresh(
+      spark: SparkSession,
+      layers: Seq[String],
+      batch: DataFrame,
+      outDir: String,
+      threshold: Long,
+      newThreshold: Long): Seq[String] = {
+    refreshGen(spark, layers, batch, outDir, threshold,
+      maintainThreshold = Some(newThreshold))
+    val chain = outDir +: layers
+    if (chain.length >= CompactDepth) {
+      val folded = s"$outDir-folded"
+      compactGen(spark, chain, folded)
+      Seq(folded)
+    } else chain
+  }
+
+  // -------------------------------------------------------------------
+  // p08 — the policy-driven generation chain (gated): THREE maintaining
+  // hops under maintainedRefresh (the fold fires mid-chain when depth
+  // hits the watermark), then the timed FOURTH refresh runs against the
+  // policy's chain — and must still hash-match the one-shot oracle over
+  // the whole table (p06's oracle verbatim: the final conserve/entrant
+  // boundary is the same ⌊9·max/10⌋)
+  // -------------------------------------------------------------------
+
+  def policyWorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p08_${Integer.toHexString(dir.hashCode)}"
+
+  /** The layer chain the policy loop left live, persisted by
+    * [[policySetup]] (newest first, one dir per line) — what a
+    * production deployment's generation manifest records.
+    */
+  private def readChain(work: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/_CHAIN"))).trim.split("\n").toSeq
+
+  /** Publish gen-0 over doc_id ≤ ⌊6·max/10⌋, then run THREE policy-
+    * governed maintaining hops (batches to 7/10, 8/10, 9/10 of max).
+    * With CompactDepth = 3 the chain runs g0 → [g1,g0] → fold([g2,g1,g0])
+    * = [g2-folded] → [g3, g2-folded]: the watermark fires exactly once,
+    * mid-chain, and the timed refresh probes a chain CONTAINING a
+    * policy-folded layer. Load-phase setup (Bench untimed — the
+    * store-publish convention; the fold is maintenance-cadence work).
+    */
+  def policySetup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint =
+      s"documents:${src.getLen}:${src.getModificationTime}:$format:policy-d$CompactDepth-v1"
+    val work = policyWorkDir(dir)
+    val marker = new java.io.File(s"$work/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L))).collect()(0).getLong(0)
+      def t(frac: Int) = frac.toLong * mx / 10L
+      publish(spark, docs.filter(col("doc_id") <= t(6)), s"$work/g0")
+      writeThreshold(s"$work/g0", t(6))
+      var chain: Seq[String] = Seq(s"$work/g0")
+      (1 to 3).foreach { h =>
+        chain = maintainedRefresh(spark, chain,
+          docs.filter(col("doc_id") > t(5 + h) && col("doc_id") <= t(6 + h)),
+          s"$work/g$h", threshold = t(5 + h), newThreshold = t(6 + h))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/_CHAIN"), chain.mkString("\n").getBytes)
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  /** The TIMED policy-chain refresh: the fourth batch (doc_id >
+    * ⌊9·max/10⌋) against whatever chain the policy loop left live —
+    * certifying refresh ∘ fold(policy) ∘ refresh³ ≡ one-shot.
+    */
+  def runPolicy(spark: SparkSession, dir: String): DataFrame = {
+    policySetup(spark, dir)
+    val work = policyWorkDir(dir)
+    val chain = readChain(work)
+    val t3 = publishedThreshold(chain.head)
+    val batch = graft.sources.Tables.documents(spark, dir).filter(col("doc_id") > t3)
+    refreshGen(spark, chain, batch, s"$work/gen_final", threshold = t3)
+  }
+
+  // -------------------------------------------------------------------
   // refresh — the incremental loop body (timed for the final hop)
   // -------------------------------------------------------------------
 
@@ -408,6 +528,20 @@ private[graft] object RefreshPipeline {
       spark.sparkContext.addSparkListener(m)
       Some(m)
     }
+    // scope the call's pinned state: every cache / localCheckpoint the
+    // body creates (bSigs, the screen checkpoints, the LSH working
+    // caches inside minhashLshAgainst) is released on the way out —
+    // the returned report reads the PUBLISHED selection + store from
+    // disk, so nothing created here must outlive the call. Without the
+    // sweep, repeated in-session callers (RefreshSpec's 7-refresh
+    // chain, a production loop) accumulate CacheManager entries and
+    // blocks — the chaindepth harness measured ~2× from exactly this
+    // before it grew its own dropBlocks counter (r18 ADVICE #1).
+    // Sweep by id-snapshot diff: refreshGen runs its internal futures
+    // to completion before returning, and no caller overlaps it with
+    // other persisting work (p06/p07/RefreshSpec/Dev all call it
+    // sequentially), so every new persistent RDD id is ours.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     try {
       refreshGenBody(spark, layers, batch, outDir, threshold, maintainThreshold,
         trace, traceMeter)
@@ -416,6 +550,9 @@ private[graft] object RefreshPipeline {
       // leaving it registered leaked one ever-growing meter per refresh
       // call in a trace session
       traceMeter.foreach(spark.sparkContext.removeSparkListener)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
   }
 
@@ -717,17 +854,19 @@ private[graft] object RefreshPipeline {
       mark("maintain_stores")
     }
 
-    // GATE: report read back THROUGH the refreshed STORE — the selection
-    // (checkpointed above, persisted to outDir/selection for readers)
-    // joined with per-doc fingerprints decoded from the store files
-    // (evictee slices are pad-masked and their ids absent from the
-    // selection, so they drop out here)
+    // GATE: report read back THROUGH the refreshed STORE — the PUBLISHED
+    // selection (outDir/selection, statut included — written by selF
+    // above) joined with per-doc fingerprints decoded from the store
+    // files (evictee slices are pad-masked and their ids absent from the
+    // selection, so they drop out here). Reading the selection from disk
+    // rather than the sel checkpoint keeps the returned frame free of
+    // every block this call pinned (the refreshGen exit sweep) — and
+    // gives the join a size-known build side the optimizer can broadcast.
     // no presentation sort: the gate equality is a hash over SORTED rows
     // on the compare side (check_oracle sorts both relations), so an
     // ORDER BY here would buy nothing but a range-sampling job + a sort
     // stage on the timed path
-    sel.withColumn("statut",
-        when(col("doc_id") <= threshold, lit("conserve")).otherwise(lit("entrant")))
+    spark.read.parquet(s"$outDir/selection")
       .join(storePerDoc(spark, s"$outDir/store"), Seq("doc_id"))
       .select(col("doc_id"), col("statut"),
         md5(concat_ws(" ", col("toks"))).as("empreinte"),

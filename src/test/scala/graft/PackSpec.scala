@@ -547,18 +547,34 @@ class PackSpec extends SparkSpec {
     mReassembled.unpersist(); comp.unpersist()
   }
 
-  test("tombstone id typing: narrower integrals widen, nulls drop, non-integral ids fail loud") {
+  test("tombstone id typing: narrower integrals widen, nulls fail loud, non-integral ids fail loud") {
     val docsToks = Seq(
       (1L, Seq("a", "b")), (2L, Seq("c", "d")), (3L, Seq("e", "f"))
     ).toDF("doc_id", "toks")
     val packed = Pack.packedSequencesTokens(docsToks, "doc_id", "toks", 4)
-    // INT id relation with a null row: widens to long, null dropped —
-    // doc 2 scrubbed, the rest untouched
-    val ints = Seq[(java.lang.Integer, String)]((2, "x"), (null, "y"))
-      .toDF("id", "why").select(col("id"))
+    // INT id relation widens to long — doc 2 scrubbed, the rest untouched
+    val ints = Seq(2).toDF("id")
     val got = Pack.tombstone(packed, ints, lit("~P~"))
       .select(explode(col("tokens")).as("t")).collect().map(_.getString(0)).sorted
     assert(got.toSeq == Seq("a", "b", "e", "f", "~P~", "~P~"))
+    // a null-bearing deletion list fails LOUDLY (the AnnIndex.tombstone
+    // shared contract — a dropped null would silently delete fewer rows
+    // than the caller sent), on both the driver-literal and the
+    // distributed join-mask path
+    val withNull = Seq[(java.lang.Integer, String)]((2, "x"), (null, "y"))
+      .toDF("id", "why").select(col("id"))
+    val eNull = intercept[Exception] {
+      Pack.tombstone(packed, withNull, lit("~P~"))
+        .select(explode(col("tokens"))).collect()
+    }
+    assert(eNull.getMessage.contains("NULL") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("NULL")))
+    val eNullJoin = intercept[Exception] {
+      Pack.tombstoneJoin(packed, withNull, lit("~P~"))
+        .select(explode(col("tokens"))).collect()
+    }
+    assert(eNullJoin.getMessage.contains("NULL") ||
+      Option(eNullJoin.getCause).exists(_.getMessage.contains("NULL")))
     // a string id relation dies at the contract, not in a cast NPE
     val e = intercept[IllegalArgumentException] {
       Pack.tombstone(packed, Seq("2").toDF("id"), lit("~P~"))

@@ -359,6 +359,70 @@ class RefreshSpec extends SparkSpec {
     }
   }
 
+  test("compaction trigger policy: maintainedRefresh folds EXACTLY at the depth " +
+      "watermark, never under it, and the policy chain's refresh equals the unfolded chain's") {
+    // the r18 verdict ask #2 mechanics RefreshSpec must pin (the p08
+    // oracle hashes only the final report): with CompactDepth = 3 a
+    // 3-hop loop runs [g1,g0] → fold([g2,g1,g0]) → [g2-folded] →
+    // [g3, g2-folded]; a CONTROL chain runs the same hops unfolded, and
+    // the next refresh must be report-identical over both
+    val n = 30
+    val chainDocs =
+      ((1 to 30).map {
+        case 20 => (20L, core + " alfa1 alfa2 alfa3")
+        case i => (i.toLong, (1 to 40).map(j => s"c${i}w$j").mkString(" "))
+      } ++
+      (31 to 54).map {
+        case 45 => (45L, core) // near-dup of doc 20 across the chain
+        case i => (i.toLong,
+          (1 to 40).map(j => s"b${i}w$j").updated(1, "the").mkString(" "))
+      })
+    val dir = java.nio.file.Files.createTempDirectory("graft_refreshp_").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_refreshpw_").toString
+    try {
+      import spark.implicits._
+      chainDocs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      def batch(h: Int) = docs.filter(
+        col("doc_id") > n + (h - 1) * 6L && col("doc_id") <= n + h * 6L)
+      // the policy loop
+      RefreshPipeline.publish(spark, docs.filter(col("doc_id") <= n), s"$work/g0")
+      var chain: Seq[String] = Seq(s"$work/g0")
+      val depthsSeen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      (1 to 3).foreach { h =>
+        chain = RefreshPipeline.maintainedRefresh(spark, chain, batch(h),
+          s"$work/g$h", threshold = n + (h - 1) * 6L, newThreshold = n + h * 6L)
+        depthsSeen += chain.length
+      }
+      assert(depthsSeen.toSeq == Seq(2, 1, 2),
+        s"watermark must fire exactly at depth ${RefreshPipeline.CompactDepth}: $depthsSeen")
+      assert(chain == Seq(s"$work/g3", s"$work/g2-folded"),
+        s"after the mid-chain fold the live chain must be [g3, g2-folded]: $chain")
+      // the CONTROL chain: identical hops, no policy
+      RefreshPipeline.publish(spark, docs.filter(col("doc_id") <= n), s"$work/c0")
+      var control: Seq[String] = Seq(s"$work/c0")
+      (1 to 3).foreach { h =>
+        RefreshPipeline.refreshGen(spark, control, batch(h), s"$work/c$h",
+          threshold = n + (h - 1) * 6L, maintainThreshold = Some(n + h * 6L)).collect()
+        control = s"$work/c$h" +: control
+      }
+      // the next refresh is invariant under the policy's fold
+      val batch4 = docs.filter(col("doc_id") > n + 18L)
+      def report(ls: Seq[String], out: String) =
+        RefreshPipeline.refreshGen(spark, ls, batch4, out, threshold = n + 18L)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getDouble(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+      val viaPolicy = report(chain, s"$work/pfin")
+      val viaControl = report(control, s"$work/cfin")
+      assert(viaPolicy.nonEmpty && viaPolicy.sameElements(viaControl),
+        "refresh over the policy-folded chain must equal refresh over the unfolded chain")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    }
+  }
+
   test("storePerDoc: a store with no live slice in either tier yields an empty, " +
       "well-schemaed frame (the everything-evicted generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_refresh_empty_").toString

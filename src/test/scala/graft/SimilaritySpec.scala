@@ -380,6 +380,104 @@ class SimilaritySpec extends SparkSpec {
       val again = graft.operators.AnnIndex.codes(spark, ix)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
       assert(again == after, "re-running the same tombstone must converge")
+      // a null-bearing eviction list fails LOUDLY (r19: Pack.tombstone's
+      // shared contract — silently dropping the null "deleted" fewer
+      // rows than the caller sent and read as a clean maintenance pass)
+      val withNull = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(java.lang.Long.valueOf(3L)),
+          org.apache.spark.sql.Row(null)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = true))))
+      val eNull = intercept[Exception] {
+        graft.operators.AnnIndex.tombstone(spark, ix, withNull)
+      }
+      assert(eNull.getMessage.contains("NULL") ||
+        Option(eNull.getCause).exists(_.getMessage.contains("NULL")),
+        s"null eviction id must fail loudly, got: ${eNull.getMessage}")
+      // the failed call must not have corrupted the store (staged write)
+      val stillThere = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      assert(stillThere == after, "a failed tombstone must leave the store untouched")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("AnnIndex.compact: an append-fragmented codes store rewrites to fewer files " +
+      "with the row multiset, model and version untouched; re-compact converges") {
+    val em = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_anncompact_").toString
+    val ix = s"$base/ix"
+    def partFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$ix/codes"))
+        .filter(f => f.getName.startsWith("part-") && f.length > 0)
+    }
+    def rows() = graft.operators.AnnIndex.codes(spark, ix)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      // fragment: tombstone rewrite + six per-wave frozen-model appends
+      // (the e13 setup shape — a week of refresh windows)
+      graft.operators.AnnIndex.tombstone(spark, ix,
+        em.filter(col("vec_id") % 4 === 1).select(col("vec_id")))
+      val wave = em.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      (0 until 6).foreach { k =>
+        graft.operators.AnnIndex.append(
+          wave.filter(pmod(col("vec_id"), lit(6)) === k), "vec_id", "embedding", ix)
+      }
+      val before = rows()
+      val filesBefore = partFiles().length
+      val (centsBefore, _) = graft.operators.AnnIndex.readModel(spark, ix)
+      graft.operators.AnnIndex.compact(spark, ix)
+      val after = rows()
+      val filesAfter = partFiles().length
+      assert(after.sameElements(before),
+        "compaction must change layout, never content (row multiset identical)")
+      assert(filesAfter < filesBefore,
+        s"compaction must reduce the file count (was $filesBefore, now $filesAfter)")
+      val (centsAfter, _) = graft.operators.AnnIndex.readModel(spark, ix)
+      assert(centsBefore.map(_.toSeq).toSeq == centsAfter.map(_.toSeq).toSeq,
+        "compaction must not touch the trained model")
+      assert(!new java.io.File(s"$ix/codes_compact_tmp").exists(),
+        "the aside dir must be gone after a successful swap")
+      // re-compacting a compacted store converges (the e13 cell re-runs)
+      graft.operators.AnnIndex.compact(spark, ix)
+      assert(rows().sameElements(after), "re-compaction must converge")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("AnnIndex.tombstone id typing: integral ids address a STRING-id store " +
+      "(value-preserving cast), incompatible types still fail at the contract") {
+    val base = java.nio.file.Files.createTempDirectory("graft_anntombstr_").toString
+    val ix = s"$base/ix"
+    try {
+      // a string-id corpus (external doc keys): tiny fixed vectors
+      val corpus = Seq(
+        ("5", Seq(1.0f, 0.0f)), ("6", Seq(0.0f, 1.0f)),
+        ("7", Seq(1.0f, 1.0f)), ("8", Seq(0.5f, 0.5f))
+      ).toDF("doc_key", "embedding")
+      graft.operators.AnnIndex.write(corpus, "doc_key", "embedding", ix,
+        nList = 2, m = 2, codes = 2, iters = 1)
+      // an INTEGRAL eviction list against the string-id store: allowed
+      // explicitly — CAST(5 AS STRING) matches '5' (r18 ADVICE #3)
+      graft.operators.AnnIndex.tombstone(spark, ix, Seq(5L, 7L).toDF("id"))
+      val left = graft.operators.AnnIndex.codes(spark, ix)
+        .select("doc_key").collect().map(_.getString(0)).toSet
+      assert(left == Set("6", "8"),
+        s"integral ids must address the string-id store value-preservingly, got $left")
+      // a non-integral, non-matching id type still dies at the contract
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.AnnIndex.tombstone(spark, ix, Seq(1.5).toDF("id"))
+      }
+      assert(e.getMessage.contains("incompatible"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
