@@ -60,6 +60,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The committed quiet-box baseline (tools/bench_baseline.json — a
+    * round-end quiet BENCH_LOCAL snapshot, refreshed whenever the
+    * catalog or a cell's plan changes). Used ONLY for the TOTAL
+    * re-adjudication: shuffle bytes identify a cell's plan, so a slow
+    * cell whose bytes equal the quiet baseline's exactly is box
+    * phasing, not regression — eligible for one isolated re-run.
+    * Absent/unreadable baseline ⇒ no re-adjudication (the strict
+    * pre-r19 behavior).
+    */
+  private def readBaseline(): Option[(Map[String, Double], Map[String, Long])] = try {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "tools/bench_baseline.json")
+    val f0 = new java.io.File(path)
+    val f = if (f0.exists()) f0 else new java.io.File("/root/repo", path)
+    if (!f.exists()) None
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      def field[T](name: String, get: com.fasterxml.jackson.databind.JsonNode => T)
+          : Map[String, T] = Option(root.get(name)) match {
+        case None => Map.empty
+        case Some(node) =>
+          val it = node.fields()
+          val b = Map.newBuilder[String, T]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> get(e.getValue) }
+          b.result()
+      }
+      Some((field("queries", _.asDouble()), field("shuffle_write_bytes", _.asLong())))
+    }
+  } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -189,9 +218,18 @@ object Bench {
     def scaleFrom(p: Double, pio: Double): Double = math.max(
       if (p > 0) math.max(1.0, p / probeExpected) else 1.0,
       if (pio > 0) math.max(1.0, pio / probeIoExpected) else 1.0)
-    val probeSec = try math.min(probe(spark), probe(spark)) catch { case _: Throwable => -1.0 }
-    val probeIoSec = try math.min(probeIo(spark), probeIo(spark)) catch { case _: Throwable => -1.0 }
-    val scaleStart = scaleFrom(probeSec, probeIoSec)
+    // one calibration POINT: block-manager hygiene first (pinned state
+    // from catalog cells would slow the kernels and LOOSEN the budgets —
+    // the no-graft-code-in-the-kernel guarantee), then each kernel
+    // twice, min (a one-shot spike must not loosen the budget either)
+    def probePoint(): (Double, Double) = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      val p = try math.min(probe(spark), probe(spark)) catch { case _: Throwable => -1.0 }
+      val pio = try math.min(probeIo(spark), probeIo(spark)) catch { case _: Throwable => -1.0 }
+      (p, pio)
+    }
+    val (probeSec, probeIoSec) = probePoint()
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean, Long, Long) = {
@@ -221,52 +259,62 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok, shr, shw)
     }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, ok, shr, shw) = time(name, fn); (name, fn, sec, ok, shr, shw)
+    // MID-RUN recalibration (r18 verdict ask #1a): the start/end probes
+    // sample two instants, and three consecutive rounds shipped red
+    // official artifacts where byte-identical cells ran 2-11× their
+    // quiet twins MID-pass while both endpoint probes read near-quiet
+    // (r18: d05 6.94 s official vs 0.59 s quiet, probes 0.54/0.54).
+    // Sample a full calibration point every ProbeEvery cells: the scale
+    // is the WORST point seen, so sustained mid-run phasing raises the
+    // budget the way a slow machine would — while a genuinely quiet run
+    // is unaffected (all points agree) and a regression in OUR code can
+    // never loosen the budget because no graft code runs in the kernels
+    // (each point is min-of-two, so a one-shot spike can't either).
+    val ProbeEvery = 16
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val probeMid = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      val (sec, ok, shr, shw) = time(name, fn)
+      if ((i + 1) % ProbeEvery == 0 && i + 1 < ordered.size) probeMid += probePoint()
+      (name, fn, sec, ok, shr, shw)
     }
-    // END-OF-RUN recalibration: the start probes sample ONE instant, and
-    // a box that is quiet then but contended DURING the multi-minute
-    // catalog pass under-scales every budget while every cell inflates —
-    // observed as a spurious TOTAL violation (start probes read 1.22× on
-    // a pass that ran ~1.5× hot; no query, no regression). Probe again
-    // after the pass and scale by the WORSE of the two readings: a
-    // genuinely quiet run is unaffected (the readings agree), and a
-    // regression in OUR code can never loosen the budget because no
-    // graft code runs in either kernel.
-    // Probe hygiene: the last catalog query may leave pinned
-    // localCheckpoint blocks (or a regression may leak cached blocks) in
-    // the block manager — the same state time() clears per cell. Left in
-    // place it slows the probes, inflates `scale`, and LOOSENS the very
-    // budgets the gate enforces, contradicting the no-graft-code-in-the-
-    // kernel guarantee. Clear it, nudge a GC (dropped blocks free on
-    // RDD GC), and take min-of-two like the start pair so a one-shot
-    // spike can't loosen the budget either.
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    System.gc()
-    val probeEndSec = try math.min(probe(spark), probe(spark)) catch { case _: Throwable => -1.0 }
-    val probeIoEndSec = try math.min(probeIo(spark), probeIo(spark)) catch { case _: Throwable => -1.0 }
-    val scale = math.max(scaleStart, scaleFrom(probeEndSec, probeIoEndSec))
+    // END-OF-RUN point: same rationale, closes the last window
+    val (probeEndSec, probeIoEndSec) = probePoint()
+    val scale =
+      (Seq((probeSec, probeIoSec), (probeEndSec, probeIoEndSec)) ++ probeMid)
+        .map { case (p, pio) => scaleFrom(p, pio) }.max
     // Budget gate (BASELINE.md): a budget-busting bench must fail LOUDLY
     // (exit 1) instead of shipping inside a green round — the q28
     // regression in round 5 shipped exactly because nothing enforced
     // this. Budgets are env-overridable for other SFs/machines, and
     // probe-scaled for machine contention.
     val perQueryBudget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_QUERY", "6.0").toDouble * scale
-    // the TOTAL budget tracks catalog size at the rate the original
-    // gate encoded (95 s over the 90-query catalog ≈ 1.056 s/query,
-    // itself ~1× the r3 baseline rate) — a fixed absolute total would
-    // turn every ADDED operator into a structural violation while a
-    // regression in existing queries still trips it identically
-    val totalBudget = sys.env.get("SPARK_GRAFT_BUDGET_TOTAL")
+    // PER-CLASS TOTAL budget (r18 verdict ask #6; derivation + measured
+    // marginals in SCALE.md "Per-class budget model"): the old flat
+    // 95/90 ≈ 1.056 s/cell rate under-priced every composed cell
+    // (measured quiet marginal 2-5 s: store maintenance, streaming
+    // drains, read-back proofs) and over-priced the relational tier
+    // (measured quiet 0.2-1.4 s), so each ADDED composed cell was a
+    // forced withdrawal from the shared margin. The total is now the
+    // class mix at defended per-class rates — light cells at their
+    // measured p95, heavy cells at the measured marginal midpoint —
+    // and a regression in EITHER class still trips the same gate.
+    val heavySet = SparkEntry.heavyCells
+    val lightRate = sys.env.getOrElse("SPARK_GRAFT_BUDGET_LIGHT", "0.85").toDouble
+    val heavyRate = sys.env.getOrElse("SPARK_GRAFT_BUDGET_HEAVY", "2.5").toDouble
+    val nHeavy = ordered.count { case (n, _) => heavySet(n) }
+    val nLight = ordered.size - nHeavy
+    val totalBudgetUnscaled = sys.env.get("SPARK_GRAFT_BUDGET_TOTAL")
       .map(_.toDouble)
-      .getOrElse(SparkEntry.queries.size * 95.0 / 90.0) * scale
+      .getOrElse(nLight * lightRate + nHeavy * heavyRate)
+    val totalBudget = totalBudgetUnscaled * scale
     // transient-contention recourse: queries over budget OR failed get
     // ONE quiet re-run each, in isolation after the catalog pass, and
     // the best successful time is the adjudicated one — a real
     // regression is slow (or broken) both times; a noisy neighbor or a
     // transient (port clash, tmp-dir race) usually is not. "retried" is
     // set whenever the re-run executed, even if it changed nothing.
-    val results = firstPass.map { case (name, fn, sec, ok, shr, shw) =>
+    val perCellAdjudicated = firstPass.map { case (name, fn, sec, ok, shr, shw) =>
       if (!ok || sec > perQueryBudget) {
         val (sec2, ok2, shr2, shw2) = time(name, fn)
         // adjudicated cell = best successful run; carry ITS bytes (bytes
@@ -277,6 +325,44 @@ object Bench {
           else (sec, shr, shw)
         (name, best, ok || ok2, true, bShr, bShw)
       } else (name, sec, ok, false, shr, shw)
+    }
+    // TOTAL re-adjudication (r18 verdict ask #1b): the per-cell retry
+    // only fired past the 6 s line, so a run whose phasing spread 0.5-2 s
+    // across MANY cells could bust the TOTAL with zero per-cell
+    // violations (exactly BENCH_r18: 0.3 % over, zero violations after
+    // retry, 115/132 cells byte-identical to quiet). On a total
+    // violation, re-run — in isolation, best-of-two like the per-cell
+    // rule — the cells most inflated against the COMMITTED quiet
+    // baseline (tools/bench_baseline.json), but ONLY cells whose shuffle
+    // bytes equal the baseline's exactly: bytes identify the plan, so a
+    // changed plan must defend its time on the regular budget, and a
+    // genuine same-plan regression re-runs slow again and still fails.
+    val totalRetried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val totalFirst = perCellAdjudicated.map(_._2).sum
+    val results = {
+      var rs = perCellAdjudicated
+      var total = totalFirst
+      if (total > totalBudget) readBaseline().foreach { case (baseSec, baseBytes) =>
+        val eligible = rs.zipWithIndex
+          .filter { case ((name, sec, ok, _, _, shw), _) =>
+            ok && baseBytes.get(name).contains(shw) &&
+              baseSec.get(name).exists(b => sec > b * 1.4 + 0.2) }
+          .sortBy { case ((name, sec, _, _, _, _), _) => baseSec(name) - sec }
+          .take(48)
+        val it = eligible.iterator
+        // stop once comfortably under (8 % inside the line) — the goal is
+        // adjudication, not minimization
+        while (total > totalBudget * 0.92 && it.hasNext) {
+          val ((name, sec, _, _, _, _), idx) = it.next()
+          totalRetried += name
+          val (sec2, ok2, shr2, shw2) = time(name, SparkEntry.queries(name))
+          if (ok2 && sec2 < sec) {
+            rs = rs.updated(idx, (name, sec2, true, true, shr2, shw2))
+            total += sec2 - sec
+          }
+        }
+      }
+      rs
     }
     val retried = results.collect { case (k, _, _, true, _, _) => s"\"$k\"" }.mkString("[", ",", "]")
     // failed queries surface as a NEGATIVE time (and in "failed"): a
@@ -289,7 +375,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _, _, _) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_bytes":$shrJson,"shuffle_write_bytes":$shwJson,"failed":$failed,"retried":$retried,"probe":$probeSec,"probe_io":$probeIoSec,"probe_end":$probeEndSec,"probe_io_end":$probeIoEndSec,"budget_scale":$scale,"sf":"$sfDir"}"""
+    val probeMidJson = probeMid
+      .map { case (p, pio) => s"[$p,$pio]" }.mkString("[", ",", "]")
+    val totalRetriedJson = totalRetried.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_bytes":$shrJson,"shuffle_write_bytes":$shwJson,"failed":$failed,"retried":$retried,"total_first":$totalFirst,"total_retried":$totalRetriedJson,"probe":$probeSec,"probe_io":$probeIoSec,"probe_mid":$probeMidJson,"probe_end":$probeEndSec,"probe_io_end":$probeIoEndSec,"budget_scale":$scale,"n_light":$nLight,"n_heavy":$nHeavy,"budget_light_rate":$lightRate,"budget_heavy_rate":$heavyRate,"budget_total_unscaled":$totalBudgetUnscaled,"budget_total":$totalBudget,"sf":"$sfDir"}"""
     println(jsonLine)
     // also persist the full line to a file: the driver captures stdout
     // with a tail, and a long catalog's per-query map can be truncated

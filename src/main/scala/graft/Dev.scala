@@ -245,6 +245,27 @@ object Dev {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       }
       spark.stop()
+    // e13 file-count row (SCALE.md): rebuild the fragmented store from
+    // scratch, count codes/ part files, compact, count again.
+    case Some("e13files") =>
+      val dir = args(1)
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_e13_${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(w))
+      graft.queries.PipelineQueries.e13Setup(spark, dir)
+      def parts(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$w/index/codes"))
+          .count(f => f.getName.startsWith("part-") && f.length > 0)
+      }
+      val before = parts()
+      val t0 = System.nanoTime()
+      graft.operators.AnnIndex.compact(spark, s"$w/index")
+      println(f"[e13files] files_before=$before files_after=${parts()} " +
+        f"compact_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.stop()
     // Diagnostic: Hamming distribution of known-true e03 pairs (each
     // original vs its jittered twin) under the packed sign-bit sketch.
     case Some("ham") =>

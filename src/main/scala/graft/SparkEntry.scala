@@ -30,4 +30,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The bench budget classes (Q.heavy; SCALE.md "Per-class budget
+    * model"): composed/streaming/store-maintenance cells, whose measured
+    * quiet marginal cost is a different class from a relational/kernel
+    * query's. Bench derives the TOTAL budget from the class mix.
+    */
+  def heavyCells: Set[String] =
+    catalog.filter(_.heavy).map(_.name).toSet
 }

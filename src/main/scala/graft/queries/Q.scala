@@ -22,5 +22,15 @@ final case class Q(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    /** Bench budget class (SCALE.md "Per-class budget model"): `true`
+      * for COMPOSED cells — streaming micro-batch drains, published-
+      * store maintenance with read-back proofs, multi-stage pipelines —
+      * whose measured quiet marginal cost (2–5 s at sf0.1) is a
+      * different class from a relational/kernel query's (0.2–1.4 s).
+      * The bench TOTAL budget is derived from the class mix instead of
+      * one flat per-cell rate (r18 verdict ask #6: every added composed
+      * cell was a forced withdrawal from the same margin account).
+      */
+    heavy: Boolean = false
 )

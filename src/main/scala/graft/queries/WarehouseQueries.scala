@@ -508,13 +508,13 @@ object WarehouseQueries {
       |ORDER BY 1, 2""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("s03_stream_sliding", "sliding 7d/1d streaming windows (§2.9)", s03, Some(s03Sql)),
+    Q("s03_stream_sliding", "sliding 7d/1d streaming windows (§2.9)", s03, Some(s03Sql), heavy = true),
     Q("v01_sql_views", "layered temp views via spark.sql (S6)", v01, Some(v01Sql)),
     Q("io01_pgcopy_roundtrip", "PG COPY text format round trip (S1)", io01, Some(io01Sql)),
     Q("etl01_dim_date", "star ETL: smart-keyed calendar dimension (S5/J8)", etl01, Some(etl01Sql)),
     Q("etl02_dim_client", "star ETL: denormalized dim + surrogate keys", etl02, Some(etl02Sql)),
     Q("etl03_fact_orders", "star ETL: fact with surrogate resolution (J8/J9)", etl03, Some(etl03Sql)),
-    Q("etl04_incremental_merge", "foreachBatch MERGE loader == batch build (§2.9)", etl04, Some(etl04Sql)),
+    Q("etl04_incremental_merge", "foreachBatch MERGE loader == batch build (§2.9)", etl04, Some(etl04Sql), heavy = true),
     Q("etl05_constraint_report", "ETL constraint validation: CHECK/domain/NOT NULL/PK/FK (§1.2)", etl05, Some(etl05Sql)),
     Q("etl06_surrogate_scale", "two-phase distributed dense ids == ROW_NUMBER (§1.1 at scale)", etl06, Some(etl06Sql)),
     Q("q26_measures_sliced", "measure layer with slicer filters (§2.10/P11/J10)", q26, Some(q26Sql)),
@@ -522,7 +522,7 @@ object WarehouseQueries {
     Q("q30_weekday_quartiles", "weekday box-whisker: quartiles of daily CA (§2.10)", q30, Some(q30Sql)),
     Q("q31_measure_filter", "visual-level measure threshold after aggregation (P12)", q31, Some(q31Sql)),
     Q("q32_drill_rollup", "drill hierarchy as ROLLUP tree with grouping() levels (§2.10)", q32, Some(q32Sql)),
-    Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql)),
-    Q("s05_stream_sessions_flat", "flatMapGroupsWithState per-session emission (§2.9)", s05, Some(s05Sql))
+    Q("s02_stream_sessions", "mapGroupsWithState streaming sessionization (§2.9)", s02, Some(s02Sql), heavy = true),
+    Q("s05_stream_sessions_flat", "flatMapGroupsWithState per-session emission (§2.9)", s05, Some(s05Sql), heavy = true)
   )
 }

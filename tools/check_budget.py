@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
 """Check a graft Bench JSON line against the BASELINE.md budget rule.
 
-Usage: python3 tools/check_budget.py BENCH.json [--per-query 6.0] [--total 95.0]
+Usage: python3 tools/check_budget.py BENCH.json [--per-query SEC] [--total SEC]
            [--bytes-vs PREV.json [--bytes-tol 0.02]] [--margin 0.10]
 
 Exit 0 when every query is within the per-query budget and the catalog
 total is within the total budget; exit 1 otherwise, listing offenders.
 Negative times mean the query FAILED in Bench (always a violation).
+
+Defaults come FROM THE BENCH JSON itself (r19): a Bench line carries
+"budget_scale" and the per-class "budget_total" (scaled), so the
+round-end command is just `check_budget.py BENCH.json --margin 0.10`.
+Explicit --per-query/--total (UNSCALED; they are multiplied by the
+line's budget_scale) override — and are the only way to check an old
+line that predates the self-describing fields (then per-query defaults
+to 6 and total to nQueries*95/90, the pre-r19 flat model).
 
 --bytes-vs PREV.json: the mechanical TOTAL-violation adjudication the
 r16 review did by hand — diff shuffle_write_bytes per cell against a
@@ -30,8 +38,10 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
-    ap.add_argument("--per-query", type=float, default=6.0)
-    ap.add_argument("--total", type=float, default=95.0)
+    ap.add_argument("--per-query", type=float, default=None,
+                    help="unscaled per-query budget (default 6, scaled by the line's budget_scale)")
+    ap.add_argument("--total", type=float, default=None,
+                    help="unscaled total budget (default: the line's per-class budget_total)")
     ap.add_argument("--bytes-vs", metavar="PREV_JSON",
                     help="prior-round bench line to byte-diff against")
     ap.add_argument("--bytes-tol", type=float, default=0.02,
@@ -42,22 +52,37 @@ def main() -> int:
 
     with open(args.bench_json) as f:
         bench = json.load(f)
+    if "queries" not in bench and isinstance(bench.get("parsed"), dict):
+        bench = bench["parsed"]  # a driver BENCH_r{N}.json wrapper
+    if "queries" not in bench:
+        print(f"{args.bench_json}: no per-query map (driver tail truncated?) — "
+              "check BENCH_LOCAL.json instead")
+        return 1
 
     queries = bench["queries"]
+    scale = bench.get("budget_scale", 1.0)
+    per_query = (args.per_query if args.per_query is not None else 6.0) * scale
+    if args.total is not None:
+        total_budget = args.total * scale
+    elif "budget_total" in bench:
+        total_budget = bench["budget_total"]  # already scaled by Bench
+    else:
+        total_budget = len(bench["queries"]) * 95.0 / 90.0 * scale
     bad = []
     for name, sec in sorted(queries.items()):
         if sec < 0:
             bad.append(f"FAILED  {name}")
-        elif sec > args.per_query:
-            bad.append(f"SLOW    {name}: {sec:.2f}s > {args.per_query}s")
+        elif sec > per_query:
+            bad.append(f"SLOW    {name}: {sec:.2f}s > {per_query:.1f}s")
     total = sum(s for s in queries.values() if s > 0)
-    if total > args.total:
-        bad.append(f"TOTAL   {total:.1f}s > {args.total}s")
+    if total > total_budget:
+        bad.append(f"TOTAL   {total:.1f}s > {total_budget:.1f}s")
 
-    margin = (args.total - total) / args.total
+    margin = (total_budget - total) / total_budget
     print(f"queries={len(queries)} total={total:.1f}s "
-          f"max={max(queries.values()):.2f}s budget: per-query<={args.per_query}s "
-          f"total<={args.total}s margin={margin:+.1%}")
+          f"max={max(queries.values()):.2f}s scale={scale:.2f} "
+          f"budget: per-query<={per_query:.1f}s "
+          f"total<={total_budget:.1f}s margin={margin:+.1%}")
     if args.margin is not None and margin < args.margin:
         bad.append(f"MARGIN  {margin:+.1%} < required {args.margin:.0%}")
 
