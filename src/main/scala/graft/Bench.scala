@@ -242,6 +242,14 @@ object Bench {
       // inflated the same way)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
+      // negative control for the TOTAL re-adjudication (the z99
+      // convention): a planted per-cell driver stall inflates every
+      // cell's TIME with bytes unchanged — the same-plan-regression
+      // class the byte-identical re-run must NOT excuse. The plant
+      // rides INSIDE time(), so re-adjudication re-runs carry it too:
+      // min(run, retry) stays slow and the gate must still exit 1.
+      // Never set outside the control.
+      sys.env.get("SPARK_GRAFT_PLANT_CELL_MS").foreach(ms => Thread.sleep(ms.toLong))
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune per-row computed columns out of select-only
       // queries and under-measure them). Shuffle bytes are metered per
