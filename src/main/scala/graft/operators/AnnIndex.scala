@@ -88,6 +88,62 @@ object AnnIndex {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** Appends landed since the last compaction — the compaction
+    * policy's watermark counter ([[maintainAppend]]). A GENERATION
+    * count, not a file count: file counts vary with input partitioning
+    * and fixture size, while "how many frozen-model appends has this
+    * store absorbed" is deterministic per store history — the same
+    * doctrine as the chain-depth watermark (RefreshPipeline
+    * .CompactDepth counts layers, never bytes).
+    */
+  def appendsSinceCompact(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_APPENDS_SINCE_COMPACT")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try in.readInt() finally in.close()
+    }
+  }
+
+  private def writeAppendsSinceCompact(spark: SparkSession, dir: String, n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_APPENDS_SINCE_COMPACT")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.writeInt(n) finally out.close()
+  }
+
+  /** One POLICY-GOVERNED append of the index maintenance loop (the
+    * [[graft.queries.RefreshPipeline.maintainedRefresh]] twin in the
+    * vector tier): append the batch with the frozen model, then — when
+    * the store has absorbed `appendsWatermark` appends since its last
+    * compaction — run [[compact]] on the spot. Every append leaves a
+    * per-batch file set, so an unbounded append chain's serve scan
+    * pays per-file open cost without bound (the chain-depth law's
+    * file-grain analogue); the watermark bounds it, and the fold is
+    * maintenance-cadence work whose serve-identity e13 gates. Returns
+    * the post-append counter (0 when the policy just compacted).
+    */
+  def maintainAppend(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      appendsWatermark: Int = 6
+  ): Int = {
+    require(appendsWatermark >= 1, "appendsWatermark must be >= 1")
+    val spark = batch.sparkSession
+    append(batch, idCol, vecCol, dir)
+    val n = appendsSinceCompact(spark, dir) + 1
+    if (n >= appendsWatermark) {
+      compact(spark, dir) // resets the counter
+      0
+    } else {
+      writeAppendsSinceCompact(spark, dir, n)
+      n
+    }
+  }
+
   /** Read the two model components back (tiny — driver-side arrays,
     * cell/sub/code order restored from the stored keys).
     */
@@ -340,5 +396,7 @@ object AnnIndex {
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Swap.publish(fs, tmpPath, codesPath)
+    // the compaction-policy watermark resets with the fold it schedules
+    writeAppendsSinceCompact(spark, dir, 0)
   }
 }

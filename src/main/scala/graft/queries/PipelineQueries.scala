@@ -1058,38 +1058,50 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
-  // e13 — ANN STORE COMPACTION (r18 verdict ask #4): every frozen-model
-  // append leaves a per-batch file set, so a daily-ingest index
-  // accumulates thousands of small files whose per-file open cost
-  // dominates the serve scan at 100 TB. Setup publishes the store into
-  // e11's REFRESHED content state the fragmented way round — tombstone
-  // the evictees first (one staged rewrite), then land the entrant wave
-  // as SIX separate frozen-model appends (six file sets: a week of
-  // refresh windows) — so the store holds exactly (base − evictees) ∪
-  // entrants across 7 fragmented file generations. The TIMED query is
-  // the maintenance plus its proof: AnnIndex.compact (range-cluster on
-  // (cell, id), staged write + atomic swap — the io03/Compact contract
-  // on the index store) followed by the exhaustive serve. Compaction
-  // must change LAYOUT, never CONTENT: the serve over the compacted
-  // store hash-matches e11's brute oracle verbatim, proving
-  // compact ∘ append⁶ ∘ tombstone ≡ serve-identical. File-count
-  // reduction + row identity are pinned in SimilaritySpec; the
-  // file-count row lives in SCALE.md. Re-runs converge (compacting a
-  // compacted store is an idempotent rewrite).
+  // e13 — ANN STORE COMPACTION, policy-triggered (r18 verdict ask #4 +
+  // the p08 trigger doctrine): every frozen-model append leaves a
+  // per-batch file set, so a daily-ingest index accumulates thousands
+  // of small files whose per-file open cost dominates the serve scan at
+  // 100 TB — and something must DECIDE when to fold, the way p08's
+  // depth watermark schedules compactGen. AnnIndex.maintainAppend
+  // counts APPEND GENERATIONS since the last compaction (deterministic
+  // per store history — file counts vary with fixture partitioning)
+  // and fires AnnIndex.compact at the watermark. Setup publishes the
+  // store into e11's refreshed content state the fragmented way round:
+  // tombstone the evictees (one staged rewrite), then FIVE policy-
+  // governed entrant waves (counter 1..5, under the 6-wave watermark —
+  // a week of refresh windows, fragmented). The TIMED query is the
+  // SIXTH wave through the same policy — the append that CROSSES the
+  // watermark, fires the compaction (range-cluster on (cell, id),
+  // staged write + atomic swap — the io03/Compact contract on the
+  // index store), and serves exhaustively. Compaction must change
+  // LAYOUT, never CONTENT: the serve hash-matches e11's brute oracle
+  // verbatim, proving policy-compact ∘ append⁶ ∘ tombstone ≡
+  // serve-identical. File-count reduction + row identity + the
+  // watermark mechanics are pinned in SimilaritySpec/CompactSpec; the
+  // file-count row lives in SCALE.md. Re-runs converge: the wave
+  // appends missing-only, and a just-compacted store's counter is
+  // under the watermark, so the rewrite never repeats needlessly.
   // ---------------------------------------------------------------------
   private def e13WorkDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_e13_${Integer.toHexString(dir.hashCode)}"
 
-  /** Publish + fragment the store (load-phase, Bench untimed): the
-    * pre-compaction state a production index reaches between
-    * maintenance windows.
+  private val e13Watermark = 6
+
+  private def e13Wave(em: DataFrame, wave: Int): DataFrame =
+    e11Entrants(em).filter(pmod(col("vec_id"), lit(e13Watermark)) === wave)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Publish + fragment the store under the policy (load-phase, Bench
+    * untimed): the pre-watermark state a production index reaches
+    * between maintenance windows.
     */
   def e13Setup(spark: SparkSession, dir: String): Unit = synchronized {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-frag6-v1"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-v1"
     val w = e13WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -1100,12 +1112,11 @@ object PipelineQueries {
       graft.operators.AnnIndex.write(em, "vec_id", "embedding", s"$w/index",
         nList = 16, m = 8, codes = 16, iters = 3)
       graft.operators.AnnIndex.tombstone(spark, s"$w/index", e11Evictees(em))
-      val entrants = e11Entrants(em)
-      (0 until 6).foreach { wave =>
-        graft.operators.AnnIndex.append(
-          entrants.filter(pmod(col("vec_id"), lit(6)) === wave)
-            .select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", s"$w/index")
+      (0 until e13Watermark - 1).foreach { wave =>
+        val n = graft.operators.AnnIndex.maintainAppend(
+          e13Wave(em, wave), "vec_id", "embedding", s"$w/index",
+          appendsWatermark = e13Watermark)
+        assert(n == wave + 1, s"policy must not fire under the watermark (got $n)")
       }
       new java.io.File(w).mkdirs()
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
@@ -1115,9 +1126,16 @@ object PipelineQueries {
   private def e13(spark: SparkSession, dir: String): DataFrame = {
     e13Setup(spark, dir)
     val w = e13WorkDir(dir)
-    // the maintenance, timed: range-cluster the fragmented codes store
-    // (staged write, atomic swap), then prove the serve unchanged
-    graft.operators.AnnIndex.compact(spark, s"$w/index")
+    val em = Tables.embeddings(spark, dir)
+    // the maintenance, timed: the watermark-crossing wave through the
+    // policy — append the missing entrants (re-runs converge), fire the
+    // scheduled compaction, then prove the serve unchanged
+    val stored = graft.operators.AnnIndex.codes(spark, s"$w/index")
+    val wave = e13Wave(em, e13Watermark - 1)
+      .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
+        Seq("vec_id"), "left_anti")
+    graft.operators.AnnIndex.maintainAppend(
+      wave, "vec_id", "embedding", s"$w/index", appendsWatermark = e13Watermark)
     refreshedExhaustiveServe(spark, dir, s"$w/index")
   }
   private val e11Sql =
@@ -4996,7 +5014,7 @@ object PipelineQueries {
     Q("s12_stream_ann_serve", "streaming ANN serve: query micro-batches probe the stored IVF-PQ index (§2.9)", s12, Some(e01Sql), heavy = true),
     Q("e10_index_republish", "index re-publish (the recall-drift alarm's action): retrain on the drifted corpus, re-encode in one map pass, atomic swap; exhaustive serve over both regimes vs the union brute oracle", e10, Some(e10Sql), heavy = true),
     Q("e11_index_refresh", "ANN refresh maintenance (the p06 selection delta in the vector tier): frozen-model append of entrants + tombstone of evictees from the codes store, exhaustive serve ≡ one-shot index over the refreshed selection", e11, Some(e11Sql), heavy = true),
-    Q("e13_index_compact", "ANN store compaction: the append-fragmented codes store (tombstone + six per-wave appends in setup) range-clustered and atomically swapped, exhaustive serve ≡ the pre-compaction store ≡ brute over the refreshed selection — compaction changes layout, never content", e13, Some(e11Sql), heavy = true),
+    Q("e13_index_compact", "ANN store compaction, POLICY-triggered: five policy-governed appends fragment the store in setup (counter under the watermark); the timed sixth wave crosses the append-count watermark, fires the range-cluster compaction (staged + atomic swap), and the exhaustive serve ≡ brute over the refreshed selection — the policy changes WHEN the fold runs, compaction changes layout, never content", e13, Some(e11Sql), heavy = true),
     Q("e12_drift_republish", "the drift→republish TRANSITION as one flow: frozen-model append of drifted arrivals → production-config recall alarm (s13) → republish driven BY the alarm (e10) → post-republish production probe clears the floor → exhaustive serve ≡ brute over the union; decision chain + serve under one oracle", e12, Some(e12Sql), heavy = true),
     Q("s13_stream_ann_drift", "ANN recall-drift monitor: per-append frozen-model serve vs brute on a deterministic sample (gate in the exhaustive e05/e06 configuration: recall ≡ 1.0 SQL-derivable; production-config alarm pinned in StreamingSpec)", s13, Some(s13Sql), heavy = true),
     Q("s14_stream_idshards", "streaming BPE-id shard emission: frozen published tokenizer, slice-grain incremental pack continuing the global offset; decode of the drained log rebuilds every doc (d39 through the stream)", s14, Some(d39Sql), heavy = true),

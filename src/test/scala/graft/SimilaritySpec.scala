@@ -454,6 +454,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.maintainAppend: the append-count watermark fires compaction exactly " +
+      "at the line, never under it, and the counter resets with the fold") {
+    val em = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_annmaint_").toString
+    val ix = s"$base/ix"
+    def parts(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$ix/codes"))
+        .count(f => f.getName.startsWith("part-") && f.length > 0)
+    }
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      assert(graft.operators.AnnIndex.appendsSinceCompact(spark, ix) == 0)
+      val wave = (k: Int) => em.filter(col("vec_id") % 3 === k)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // two appends under a 3-append watermark: counter climbs, no fold
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(0), "vec_id", "embedding", ix, appendsWatermark = 3) == 1)
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(1), "vec_id", "embedding", ix, appendsWatermark = 3) == 2)
+      val fragmented = parts()
+      val before = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      // the third append crosses the watermark: the policy compacts
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(2), "vec_id", "embedding", ix, appendsWatermark = 3) == 0)
+      assert(graft.operators.AnnIndex.appendsSinceCompact(spark, ix) == 0,
+        "the counter must reset with the policy's fold")
+      assert(parts() < fragmented + 1,
+        s"the policy fold must cut the file count (was $fragmented + wave)")
+      // content = everything appended, layout folded
+      val after = graft.operators.AnnIndex.codes(spark, ix)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toMap2
+      val wave2 = wave(2).collect().map(_.getLong(0)).toSet
+      assert(after.keySet == before.keySet ++ wave2,
+        "the watermark-crossing append must land before the fold")
+      assert(before.forall { case (id, row) => after(id) == row },
+        "pre-fold rows must survive the fold bit-identical")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("AnnIndex.tombstone id typing: integral ids address a STRING-id store " +
       "(value-preserving cast), incompatible types still fail at the contract") {
     val base = java.nio.file.Files.createTempDirectory("graft_anntombstr_").toString
