@@ -245,6 +245,37 @@ object Dev {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       }
       spark.stop()
+    // Scratch probe: does DPP fire on the ANN serve join shape
+    // (partitioned scan ⋈ broadcast probe side on the partition col)?
+    case Some("dppprobe") =>
+      val spark = graft.engine.Session.local(8)
+      spark.sparkContext.setLogLevel("WARN")
+      val tmp = Files.createTempDirectory("graft_dpp_").toString
+      try {
+        spark.range(0, 100000).selectExpr("id", "cast(id % 16 as int) as cell")
+          .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        val part = spark.read.parquet(tmp)
+        import org.apache.spark.sql.functions._
+        // probe side shaped like qProbes: filtered queries → exploded cells
+        val probe = spark.range(0, 1000).filter(col("id") < 7)
+          .select(col("id").as("qid"),
+            explode(expr("array(cast(id % 16 as int), cast((id+1) % 16 as int))")).as("cell"))
+        val j = part.join(broadcast(probe), Seq("cell"))
+        j.write.mode("overwrite").format("noop").save()
+        val plan = j.queryExecution.executedPlan.toString
+        println("[dppprobe] dynamicpruning=" + plan.contains("dynamicpruning") +
+          " partitionFilters=" + plan.linesIterator.filter(_.contains("PartitionFilters")).take(2).mkString(" | ").take(300))
+        // and the UNfiltered probe side (production serve: raw queries)
+        val probe2 = spark.range(0, 1000)
+          .select(col("id").as("qid"),
+            explode(expr("array(cast(id % 16 as int))")).as("cell"))
+        val j2 = part.join(broadcast(probe2), Seq("cell"))
+        println("[dppprobe] nofilter dynamicpruning=" +
+          j2.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      spark.stop()
     // e13 file-count row (SCALE.md): rebuild the fragmented store from
     // scratch, count codes/ part files, compact, count again.
     case Some("e13files") =>

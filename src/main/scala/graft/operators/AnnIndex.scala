@@ -56,13 +56,19 @@ object AnnIndex {
       .flatMap { case (b, s) => b.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) } }.toSeq
       .toDF("sub", "code", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    // the corpus-scale component: pure map (assign + encode), no shuffle
+    // the corpus-scale component: pure map (assign + encode), no
+    // shuffle — PARTITIONED BY COARSE CELL: the serve path joins the
+    // store on `cell`, so a cell-partitioned layout lets the scan prune
+    // to probed cells (dynamic partition pruning against the broadcast
+    // probe side — the PlanSpec-pinned production-serve plan), which at
+    // 100 TB is the difference between scanning nProbe/nList of the
+    // store and all of it
     corpus
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v_c"))
       .select(col(idCol),
         VectorExpr.argMaxIndex(VectorExpr.centroidScores(col("v_c"), cents)).as("cell"),
         VectorExpr.pqEncode(col("v_c"), books).as("codes"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
   }
 
   /** Incremental store maintenance: encode an ARRIVING batch with the
@@ -85,7 +91,7 @@ object AnnIndex {
       .select(col(idCol),
         VectorExpr.argMaxIndex(VectorExpr.centroidScores(col("v_c"), cents)).as("cell"),
         VectorExpr.pqEncode(col("v_c"), books).as("codes"))
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
   }
 
   /** Appends landed since the last compaction — the compaction
@@ -158,10 +164,17 @@ object AnnIndex {
     (cents, books)
   }
 
-  /** The stored per-vector index rows (idCol, cell, codes). */
+  /** The stored per-vector index rows (idCol, cell, codes). The store
+    * is cell-partitioned on disk (partition columns read back LAST), so
+    * the canonical column order is restored here for positional
+    * readers; `cell` stays the partition column in the plan, so a
+    * downstream cell join still prunes the scan.
+    */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     recoverStore(spark, dir)
-    spark.read.parquet(s"$dir/codes")
+    val df = spark.read.parquet(s"$dir/codes")
+    val idName = df.schema.fieldNames.head
+    df.select(col(idName), col("cell"), col("codes"))
   }
 
   /** Recall probe — the measurement behind the RE-PUBLISH decision the
@@ -370,7 +383,7 @@ object AnnIndex {
                 s"store's ${idType.simpleString} id column: "), col("__src").cast("string"))))
             .otherwise(col("__src").try_cast(idType)).as(idName)),
         Seq(idName), "left_anti")
-      .write.mode("overwrite").parquet(tmpDir)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpDir)
     Swap.publish(fs, tmpPath, new org.apache.hadoop.fs.Path(codesDir))
   }
 
@@ -391,7 +404,7 @@ object AnnIndex {
     val tmpDir = s"$dir/codes_compact_tmp"
     val idName = spark.read.parquet(codesDir).schema.fieldNames.head
     Compact.parquet(spark, codesDir, tmpDir,
-      Seq(col("cell"), col(idName)), targetFileBytes)
+      Seq(col("cell"), col(idName)), targetFileBytes, partitionCols = Seq("cell"))
     val codesPath = new org.apache.hadoop.fs.Path(codesDir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -15,22 +15,29 @@ import org.apache.spark.sql.functions._
 object Compact {
 
   /** Rewrite `src` parquet dir into `dst` with ~targetFileBytes files,
-    * range-clustered on `sortKeys`. Returns the compacted DataFrame.
+    * range-clustered on `sortKeys`. A partitioned store passes its
+    * partition columns in `partitionCols` (they must lead `sortKeys` so
+    * each range task holds contiguous partition values and writes ~one
+    * file per directory instead of scattering). Returns the compacted
+    * DataFrame.
     */
   def parquet(
       spark: org.apache.spark.sql.SparkSession,
       src: String,
       dst: String,
       sortKeys: Seq[Column],
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil
   ): DataFrame = {
     val df = spark.read.parquet(src)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
       (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
-    df.repartitionByRange(nFiles, sortKeys: _*)
+    val clustered = df.repartitionByRange(nFiles, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-      .write.mode("overwrite").parquet(dst)
+    val writer = clustered.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dst)
     spark.read.parquet(dst)
   }
 }

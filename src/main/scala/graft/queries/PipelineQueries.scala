@@ -600,7 +600,7 @@ object PipelineQueries {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
-    val fingerprint = s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-append-compact-v1"
+    val fingerprint = s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-append-compact-cellpart-v2"
     val w = e09WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -702,7 +702,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-republish-v1"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-republish-cellpart-v2"
     val w = e10WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -819,7 +819,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-transition-v1"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-transition-cellpart-v2"
     val w = e12WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -996,7 +996,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-refresh-v1"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-refresh-cellpart-v2"
     val w = e11WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -1101,7 +1101,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-v1"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-cellpart-v2"
     val w = e13WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -4138,7 +4138,7 @@ object PipelineQueries {
     // bump the trailing tag when the p06 store layout (RefreshPipeline
     // `format`) or any published-store convention here changes
     val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
-      s"${e.getLen}:${e.getModificationTime}:p07-threetier-v1"
+      s"${e.getLen}:${e.getModificationTime}:p07-threetier-cellpart-v2"
     val w = p07WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&

@@ -42,7 +42,7 @@ object IngestAnn {
   /** Bump when the store layout or the index parameters change — the
     * setup fingerprint carries it (the IngestDrift convention).
     */
-  private val format = "ivfpq-n16-m8-c16-i3-v1"
+  private val format = "ivfpq-n16-m8-c16-i3-cellpart-v2"
   private val NList = 16
   private val M = 8
   private val Codes = 16

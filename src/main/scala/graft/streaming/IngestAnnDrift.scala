@@ -43,7 +43,7 @@ object IngestAnnDrift {
   ))
   private val feedSchema = StructType(emSchema.fields :+ StructField("lot", IntegerType))
 
-  private val format = "ivfpq-n16-m8-c16-i3-recalldrift-v1"
+  private val format = "ivfpq-n16-m8-c16-i3-recalldrift-cellpart-v2"
   private val NList = 16
   private val M = 8
   private val Codes = 16

@@ -454,6 +454,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cell-partitioned codes store: the production serve scan PRUNES to probed cells " +
+      "(dynamic partition pruning against the broadcast probe side), cell type survives") {
+    val em = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_annprune_").toString
+    val ix = s"$base/ix"
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      // the store is partitioned by coarse cell on disk…
+      assert(new java.io.File(s"$ix/codes").listFiles()
+        .exists(_.getName.startsWith("cell=")), "codes/ must be cell-partitioned")
+      val coded = graft.operators.AnnIndex.codes(spark, ix)
+      // …with the canonical column order and the int cell type restored
+      assert(coded.schema.fieldNames.toSeq == Seq("vec_id", "cell", "codes"))
+      assert(coded.schema("cell").dataType == org.apache.spark.sql.types.IntegerType)
+      val (cents, books) = graft.operators.AnnIndex.readModel(spark, ix)
+      // production config: nProbe < nList, a bounded filtered query set
+      val serve = graft.operators.Similarity.pqKnnIvfCoded(
+        coded.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")),
+        em.select(col("vec_id").as("neighbor_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v_c")),
+        em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5,
+        cents, books, nProbe = 4, shortlist = 32)
+      val plan = serve.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"the serve scan must carry a dynamic partition-pruning filter on cell:\n" +
+          plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+      // and the pruned serve still returns correct rows (5 queries × k)
+      assert(serve.count() == 5L * 5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("AnnIndex.maintainAppend: the append-count watermark fires compaction exactly " +
       "at the line, never under it, and the counter resets with the fold") {
     val em = Tables.embeddings(spark, sfDir)
