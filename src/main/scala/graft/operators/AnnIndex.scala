@@ -129,6 +129,13 @@ object AnnIndex {
     * file-grain analogue); the watermark bounds it, and the fold is
     * maintenance-cadence work whose serve-identity e13 gates. Returns
     * the post-append counter (0 when the policy just compacted).
+    *
+    * Maintenance windows are SERIALIZED by contract (the refresh-loop
+    * convention shared with [[tombstone]]/[[republish]]: one maintainer
+    * owns a store) — the counter marker is not a concurrency primitive.
+    * A crash between the append and the marker write under-counts by
+    * one and merely defers the fold a window; the store itself stays
+    * consistent (append is atomic per batch, compact is staged+swapped).
     */
   def maintainAppend(
       batch: DataFrame,
