@@ -296,6 +296,12 @@ object Dev {
       graft.operators.AnnIndex.compact(spark, s"$w/index")
       println(f"[e13files] files_before=$before files_after=${parts()} " +
         f"compact_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // this harness compacted the SHARED e13 workdir out-of-band
+      // (marker still fresh, sixth wave never appended, counter reset):
+      // left in place, the next Bench's e13 cell would skip setup and
+      // never fire the compaction it exists to time (r19 review
+      // finding) — delete the workdir so the next run rebuilds clean
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(w))
       spark.stop()
     // Diagnostic: Hamming distribution of known-true e03 pairs (each
     // original vs its jittered twin) under the packed sign-bit sketch.

@@ -146,6 +146,13 @@ object AnnIndex {
   ): Int = {
     require(appendsWatermark >= 1, "appendsWatermark must be >= 1")
     val spark = batch.sparkSession
+    // an EMPTY batch is not an append: it adds no file generation, so
+    // it must not advance the watermark — a warm re-run whose
+    // append-missing delta is empty (the e13 retry path) would
+    // otherwise drift the counter up and fire a spurious full-store
+    // rewrite on the Nth re-run (r19 review finding). The isEmpty
+    // probe is one limit-1 job on a batch-scale relation.
+    if (batch.isEmpty) return appendsSinceCompact(spark, dir)
     append(batch, idCol, vecCol, dir)
     val n = appendsSinceCompact(spark, dir) + 1
     if (n >= appendsWatermark) {

@@ -1088,8 +1088,18 @@ object PipelineQueries {
 
   private val e13Watermark = 6
 
+  /** Entrant wave `wave` of [[e13Watermark]]. Split on (vec_id div 10)
+    * mod 6, NOT vec_id mod 6: every e11 entrant id is ≡ 5 (mod 10) —
+    * odd — so a vec_id-mod-6 split would leave residues 0/2/4 EMPTY
+    * and three of the six "fragmenting" waves would append nothing
+    * (r19 review finding). The div-10 quotient walks consecutive
+    * integers across the entrant set, so all six residues are
+    * populated and the union over waves 0..5 is the whole entrant set
+    * either way (the oracle never sees the split).
+    */
   private def e13Wave(em: DataFrame, wave: Int): DataFrame =
-    e11Entrants(em).filter(pmod(col("vec_id"), lit(e13Watermark)) === wave)
+    e11Entrants(em)
+      .filter(pmod(expr("vec_id div 10"), lit(e13Watermark)) === wave)
       .select(col("vec_id"), col("embedding"))
 
   /** Publish + fragment the store under the policy (load-phase, Bench
@@ -1101,7 +1111,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-cellpart-v2"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-cellpart-v3"
     val w = e13WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&

@@ -429,7 +429,10 @@ class SimilaritySpec extends SparkSpec {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       (0 until 6).foreach { k =>
         graft.operators.AnnIndex.append(
-          wave.filter(pmod(col("vec_id"), lit(6)) === k), "vec_id", "embedding", ix)
+          // div-10 split, not mod-6: wave ids are all ≡ 5 (mod 10), so a
+          // mod-6 split would leave the even residues empty (e13Wave's fix)
+          wave.filter(pmod(expr("vec_id div 10"), lit(6)) === k),
+          "vec_id", "embedding", ix)
       }
       val before = rows()
       val filesBefore = partFiles().length
