@@ -70,14 +70,12 @@ object Bench {
     * pre-r19 behavior).
     */
   private def readBaseline(): Option[(Map[String, Double], Map[String, Long])] = try {
+    // cwd-relative or SPARK_GRAFT_BENCH_BASELINE only — no absolute
+    // fallback: a hardcoded repo path silently adjudicated a run from
+    // another checkout against a FOREIGN repo's baseline (r19 ADVICE).
+    // Absent baseline ⇒ no re-adjudication, the strict pre-r19 behavior.
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "tools/bench_baseline.json")
-    val f0 = new java.io.File(path)
-    val f = if (f0.exists()) f0 else new java.io.File("/root/repo", path)
-    // the repo-root fallback exists for a driver running from another
-    // cwd — say so when it kicks in, so a second checkout adjudicating
-    // against THIS repo's baseline is visible in the run log
-    if (!f0.exists() && f.exists())
-      System.err.println(s"BENCH baseline: cwd has no $path — using ${f.getPath}")
+    val f = new java.io.File(path)
     if (!f.exists()) None
     else {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
@@ -190,6 +188,12 @@ object Bench {
     // e13's fragmented index store (publish + tombstone + six per-wave
     // appends): the measured query is the compaction + serve proof
     try { graft.queries.PipelineQueries.e13Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
+    // p09's composed-loop staging (its own 4-hop policy chain over the
+    // embedding-covered range + the hop-1..3 vector maintenance + hop
+    // 4's text fold): the measured query is the vector-tier policy
+    // window + drift gate + composed read-back
+    try { graft.queries.PipelineQueries.p09Setup(spark, sfDir) }
     catch { case _: Throwable => () }
     // the curation trio's shared front (scrub → span → near-dup kept
     // relation + decon id list): the published cleaned-corpus artifact
@@ -356,13 +360,23 @@ object Bench {
     // genuine same-plan regression re-runs slow again and still fails.
     val totalRetried = scala.collection.mutable.ArrayBuffer.empty[String]
     val totalFirst = perCellAdjudicated.map(_._2).sum
+    // bytes "match" the baseline inside a ±0.5 % jitter band, not only
+    // exactly: a dozen cells carry ±0.01–0.2 % run-to-run row-order /
+    // parquet-compression drift (r19 verdict: the exact-byte rule left
+    // 13 cells permanently re-adjudication-INELIGIBLE), while a genuine
+    // plan change moves bytes far past the band and must defend its
+    // time on the regular budget. The band cannot be gamed by the
+    // same-plan-regression class: a planted per-cell stall keeps bytes
+    // identical and re-runs slow (the PLANT_CELL_MS control).
+    def bytesMatch(base: Long, cur: Long): Boolean =
+      math.abs(cur - base) <= math.max(1L, base / 200)
     val results = {
       var rs = perCellAdjudicated
       var total = totalFirst
       if (total > totalBudget) readBaseline().foreach { case (baseSec, baseBytes) =>
         val eligible = rs.zipWithIndex
           .filter { case ((name, sec, ok, _, _, shw), _) =>
-            ok && baseBytes.get(name).contains(shw) &&
+            ok && baseBytes.get(name).exists(bytesMatch(_, shw)) &&
               baseSec.get(name).exists(b => sec > b * 1.4 + 0.2) }
           .sortBy { case ((name, sec, _, _, _, _), _) => baseSec(name) - sec }
           .take(48)
@@ -374,7 +388,13 @@ object Bench {
           val ((name, sec, _, _, _, _), idx) = it.next()
           totalRetried += name
           val (sec2, ok2, shr2, shw2) = time(name, fnByName(name))
-          if (ok2 && sec2 < sec) {
+          // accept the re-run ONLY when ITS bytes also match the
+          // baseline (r19 ADVICE #1): a convergent maintenance cell's
+          // warm re-run does strictly less work (e.g. an append-missing
+          // path that finds nothing to append) — bytes move, and its
+          // cheap time must not substitute for a genuine regression in
+          // the work the cell exists to measure
+          if (ok2 && sec2 < sec && baseBytes.get(name).exists(bytesMatch(_, shw2))) {
             rs = rs.updated(idx, (name, sec2, true, true, shr2, shw2))
             total += sec2 - sec
           }
@@ -407,12 +427,37 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "UTF-8")
       try w.println(jsonLine) finally w.close()
     } catch { case t: Throwable => System.err.println(s"BENCH_LOCAL write failed: $t") }
-    spark.stop()
+    val slowCells = results.collect { case (k, v, true, _, _, _) if v > perQueryBudget => k }
     val violations =
       results.collect { case (k, _, false, _, _, _) => s"FAILED $k" } ++
         results.collect { case (k, v, true, _, _, _) if v > perQueryBudget =>
           f"SLOW $k: $v%.2fs > $perQueryBudget%.1fs" } ++
         (if (total > totalBudget) Seq(f"TOTAL $total%.1fs > $totalBudget%.1fs") else Nil)
+    // compact self-adjudicating summary, printed LAST (r19 verdict ask
+    // #6): the driver's round artifact is a stdout TAIL, and twice now
+    // (BENCH_r14, BENCH_r19) the long per-query map was truncated out of
+    // it, leaving the official artifact un-checkable. Everything the
+    // adjudication needs — totals, probe points, scale, the per-class
+    // budget and its inputs, margin, violations — rides this one short
+    // line that no tail can drop; check_budget.py adjudicates from it
+    // when the full map is gone (the full line is in BENCH_LOCAL.json).
+    val margin = (totalBudget - total) / totalBudget
+    val (maxName, maxSec) = results.map(r => (r._1, r._2)).maxBy(_._2)
+    val summaryLine =
+      s"""{"metric":"summary","value":$total,"unit":"sec","total_first":$totalFirst,""" +
+        s""""n_queries":${results.size},"failed":$failed,""" +
+        s""""slow":${slowCells.map(n => s"\"$n\"").mkString("[", ",", "]")},""" +
+        s""""total_retried":$totalRetriedJson,""" +
+        s""""probe":$probeSec,"probe_io":$probeIoSec,""" +
+        s""""probe_end":$probeEndSec,"probe_io_end":$probeIoEndSec,""" +
+        s""""budget_scale":$scale,"n_light":$nLight,"n_heavy":$nHeavy,""" +
+        s""""budget_light_rate":$lightRate,"budget_heavy_rate":$heavyRate,""" +
+        s""""budget_total_unscaled":$totalBudgetUnscaled,"budget_total":$totalBudget,""" +
+        s""""per_query_budget":$perQueryBudget,"margin":$margin,""" +
+        s""""max_cell":"$maxName","max_sec":$maxSec,""" +
+        s""""n_violations":${violations.size},"sf":"$sfDir"}"""
+    println(summaryLine)
+    spark.stop()
     if (violations.nonEmpty) {
       System.err.println(f"BUDGET probe=$probeSec%.2fs scale=$scale%.2f")
       violations.foreach(v => System.err.println(s"BUDGET VIOLATION: $v"))

@@ -245,6 +245,106 @@ object Dev {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       }
       spark.stop()
+    // Composed production loop, steady state (SCALE.md, r19 ask #2):
+    // `Dev composedloop <nCorpus> <hops>` runs <hops> maintenance
+    // windows in which ALL the per-tier policies cycle together — the
+    // text chain-depth fold (maintainedRefresh, CompactDepth=3), the
+    // vector append-watermark compaction (maintainAppend, watermark 3)
+    // and the recall-drift republish gate — each window driven by the
+    // hop's REAL selection delta (the p09 window, looped). Expected
+    // shape: both watermarks cycle on their own cadences (fold every
+    // other hop once the chain saturates, compact every 3rd non-empty
+    // entrant wave), the drift gate stays quiet on same-distribution
+    // entrants, and refresh bytes stay batch-scale at every hop.
+    case Some("composedloop") =>
+      val n = args(1).toLong; val hops = args(2).toInt
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val RP = graft.queries.RefreshPipeline
+      val AI = graft.operators.AnnIndex
+      val dir = Files.createTempDirectory(s"graft_cloop_${n}_").toString
+      val work = Files.createTempDirectory(s"graft_cloopw_${n}_").toString
+      try {
+        import org.apache.spark.sql.functions._
+        val corpus = spark.range(1, n + 1, 1, 32).selectExpr(
+          "id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), j -> concat('c', id, 'w', j))) AS text")
+        val batches = spark.range(1, hops * 10 + 1).selectExpr(
+          s"id + ${n} AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 60), " +
+            "j -> if(j = 2, 'the', concat('b', id, 'w', j)))) AS text")
+        corpus.unionByName(batches)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        // deterministic same-distribution embeddings for every doc id —
+        // the drift gate must stay quiet on an honest loop
+        spark.range(1, n + hops * 10 + 1, 1, 32).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), j -> cast(sin(id * j) as float)) AS embedding")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val em = graft.sources.Tables.embeddings(spark, dir)
+        def selOf(g: String) =
+          spark.read.parquet(s"$g/selection").select(col("doc_id"))
+        RP.publish(spark, docs.filter(col("doc_id") <= n), s"$work/g0")
+        val ix = s"$work/index"
+        AI.write(em.join(selOf(s"$work/g0").withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", ix, nList = 8, m = 4, codes = 16, iters = 2)
+        var chain: Seq[String] = Seq(s"$work/g0")
+        def dropBlocks(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+        }
+        (1 to hops).foreach { h =>
+          dropBlocks()
+          val depthIn = chain.size
+          val prevHead = chain.head
+          val t0 = System.nanoTime()
+          val (_, _, shw) = org.apache.spark.graft.ShuffleMeter
+            .measure(spark.sparkContext) {
+              // text tier: the policy-governed maintaining refresh
+              chain = RP.maintainedRefresh(spark, chain,
+                docs.filter(col("doc_id") > n + (h - 1) * 10L &&
+                  col("doc_id") <= n + h * 10L),
+                s"$work/g$h", threshold = n + (h - 1) * 10L,
+                newThreshold = n + h * 10L)
+              // vector tier: the hop's real delta through the append
+              // watermark + tombstone
+              val selPrev = selOf(prevHead)
+              val selNew = selOf(chain.head)
+              val entrants = selNew.join(selPrev, Seq("doc_id"), "left_anti")
+              val evictees = selPrev.join(selNew, Seq("doc_id"), "left_anti")
+              val counter = AI.maintainAppend(
+                em.join(broadcast(entrants.withColumnRenamed("doc_id", "vec_id")),
+                  Seq("vec_id"), "left_semi"),
+                "vec_id", "embedding", ix, appendsWatermark = 3)
+              AI.tombstone(spark, ix, evictees.withColumnRenamed("doc_id", "vec_id"))
+              // drift gate: bounded production-config probe
+              val vecCorpus = em.join(
+                broadcast(selNew.withColumnRenamed("doc_id", "vec_id")),
+                Seq("vec_id"), "left_semi")
+              val recall = AI.recallProbe(spark, ix,
+                  vecCorpus.orderBy(col("vec_id")).limit(16), vecCorpus,
+                  "vec_id", "embedding", k = 1, nProbe = 4, shortlist = 8)
+                .agg(avg(col("rappel"))).collect()(0).getDouble(0)
+              val alarm = recall < 0.05
+              if (alarm)
+                AI.republish(vecCorpus.select(col("vec_id"), col("embedding")),
+                  "vec_id", "embedding", ix, nList = 8, m = 4, codes = 16, iters = 2)
+              val folded = chain.size < depthIn + 1
+              println(f"[composedloop] hop=$h layers_in=$depthIn " +
+                f"layers_out=${chain.size} folded=$folded vec_counter=$counter " +
+                f"compacted=${counter == 0} recall=$recall%.3f alarm=$alarm " +
+                f"version=${AI.version(spark, ix)}")
+            }
+          println(f"[composedloop] hop=$h sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+            f"shw=${shw / 1e6}%.2f MB")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+      }
+      spark.stop()
     // Scratch probe: does DPP fire on the ANN serve join shape
     // (partitioned scan ⋈ broadcast probe side on the partition col)?
     case Some("dppprobe") =>

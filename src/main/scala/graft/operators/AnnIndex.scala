@@ -380,13 +380,36 @@ object AnnIndex {
     val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmpPath, true)
+    // the integral→string widening matches CANONICALLY-formatted string
+    // ids only (CAST(5 AS STRING) = '5'); against a store holding '05'
+    // or ' 5' the anti join would silently delete nothing — the exact
+    // silent-no-op class this contract exists to prevent (r19 ADVICE
+    // #5), and the try_cast guard below can't fire since long→string
+    // never nulls. Guard on the STORED side, inside the same rewrite
+    // scan the anti join pays anyway: any store id that try_casts to a
+    // bigint but does not round-trip back to itself is integrally-
+    // intended-but-non-canonical, so an integral eviction list cannot
+    // address it — fail loudly instead of no-op'ing. (Ids that are not
+    // numeric at all pass through: an integral list genuinely cannot
+    // mean them, so leaving them untouched is correct.)
+    val integralWidening = integral.contains(idField.dataType) &&
+      idType == org.apache.spark.sql.types.StringType
+    val storedGuarded = if (!integralWidening) stored else
+      stored.withColumn(idName,
+        when(col(idName).isNotNull &&
+            col(idName).try_cast("bigint").isNotNull &&
+            col(idName).try_cast("bigint").cast("string") =!= col(idName),
+          raise_error(concat(lit("tombstone: integral eviction ids cannot " +
+            "address a non-canonical string id in the store (would silently " +
+            "delete nothing): '"), col(idName), lit("'"))))
+          .otherwise(col(idName)))
     // the null and out-of-range guards ride the anti join's build side:
     // a NULL eviction id has no deletion semantics — silently dropping
     // it (the pre-r19 behavior) "deleted" fewer rows than the caller
     // sent, so it fails the job (Pack.tombstone's shared contract), and
     // a non-null id that try_casts to null (an out-of-range narrowing)
     // fails the same way instead of silently deleting nothing
-    stored.join(
+    storedGuarded.join(
         ids.select(col(idField.name).as("__src"))
           .select(when(col("__src").isNull,
               raise_error(lit("tombstone: eviction id list contains NULL — " +

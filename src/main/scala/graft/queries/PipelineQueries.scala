@@ -813,13 +813,37 @@ object PipelineQueries {
               .cast(DoubleType) / 100.0 - 0.5) * 0.02) + lit(4.0)).cast(FloatType))
           .as("embedding"))
 
-  /** Publish the pristine frozen store (load phase, untimed). */
+  /** Restore the live store to the pristine published generation and
+    * mark it so ([[e12Setup]]'s tail / the timed path's fallback). The
+    * `_REPLAY_PRISTINE` marker — written here, removed by [[e12]] the
+    * instant it starts mutating — is the restore discriminator: version
+    * alone can't tell a pristine store from a crash mid-append (both
+    * read version 1), and a double-append would duplicate serve rows.
+    */
+  private def e12Restore(spark: SparkSession, w: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$w/index"), true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$w/pristine"),
+      fs, new org.apache.hadoop.fs.Path(s"$w/index"), false, true, hconf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$w/index/_REPLAY_PRISTINE"), true)
+    out.close()
+  }
+
+  /** Publish the pristine frozen store, and leave the LIVE store
+    * restored to it (load phase, untimed — the replay copy is
+    * setup-class work: Bench's untimed setup call performs it, so the
+    * timed first run starts at the pre-transition state without paying
+    * the copy; a retry or warm re-run restores inside its own window,
+    * the conservative side of best-of-two).
+    */
   def e12Setup(spark: SparkSession, dir: String): Unit = synchronized {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-transition-cellpart-v2"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-transition-cellpart-v3"
     val w = e12WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -831,19 +855,23 @@ object PipelineQueries {
       new java.io.File(w).mkdirs()
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
+    // always leave the live store pristine-and-marked: the transition is
+    // one-way, so a store a previous run republished (or crashed
+    // mid-mutation — marker already removed) must be replayed
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/index/_REPLAY_PRISTINE")))
+      e12Restore(spark, w)
   }
 
   private def e12(spark: SparkSession, dir: String): DataFrame = {
-    e12Setup(spark, dir)
+    e12Setup(spark, dir) // restores the pristine store if a prior run transitioned it
     val w = e12WorkDir(dir)
     val ix = s"$w/index"
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
-    // replay from the pristine frozen store (see scaladoc above)
-    fs.delete(new org.apache.hadoop.fs.Path(ix), true)
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(s"$w/pristine"),
-      fs, new org.apache.hadoop.fs.Path(ix), false, true, hconf)
+    // consume the pristine marker BEFORE mutating: a crash anywhere past
+    // this line leaves the store marker-less, and the next run's setup
+    // replays it from the published copy (the restart-replay convention)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ix/_REPLAY_PRISTINE"), false)
     val em = Tables.embeddings(spark, dir)
     // two waves: enough for the planted-twin truth (each drifted src has
     // a near-twin copy) and the frozen-model collapse that fires the
@@ -851,6 +879,28 @@ object PipelineQueries {
     // fixture (SimilaritySpec keeps the four-wave version)
     val waves = (1 to 2).map(e12Wave(em, _)).reduce(_.unionByName(_))
     val union = em.select(col("vec_id"), col("embedding")).unionByName(waves)
+    val vecs = union.select(col("vec_id").as("neighbor_id"),
+      Vectors.toDouble(col("embedding")).as("v_c"))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the monitor's sample + ground truth are DATA-only (independent of
+    // the store), and the pre-probe model is append-INVARIANT (append
+    // encodes with the frozen model, touching codes/ only) — both
+    // overlap the append instead of serializing behind it. Each future
+    // materializes its own frames eagerly (disjoint from the append's),
+    // the refresh-loop concurrency convention.
+    val truthF = scala.concurrent.Future {
+      val q = e12Wave(em, 1).filter(pmod(col("vec_id"), lit(7L)) === 0)
+        .orderBy(col("vec_id")).limit(64).localCheckpoint(true)
+      val bt = Similarity
+        .bruteForceKnn(union, q, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      (q, bt)
+    }
+    val modelPreF = scala.concurrent.Future {
+      graft.operators.AnnIndex.readModel(spark, ix)
+    }
     // 1. the drifted arrivals land under the frozen model
     graft.operators.AnnIndex.append(waves, "vec_id", "embedding", ix)
     // 2. the monitor: production-config recall on a BOUNDED
@@ -859,14 +909,34 @@ object PipelineQueries {
     //    stays O(cap · corpus) at ANY corpus size: a monitor's sample
     //    is a fixed query budget, never a corpus fraction (an uncapped
     //    %7 sample measured 25.7 MB at the x10 fixture — sample·corpus
-    //    is corpus² in disguise)
-    def productionRecall(): Double = graft.operators.AnnIndex
-      .recallProbe(spark, ix,
-        e12Wave(em, 1).filter(pmod(col("vec_id"), lit(7L)) === 0)
-          .orderBy(col("vec_id")).limit(64), union,
-        "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 16)
-      .agg(avg(col("rappel"))).collect()(0).getDouble(0)
-    val alarmPre = productionRecall() < 0.8
+    //    is corpus² in disguise). The ground truth is computed ONCE for
+    //    the transition's two measurements — sample and corpus are
+    //    identical pre/post (a republish changes the MODEL, never the
+    //    data), so the second brute pass the r19 shape paid priced
+    //    nothing (r19 verdict ask #5); each probe still serves the
+    //    store at production config against its own generation's model.
+    val (probeQ, bruteTruth) = scala.concurrent.Await
+      .result(truthF, scala.concurrent.duration.Duration.Inf)
+    def productionRecall(
+        cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double = {
+      val served = Similarity
+        .pqKnnIvfCoded(
+          graft.operators.AnnIndex.codes(spark, ix)
+            .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")),
+          vecs, probeQ, "vec_id", "embedding", k = 1, cents, books,
+          nProbe = 8, shortlist = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      bruteTruth
+        .join(served.withColumn("touche", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_verite"),
+          coalesce(sum(col("touche")), lit(0L)).as("n_touches"))
+        .agg(avg(col("n_touches").cast("double") / col("n_verite").cast("double")))
+        .collect()(0).getDouble(0)
+    }
+    val (centsPre, booksPre) = scala.concurrent.Await
+      .result(modelPreF, scala.concurrent.duration.Duration.Inf)
+    val alarmPre = productionRecall(centsPre, booksPre) < 0.8
     // 3. the alarm DRIVES the republish — the composed decision, not a
     //    per-batch reflex
     val vBefore = graft.operators.AnnIndex.version(spark, ix)
@@ -874,14 +944,16 @@ object PipelineQueries {
       graft.operators.AnnIndex.republish(union, "vec_id", "embedding", ix,
         nList = 16, m = 8, codes = 16, iters = 3)
     val republished = graft.operators.AnnIndex.version(spark, ix) == vBefore + 1
-    // 4. the payoff: the same production-config probe clears the floor
-    val postOk = productionRecall() >= 0.8
-    // 5. exhaustive serve over the republished store ≡ brute (e10)
+    // 4. the payoff: the same production-config probe clears the floor —
+    //    ONE model read per store generation (the republish swapped a
+    //    new generation in; the exhaustive serve below reads the same
+    //    one, so the r19 shape's third readModel is gone)
     val (cents, books) = graft.operators.AnnIndex.readModel(spark, ix)
+    val postOk = productionRecall(cents, books) >= 0.8
+    // 5. exhaustive serve over the republished store ≡ brute (e10) —
+    //    same post-republish generation and model as the payoff probe
     val coded = graft.operators.AnnIndex.codes(spark, ix)
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-    val vecs = union.select(col("vec_id").as("neighbor_id"),
-      Vectors.toDouble(col("embedding")).as("v_c"))
     val serve = Similarity
       .pqKnnIvfCoded(coded, vecs,
         union.filter(col("vec_id") < 10 ||
@@ -1079,9 +1151,12 @@ object PipelineQueries {
   // verbatim, proving policy-compact ∘ append⁶ ∘ tombstone ≡
   // serve-identical. File-count reduction + row identity + the
   // watermark mechanics are pinned in SimilaritySpec/CompactSpec; the
-  // file-count row lives in SCALE.md. Re-runs converge: the wave
-  // appends missing-only, and a just-compacted store's counter is
-  // under the watermark, so the rewrite never repeats needlessly.
+  // file-count row lives in SCALE.md. Re-run parity: a converged store
+  // (counter 0 — the policy fired) is restored from the staged
+  // fragmented copy first, so every run re-times the SAME
+  // watermark-crossing append + compaction (never serve-only; r19
+  // ADVICE #2 — a converged retry must not excuse a compaction
+  // regression under best-of-two).
   // ---------------------------------------------------------------------
   private def e13WorkDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_e13_${Integer.toHexString(dir.hashCode)}"
@@ -1111,7 +1186,7 @@ object PipelineQueries {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.getFileStatus(srcPath)
     val fingerprint =
-      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-cellpart-v3"
+      s"embeddings:${src.getLen}:${src.getModificationTime}:ivfpq-n16-m8-c16-i3-policy6-cellpart-v4-staged"
     val w = e13WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -1128,6 +1203,20 @@ object PipelineQueries {
           appendsWatermark = e13Watermark)
         assert(n == wave + 1, s"policy must not fire under the watermark (got $n)")
       }
+      // stage the fragmented pre-watermark state beside the live store:
+      // the timed query's maintenance is CONVERGENT (the sixth wave
+      // appends and the policy compacts exactly once), so a re-run —
+      // the per-cell budget retry, or a second Bench pass on a warm
+      // workdir — would find the wave absorbed and time serve-only,
+      // and a best-of-two adjudication could excuse a genuine
+      // compaction regression with that cheap converged time (r19
+      // ADVICE #2). The staged copy lets every run REPLAY the gated
+      // work from the same pre-watermark state (e12's pristine-store
+      // restart-replay convention).
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$w/index"),
+        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
+        false, true, spark.sparkContext.hadoopConfiguration)
       new java.io.File(w).mkdirs()
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
@@ -1137,6 +1226,20 @@ object PipelineQueries {
     e13Setup(spark, dir)
     val w = e13WorkDir(dir)
     val em = Tables.embeddings(spark, dir)
+    // a converged store (the policy compacted: counter reset to 0; the
+    // fragmented setup state always carries counter = 5) means a prior
+    // run already absorbed the sixth wave — restore the staged
+    // fragmented copy so THIS run re-times the watermark-crossing
+    // append + compaction instead of serve-only (re-run parity; the
+    // first run after setup skips the copy entirely)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
+    if (graft.operators.AnnIndex.appendsSinceCompact(spark, s"$w/index") == 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$w/index"), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
+        fs, new org.apache.hadoop.fs.Path(s"$w/index"), false, true, hconf)
+    }
     // the maintenance, timed: the watermark-crossing wave through the
     // policy — append the missing entrants (re-runs converge), fire the
     // scheduled compaction, then prove the serve unchanged
@@ -4100,6 +4203,330 @@ object PipelineQueries {
     RefreshPipeline.runPolicy(spark, dir)
 
   // ---------------------------------------------------------------------
+  // p09 — THE COMPOSED PRODUCTION LOOP (r19 verdict ask #2): every
+  // maintenance policy the catalog gates per tier — the chain-depth
+  // fold (p08), the append-count index compaction (e13), the recall
+  // drift gate (s13/e12) — firing POLICY-DRIVEN inside ONE maintenance
+  // window, over ONE ingest batch's REAL survivor delta. p08 proves the
+  // text fold, e13 the vector compact, e12 the alarm→republish gate;
+  // nothing before this cell ran two policies in the same window, which
+  // is where policy-interaction bugs live (a fold relocating the text
+  // store that feeds the vector tier's delta mid-window).
+  //
+  // The deployment: the similarity-serving ANN store tracks the CLEANED
+  // CORPUS (every span/near-dup/decon survivor — the generation's stats
+  // store), while the budget selection picks the training subset — the
+  // production split of concerns (you search everything clean, you
+  // train on the best of it). The loop curates the EMBEDDING-COVERED id
+  // range (doc_id ≤ max vec_id), so every survivor has a vector and the
+  // tiers stay coupled: each hop's vector entrants ARE the text
+  // window's batch survivors, its evictees the docs the batch's screens
+  // retroactively evicted (a bridged near-dup cluster, a new
+  // benchmark's grams).
+  //
+  // The window (hop 4 of p09's own 4-hop policy chain):
+  //   TEXT  — maintainedRefresh runs the MAINTAINING fourth refresh and
+  //           the depth watermark fires compactGen mid-window (chain
+  //           [gen4,g3,g2-folded] hits CompactDepth=3 → one folded
+  //           layer). Maintenance-cadence work, staged in setup like
+  //           p08's own folds (the store-publish convention).
+  //   VECTOR (timed) — the hop's survivor delta (stats(gen4-folded) −
+  //           stats(g3), read THROUGH the policy's fold) drives the
+  //           index store: maintainAppend's fourth append crosses the
+  //           append watermark and fires the range-cluster compaction
+  //           (e13's policy); evictees tombstone out when the batch
+  //           evicted any.
+  //   GATE  (timed) — the s13 production-config recall probe runs as
+  //           the republish tripwire (floor 0.05: a healthy maintained
+  //           store clears it by construction; a fold/compact
+  //           interaction bug that corrupts codes craters recall, fires
+  //           the alarm, republishes — and the politique row's pinned
+  //           version then hash-mismatches), then the exhaustive serve.
+  //
+  // ONE oracle hash-gates all of it: the texte tier ≡ the one-shot
+  // curation over the covered range (the p06 equality, now with TWO
+  // policy folds in the history and the report read through the second
+  // fold's byte-copied store); the vecteur tier ≡ brute force over the
+  // final CLEANED corpus's embeddings (exhaustive config —
+  // model-independent); and the politique row pins the POLICY CONTRACT
+  // as literals — store version 1 (the tripwire stayed quiet), append
+  // counter 0 (the compact fired exactly at the watermark), chain depth
+  // 1 (the fold fired), alarm 0.0. An engine whose policies misfire
+  // emits different constants and the hash mismatches; one whose
+  // maintenance corrupts content fails the other two tiers.
+  //
+  // Re-run parity (the e13 staging convention): setup stages the
+  // fragmented pre-window vector store beside the live one; a run that
+  // finds the window already absorbed (counter ≠ staged, or the
+  // entrant wave already present — the crash half-state) restores the
+  // staged copy first, so every run re-times the same policy window.
+  // Scale shape: deltas are batch-scale (broadcast), the vector
+  // maintenance moves narrow code rows (the compact cost class), the
+  // probe is a bounded 32-query sample, and the text tier's read-back
+  // is budget-bounded store rows — the corpus crosses no exchange.
+  // ---------------------------------------------------------------------
+  private def p09WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_p09_${Integer.toHexString(dir.hashCode)}"
+
+  /** The vector store's append watermark: three maintaining hops land in
+    * setup (counters 1..3), the timed window's fourth append crosses.
+    */
+  private val p09VecWatermark = 4
+
+  /** A generation's cleaned-corpus membership: the survivor stats ids
+    * (span ∘ near-dup ∘ decon survivors — what the ANN store indexes).
+    */
+  private def p09StatsIds(spark: SparkSession, gen: String): DataFrame =
+    spark.read.parquet(s"$gen/stats").select(col("doc_id"))
+
+  /** Stage the production loop through hop 3 on BOTH tiers, then run
+    * hop 4's TEXT side (maintaining refresh + the policy fold) — the
+    * pre-window state the timed query's vector window applies its delta
+    * against. Load-phase setup (untimed, the store-publish convention).
+    */
+  def p09Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def st(f: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f"))
+    val d = st("documents.parquet"); val e = st("embeddings.parquet")
+    val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
+      s"${e.getLen}:${e.getModificationTime}:p09-composedloop-v2-stats"
+    val w = p09WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      fs.delete(new org.apache.hadoop.fs.Path(w), true)
+      val em = Tables.embeddings(spark, dir)
+      val emMax = em.agg(coalesce(max(col("vec_id")), lit(0L))).collect()(0).getLong(0)
+      // the loop's corpus: the embedding-covered id range (see header)
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") <= emMax)
+      val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L))).collect()(0).getLong(0)
+      def t(frac: Int) = frac.toLong * mx / 10L
+      // text tier gen-0 + vector store over its cleaned corpus (model
+      // frozen at gen-0 — the production contract; the drift gate
+      // decides retraining)
+      RefreshPipeline.publish(spark, docs.filter(col("doc_id") <= t(6)), s"$w/g0")
+      val ix = s"$w/index"
+      graft.operators.AnnIndex.write(
+        em.join(broadcast(p09StatsIds(spark, s"$w/g0")
+            .select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", ix, nList = 16, m = 8, codes = 16, iters = 3)
+      // hops 1..3: the composed window, looped — policy-governed text
+      // refresh, then the hop's survivor delta through the vector store
+      var chain: Seq[String] = Seq(s"$w/g0")
+      (1 to 3).foreach { h =>
+        val prevHead = chain.head
+        chain = RefreshPipeline.maintainedRefresh(spark, chain,
+          docs.filter(col("doc_id") > t(5 + h) && col("doc_id") <= t(6 + h)),
+          s"$w/g$h", threshold = t(5 + h), newThreshold = t(6 + h))
+        val prev = p09StatsIds(spark, prevHead)
+        val cur = p09StatsIds(spark, chain.head)
+        val entrants = cur.join(prev, Seq("doc_id"), "left_anti")
+        val evictees = prev.join(cur, Seq("doc_id"), "left_anti")
+        val n = graft.operators.AnnIndex.maintainAppend(
+          em.join(broadcast(entrants.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", ix, appendsWatermark = p09VecWatermark)
+        assert(n == h, s"p09 setup: hop $h left the append counter at $n — " +
+          "an empty survivor wave (the policy must not fire under the watermark)")
+        if (!evictees.isEmpty)
+          graft.operators.AnnIndex.tombstone(spark, ix,
+            evictees.select(col("doc_id").as("vec_id")))
+      }
+      // hop 4's TEXT tier: the maintaining refresh whose chain crosses
+      // the depth watermark — the fold fires HERE, relocating every
+      // text store the timed vector window reads its delta from
+      val t3 = t(9)
+      val finalChain = RefreshPipeline.maintainedRefresh(spark, chain,
+        docs.filter(col("doc_id") > t3), s"$w/gen4",
+        threshold = t3, newThreshold = mx)
+      assert(finalChain.length == 1,
+        s"p09 setup: the depth watermark must fold hop 4's chain (got $finalChain)")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_FINAL_LAYER"),
+        finalChain.head.getBytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_PREV_HEAD"),
+        chain.head.getBytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_T3"),
+        t3.toString.getBytes)
+      // stage the fragmented pre-window vector store (counter 3) for
+      // re-run parity — the e13 convention
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(ix),
+        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"), false, true, hconf)
+      new java.io.File(w).mkdirs()
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def p09(spark: SparkSession, dir: String): DataFrame = {
+    p09Setup(spark, dir)
+    val w = p09WorkDir(dir)
+    val ix = s"$w/index"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
+    def readFile(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$w/$f"))).trim
+    val finalLayer = readFile("_FINAL_LAYER")
+    val prevHead = readFile("_PREV_HEAD")
+    val t3 = readFile("_T3").toLong
+    val em = Tables.embeddings(spark, dir)
+    // the window's delta, read THROUGH the policy's fold — the
+    // text-fold → vector-tier handoff under test
+    val statsPrev = p09StatsIds(spark, prevHead)
+    val statsNew = p09StatsIds(spark, finalLayer)
+    val entrants = statsNew.join(statsPrev, Seq("doc_id"), "left_anti")
+    val evictees = statsPrev.join(statsNew, Seq("doc_id"), "left_anti")
+    val entrantEm = em.join(broadcast(entrants.select(col("doc_id").as("vec_id"))),
+      Seq("vec_id"), "left_semi")
+    // re-run parity: restore the staged pre-window store unless it is
+    // exactly the pre-window state (counter 3 AND the entrant wave not
+    // yet absorbed — a crash between append and compact leaves counter
+    // 3 with the wave present, which must also replay)
+    val staged = p09VecWatermark - 1
+    val needRestore =
+      graft.operators.AnnIndex.appendsSinceCompact(spark, ix) != staged || {
+        val stored = graft.operators.AnnIndex.codes(spark, ix)
+        entrantEm
+          .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .isEmpty
+      }
+    if (needRestore) {
+      fs.delete(new org.apache.hadoop.fs.Path(ix), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
+        fs, new org.apache.hadoop.fs.Path(ix), false, true, hconf)
+    }
+    // ---- the vector window, policy-driven: the fourth append crosses
+    // the watermark and fires the compaction; evictees leave when the
+    // batch's screens evicted any (an empty eviction list is the
+    // common steady-state window — no rewrite then)
+    val counterAfter = graft.operators.AnnIndex.maintainAppend(
+      entrantEm, "vec_id", "embedding", ix, appendsWatermark = p09VecWatermark)
+    if (!evictees.isEmpty)
+      graft.operators.AnnIndex.tombstone(spark, ix,
+        evictees.select(col("doc_id").as("vec_id")))
+    // ---- the drift gate: production-config recall on a bounded
+    // deterministic sample of the maintained store, the republish
+    // tripwire (s13's machinery; e12 gates the ALARMED transition —
+    // here the healthy steady state is the pinned outcome)
+    val vecCorpus = em.join(broadcast(statsNew.select(col("doc_id").as("vec_id"))),
+      Seq("vec_id"), "left_semi")
+    val probeQ = vecCorpus.orderBy(col("vec_id")).limit(32)
+    val recall = graft.operators.AnnIndex
+      .recallProbe(spark, ix, probeQ, vecCorpus, "vec_id", "embedding",
+        k = 1, nProbe = 8, shortlist = 16)
+      .agg(avg(col("rappel"))).collect()(0).getDouble(0)
+    val alarm = recall < 0.05
+    if (alarm)
+      graft.operators.AnnIndex.republish(
+        vecCorpus.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", ix, nList = 16, m = 8, codes = 16, iters = 3)
+    val version = graft.operators.AnnIndex.version(spark, ix)
+    // ---- exhaustive serve ≡ brute over the final cleaned corpus (the
+    // p07 vector-tier gate: nProbe = nList, unbounded shortlist);
+    // queries = fixed base ids ∪ a deterministic %7 thinning of the
+    // final batch's survivors
+    val (cents, books) = graft.operators.AnnIndex.readModel(spark, ix)
+    val coded = graft.operators.AnnIndex.codes(spark, ix)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val vecs = vecCorpus.select(col("vec_id").as("neighbor_id"),
+      Vectors.toDouble(col("embedding")).as("v_c"))
+    val queries = em.filter(col("vec_id") < 10)
+      .unionByName(em.join(broadcast(statsNew
+        .filter(col("doc_id") > t3 && pmod(col("doc_id"), lit(7L)) === 0)
+        .select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_semi"))
+    val serve = Similarity.pqKnnIvfCoded(coded, vecs, queries,
+      "vec_id", "embedding", k = 5, cents, books,
+      nProbe = 16, shortlist = Int.MaxValue)
+    // ---- texte tier: the budget selection + fingerprints read back
+    // through the FOLDED layer's byte-copied store (the p06 gate
+    // columns — an over- or under-fold surfaces here)
+    val texte = spark.read.parquet(s"$finalLayer/selection")
+      .join(RefreshPipeline.storePerDoc(spark, s"$finalLayer/store"), Seq("doc_id"))
+      .select(col("doc_id"), col("statut"),
+        md5(concat_ws(" ", col("toks"))).as("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"))
+    // ---- the composed report (sentinel-filled, the p07 convention);
+    // the politique row pins the policy contract as constants
+    val bN = lit(-1L); val bD = lit(-1.0); val bS = lit("")
+    val rTexte = texte.select(
+      lit("texte").as("tier"), col("doc_id"), col("statut"), col("empreinte"),
+      col("qualite"), col("n_jetons"), col("jetons_cumules"),
+      bN.as("rang"), bN.as("voisin"), bD.as("cosinus"))
+    val rVec = serve.select(
+      lit("vecteur").as("tier"), col("query_id").as("doc_id"), bS.as("statut"),
+      bS.as("empreinte"), bD.as("qualite"), bN.as("n_jetons"), bN.as("jetons_cumules"),
+      col("rank").cast("long").as("rang"), col("neighbor_id").as("voisin"),
+      col("cosine").as("cosinus"))
+    import spark.implicits._
+    val rPol = Seq((
+      "politique", -1L, "", "",
+      if (alarm) 1.0 else 0.0, // the tripwire stayed quiet
+      1L, // chain depth after the window's fold
+      -1L,
+      version, // no republish: the store still serves generation 1
+      counterAfter.toLong, // the compact fired exactly at the watermark
+      -1.0
+    )).toDF("tier", "doc_id", "statut", "empreinte", "qualite", "n_jetons",
+      "jetons_cumules", "rang", "voisin", "cosinus")
+      .select(col("tier"), col("doc_id"), col("statut"), col("empreinte"),
+        col("qualite"), col("n_jetons"), col("jetons_cumules"),
+        col("rang"), col("voisin"), col("cosinus"))
+    rTexte.unionByName(rVec).unionByName(rPol)
+  }
+
+  /** p09's oracle: the one-shot curation chain over the
+    * embedding-covered id range (the p06 equality, now across two
+    * policy folds), the brute-force vector tier over the final CLEANED
+    * corpus (`cln` — the ANN store's membership), and the policy
+    * contract as a literal row — version 1, counter 0, depth 1, alarm 0.
+    */
+  private val p09Sql = curationChainSql(decon = true,
+    srcSql = "(SELECT * FROM documents " +
+      "WHERE doc_id <= (SELECT max(vec_id) FROM embeddings))") +
+    s"""
+       |, t2v AS (SELECT (9 * max(doc_id)) // 10 AS t FROM documents
+       |          WHERE doc_id <= (SELECT max(vec_id) FROM embeddings))
+       |, vcorpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings JOIN cln ON vec_id = cln.doc_id
+       |), vq AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings JOIN cln ON vec_id = cln.doc_id
+       |  WHERE vec_id > (SELECT t FROM t2v) AND vec_id % 7 = 0
+       |), vscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(q.v, c.v)
+       |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cosine
+       |  FROM vq q CROSS JOIN vcorpus c WHERE q.vec_id <> c.vec_id
+       |), vranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM vscored
+       |)
+       |SELECT 'texte' AS tier, sel.doc_id,
+       |  CASE WHEN sel.doc_id <= (SELECT t FROM t2v) THEN 'conserve' ELSE 'entrant'
+       |       END AS statut,
+       |  md5(cln.texte) AS empreinte, sel.qualite, sel.n_jetons,
+       |  CAST(sel.jc AS BIGINT) AS jetons_cumules,
+       |  CAST(-1 AS BIGINT) AS rang, CAST(-1 AS BIGINT) AS voisin,
+       |  CAST(-1 AS DOUBLE) AS cosinus
+       |FROM sel JOIN cln USING (doc_id)
+       |UNION ALL
+       |SELECT 'vecteur', query_id, '', '', CAST(-1 AS DOUBLE), CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(rank AS BIGINT), neighbor_id, cosine
+       |FROM vranked WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'politique', CAST(-1 AS BIGINT), '', '', CAST(0.0 AS DOUBLE),
+       |  CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(-1 AS DOUBLE)
+       |ORDER BY tier, doc_id, rang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // p07 — ONE REFRESH, THREE TIERS: the composed maintenance transaction
   // a production refresh actually is. One batch's selection delta (the
   // gen-1 → gen-2 re-selection p06 gates) drives, in a single run,
@@ -4416,8 +4843,11 @@ object PipelineQueries {
     * `documents` tokenization through the budget selection `sel` (no
     * trailing SELECT), so composed oracles (p07's three-tier refresh)
     * can reuse the selection and append their own tier subqueries.
+    * `srcSql` swaps the source relation (p09 curates the
+    * embedding-covered id range, so its vector tier always has a
+    * vector for every survivor).
     */
-  private def curationChainSql(decon: Boolean): String = {
+  private def curationChainSql(decon: Boolean, srcSql: String = "documents"): String = {
     val gram5 = (rel: String, guard: String) =>
       s"""SELECT doc_id, unnest(CASE WHEN len(a) < 5 THEN CAST([] AS VARCHAR[])
          |      ELSE list_distinct(list_transform(range(1, len(a) - 3),
@@ -4441,7 +4871,7 @@ object PipelineQueries {
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS a
-       |  FROM documents
+       |  FROM $srcSql
        |), tv0 AS (
        |  SELECT doc_id, i, a[i] AS t
        |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM arr)
@@ -5006,6 +5436,7 @@ object PipelineQueries {
     Q("p06_incremental_refresh", "CHAINED incremental corpus refresh: gen-0 publish → maintaining batch-1 refresh → gen-1 (setup), timed batch-2 refresh against gen-1's stores — gate ≡ one-shot rebuild over corpus ∪ b1 ∪ b2 (refresh ∘ refresh ≡ one-shot), fingerprints read back through the gen-2 store", p06, Some(p06Sql), heavy = true),
     Q("p07_threetier_refresh", "ONE refresh, THREE tiers: the gen-1→gen-2 selection delta drives text-store read-back, frozen-model ANN append+tombstone+exhaustive serve, and interleaved media-store mask+append+finalize in a single run — one oracle gates all three against the one-shot selection", p07, Some(p07Sql), heavy = true),
     Q("p08_compaction_policy", "the compaction TRIGGER policy in the refresh loop: three policy-governed maintaining hops (depth watermark fires the compactGen fold mid-chain), timed fourth refresh against the policy's chain ≡ the p06 one-shot oracle — refresh ∘ fold(policy) ∘ refresh³ ≡ one-shot", p08, Some(p06Sql), heavy = true),
+    Q("p09_composed_loop", "THE COMPOSED PRODUCTION LOOP: one maintenance window in which the text chain-depth fold (p08), the vector append-watermark compaction (e13) and the recall-drift republish gate (s13/e12) all fire policy-driven over one real selection delta — texte ≡ one-shot curation, vecteur ≡ brute over the final selection, and a politique row pins version/counter/depth/alarm as the policy contract", p09, Some(p09Sql), heavy = true),
     Q("s06_stream_ingest_dedup", "streaming ingestion screen == one-shot d14 (§2.9)", s06, Some(d14Sql), heavy = true),
     Q("s15_stream_decon", "streaming decontamination screen: arriving batches vs the published eval-gram store == one-shot d16 (§2.9)", s15, Some(d16Sql), heavy = true),
     Q("s16_stream_classify", "streaming classifier screen: per-batch pure-map scoring with the published hashed-NB weights == one-shot d24 (§2.9)", s16, Some(d24Sql), heavy = true),

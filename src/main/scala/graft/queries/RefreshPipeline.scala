@@ -393,6 +393,7 @@ private[graft] object RefreshPipeline {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$work/_CHAIN"))).trim.split("\n").toSeq
 
+
   /** Publish gen-0 over doc_id ≤ ⌊6·max/10⌋, then run THREE policy-
     * governed maintaining hops (batches to 7/10, 8/10, 9/10 of max).
     * With CompactDepth = 3 the chain runs g0 → [g1,g0] → fold([g2,g1,g0])

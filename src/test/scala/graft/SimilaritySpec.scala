@@ -536,6 +536,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.maintainAppend crash window: a lost counter marker (crash between " +
+      "append and marker write) under-counts by one — the fold fires one window LATE, " +
+      "the store serves every appended row throughout, and the counter converges") {
+    val em = Tables.embeddings(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_anncrash_").toString
+    val ix = s"$base/ix"
+    def ids(): Set[Long] = graft.operators.AnnIndex.codes(spark, ix)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def rows(): Map[Long, (Int, Seq[Int])] = graft.operators.AnnIndex.codes(spark, ix)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    try {
+      graft.operators.AnnIndex.write(em, "vec_id", "embedding", ix,
+        nList = 16, m = 8, codes = 16, iters = 3)
+      val wave = (k: Int) => em.filter(col("vec_id") % 4 === k)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val waveIds = (k: Int) => wave(k).collect().map(_.getLong(0)).toSet
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(0), "vec_id", "embedding", ix, appendsWatermark = 3) == 1)
+      // CRASH: the append lands, the marker write never happens —
+      // AnnIndex.append is the exact half the maintainAppend scaladoc's
+      // crash window leaves behind (store: 2 appends, marker: 1)
+      graft.operators.AnnIndex.append(wave(1), "vec_id", "embedding", ix)
+      assert(graft.operators.AnnIndex.appendsSinceCompact(spark, ix) == 1,
+        "the crashed append must not have advanced the marker")
+      assert(ids().intersect(waveIds(1)) == waveIds(1),
+        "the crashed append's rows are in the store (append is atomic per batch)")
+      // next window: WITHOUT the crash this would be append #3 and the
+      // fold would fire; the lost marker defers it exactly one window
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(2), "vec_id", "embedding", ix, appendsWatermark = 3) == 2,
+        "the under-count must defer the fold one window, not fire it")
+      val preFold = rows()
+      assert(preFold.keySet.intersect(waveIds(2)) == waveIds(2),
+        "the deferred window's rows still land")
+      // one window later the fold fires and the counter converges to 0
+      assert(graft.operators.AnnIndex.maintainAppend(
+        wave(3), "vec_id", "embedding", ix, appendsWatermark = 3) == 0,
+        "the fold fires one window late and resets the counter")
+      assert(graft.operators.AnnIndex.appendsSinceCompact(spark, ix) == 0)
+      val postFold = rows()
+      // content through the whole crash-and-recover history: every wave
+      // exactly once (no duplicate ids — the append-missing discipline
+      // is the CALLER's, but the crash itself must not duplicate), rows
+      // bit-identical through the late fold
+      assert(postFold.keySet == preFold.keySet ++ waveIds(3),
+        "crash + deferred fold must lose and duplicate nothing")
+      assert(preFold.forall { case (id, row) => postFold(id) == row },
+        "pre-fold rows must survive the late fold bit-identical")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("AnnIndex.tombstone id typing: integral ids address a STRING-id store " +
       "(value-preserving cast), incompatible types still fail at the contract") {
     val base = java.nio.file.Files.createTempDirectory("graft_anntombstr_").toString
@@ -560,6 +613,21 @@ class SimilaritySpec extends SparkSpec {
         graft.operators.AnnIndex.tombstone(spark, ix, Seq(1.5).toDF("id"))
       }
       assert(e.getMessage.contains("incompatible"))
+      // and a store whose string ids are integrally-intended but
+      // NON-CANONICAL ('06' ≠ CAST(6 AS STRING)) must fail LOUDLY under
+      // an integral eviction list instead of silently deleting nothing
+      // (r19 ADVICE #5 — the widened cast can never match '06')
+      val ix2 = s"$base/ix2"
+      graft.operators.AnnIndex.write(
+        Seq(("06", Seq(1.0f, 0.0f)), ("7", Seq(0.0f, 1.0f)))
+          .toDF("doc_key", "embedding"),
+        "doc_key", "embedding", ix2, nList = 2, m = 2, codes = 2, iters = 1)
+      val e2 = intercept[Exception] {
+        graft.operators.AnnIndex.tombstone(spark, ix2, Seq(6L).toDF("id"))
+      }
+      assert(e2.getMessage.contains("non-canonical") ||
+        Option(e2.getCause).exists(_.getMessage.contains("non-canonical")),
+        s"non-canonical store ids must fail the widened tombstone, got: $e2")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }

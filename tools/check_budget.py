@@ -8,6 +8,14 @@ Exit 0 when every query is within the per-query budget and the catalog
 total is within the total budget; exit 1 otherwise, listing offenders.
 Negative times mean the query FAILED in Bench (always a violation).
 
+Accepted inputs (r20): a raw Bench line, a driver BENCH_r{N}.json
+wrapper ({"raw": <stdout tail>, "parsed": ...}), or a tail whose long
+per-query map was truncated away — Bench prints a compact
+self-adjudicating SUMMARY line last ({"metric":"summary",...}) carrying
+totals, probes, scale, per-class budget, margin and violation counts,
+and this tool adjudicates from it when the full map is gone (per-query
+names then come from the summary's "slow"/"failed" lists).
+
 Defaults come FROM THE BENCH JSON itself (r19): a Bench line carries
 "budget_scale" and the per-class "budget_total" (scaled), so the
 round-end command is just `check_budget.py BENCH.json --margin 0.10`.
@@ -15,6 +23,15 @@ Explicit --per-query/--total (UNSCALED; they are multiplied by the
 line's budget_scale) override — and are the only way to check an old
 line that predates the self-describing fields (then per-query defaults
 to 6 and total to nQueries*95/90, the pre-r19 flat model).
+
+Independent anchors (r19 ADVICE #4 — the line under test must not be
+the only source of its own thresholds): budget_total_unscaled is
+RECOMPUTED from n_light/n_heavy at the line's per-class rates and the
+check fails on a mismatch; the rates themselves are compared against
+the repo defaults (0.85/2.5) with a warning when env-overridden; and a
+budget_scale above the 2.0 sanity ceiling is flagged loudly (warning,
+not failure — genuinely contended boxes have measured >3x — but a
+self-loosened line is now visible instead of rubber-stamped).
 
 --bytes-vs PREV.json: the mechanical TOTAL-violation adjudication the
 r16 review did by hand — diff shuffle_write_bytes per cell against a
@@ -34,6 +51,45 @@ import argparse
 import json
 import sys
 
+DEFAULT_LIGHT_RATE = 0.85
+DEFAULT_HEAVY_RATE = 2.5
+SCALE_CEILING = 2.0
+
+
+def extract_lines(path):
+    """Return (full_line_dict_or_None, summary_dict_or_None) from a raw
+    Bench line, a driver wrapper, or a truncated stdout tail."""
+    with open(path) as f:
+        try:
+            doc = json.load(f)
+        except json.JSONDecodeError:
+            f.seek(0)
+            doc = {"raw": f.read()}
+    full, summary = None, None
+
+    def classify(obj):
+        nonlocal full, summary
+        if not isinstance(obj, dict):
+            return
+        if obj.get("metric") == "summary":
+            summary = obj
+        elif "queries" in obj:
+            full = obj
+
+    classify(doc)
+    if isinstance(doc, dict):
+        classify(doc.get("parsed"))
+        raw = doc.get("raw")
+        if isinstance(raw, str):
+            for line in raw.splitlines():
+                line = line.strip()
+                if line.startswith("{") and line.endswith("}"):
+                    try:
+                        classify(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    return full, summary
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -50,76 +106,124 @@ def main() -> int:
                     help="required TOTAL headroom fraction, e.g. 0.10")
     args = ap.parse_args()
 
-    with open(args.bench_json) as f:
-        bench = json.load(f)
-    if "queries" not in bench and isinstance(bench.get("parsed"), dict):
-        bench = bench["parsed"]  # a driver BENCH_r{N}.json wrapper
-    if "queries" not in bench:
-        print(f"{args.bench_json}: no per-query map (driver tail truncated?) — "
+    full, summary = extract_lines(args.bench_json)
+    bench = full if full is not None else summary
+    if bench is None:
+        print(f"{args.bench_json}: neither a per-query map nor a summary line found — "
               "check BENCH_LOCAL.json instead")
         return 1
+    from_summary = full is None
+    if from_summary:
+        print(f"{args.bench_json}: per-query map truncated — adjudicating from "
+              "the summary line (per-query status from its slow/failed lists)")
 
-    queries = bench["queries"]
+    bad = []
+    warn = []
     scale = bench.get("budget_scale", 1.0)
     per_query = (args.per_query if args.per_query is not None else 6.0) * scale
     if args.total is not None:
         total_budget = args.total * scale
     elif "budget_total" in bench:
         total_budget = bench["budget_total"]  # already scaled by Bench
+        # independent cross-check: re-derive the per-class total from the
+        # line's class mix — a line whose self-declared budget does not
+        # equal its own inputs is corrupt or tampered (fail), and rates
+        # that differ from the repo defaults mean an env override (warn)
+        if all(k in bench for k in
+               ("n_light", "n_heavy", "budget_light_rate", "budget_heavy_rate",
+                "budget_total_unscaled")):
+            lr, hr = bench["budget_light_rate"], bench["budget_heavy_rate"]
+            recomputed = bench["n_light"] * lr + bench["n_heavy"] * hr
+            if abs(recomputed - bench["budget_total_unscaled"]) > 1e-6:
+                bad.append(f"BUDGETX budget_total_unscaled="
+                           f"{bench['budget_total_unscaled']} != recomputed "
+                           f"{recomputed} from n_light/n_heavy x rates")
+            if abs(recomputed * scale - total_budget) > 1e-6:
+                bad.append(f"BUDGETX budget_total={total_budget} != "
+                           f"budget_total_unscaled x budget_scale = {recomputed * scale}")
+            if (lr, hr) != (DEFAULT_LIGHT_RATE, DEFAULT_HEAVY_RATE):
+                warn.append(f"RATES   env-overridden per-class rates "
+                            f"light={lr} heavy={hr} (defaults "
+                            f"{DEFAULT_LIGHT_RATE}/{DEFAULT_HEAVY_RATE})")
     else:
-        total_budget = len(bench["queries"]) * 95.0 / 90.0 * scale
-    bad = []
-    for name, sec in sorted(queries.items()):
-        if sec < 0:
+        n = bench.get("n_queries", len(bench.get("queries", {})))
+        total_budget = n * 95.0 / 90.0 * scale
+    if scale > SCALE_CEILING:
+        warn.append(f"SCALE   budget_scale={scale:.2f} > sanity ceiling "
+                    f"{SCALE_CEILING} — heavily contended box or a probe-path "
+                    "bug; verify the probe points before trusting this line")
+
+    if from_summary:
+        total = bench["value"]
+        n_queries = bench.get("n_queries", -1)
+        max_sec = bench.get("max_sec", float("nan"))
+        for name in bench.get("failed", []):
             bad.append(f"FAILED  {name}")
-        elif sec > per_query:
-            bad.append(f"SLOW    {name}: {sec:.2f}s > {per_query:.1f}s")
-    total = sum(s for s in queries.values() if s > 0)
-    if total > total_budget:
-        bad.append(f"TOTAL   {total:.1f}s > {total_budget:.1f}s")
+        for name in bench.get("slow", []):
+            bad.append(f"SLOW    {name} (summary; seconds in BENCH_LOCAL.json)")
+        if total > total_budget:
+            bad.append(f"TOTAL   {total:.1f}s > {total_budget:.1f}s")
+    else:
+        queries = bench["queries"]
+        n_queries = len(queries)
+        max_sec = max(queries.values())
+        for name, sec in sorted(queries.items()):
+            if sec < 0:
+                bad.append(f"FAILED  {name}")
+            elif sec > per_query:
+                bad.append(f"SLOW    {name}: {sec:.2f}s > {per_query:.1f}s")
+        total = sum(s for s in queries.values() if s > 0)
+        if total > total_budget:
+            bad.append(f"TOTAL   {total:.1f}s > {total_budget:.1f}s")
 
     margin = (total_budget - total) / total_budget
-    print(f"queries={len(queries)} total={total:.1f}s "
-          f"max={max(queries.values()):.2f}s scale={scale:.2f} "
+    print(f"queries={n_queries} total={total:.1f}s "
+          f"max={max_sec:.2f}s scale={scale:.2f} "
           f"budget: per-query<={per_query:.1f}s "
           f"total<={total_budget:.1f}s margin={margin:+.1%}")
     if args.margin is not None and margin < args.margin:
         bad.append(f"MARGIN  {margin:+.1%} < required {args.margin:.0%}")
 
     if args.bytes_vs:
-        with open(args.bytes_vs) as f:
-            prev = json.load(f)
+        prev_full, _ = extract_lines(args.bytes_vs)
+        prev = prev_full if prev_full is not None else {}
         cur_b = bench.get("shuffle_write_bytes", {})
         prev_b = prev.get("shuffle_write_bytes", {})
-        common = sorted(set(cur_b) & set(prev_b))
-        added = sorted(set(cur_b) - set(prev_b))
-        removed = sorted(set(prev_b) - set(cur_b))
-        drift = []
-        identical = 0
-        for name in common:
-            a, b = prev_b[name], cur_b[name]
-            if a == b:
-                identical += 1
-                continue
-            rel = abs(b - a) / max(a, b, 1)
-            if rel > args.bytes_tol:
-                drift.append(f"BYTES   {name}: {a} -> {b} ({rel:+.1%})")
-        print(f"bytes-vs {args.bytes_vs}: {len(common)} common cells, "
-              f"{identical} byte-IDENTICAL, {len(drift)} drifted >"
-              f"{args.bytes_tol:.0%}, {len(added)} added, {len(removed)} removed")
-        for line in drift:
-            print(line)
-        if added:
-            print("added:   " + " ".join(added))
-        if removed:
-            print("removed: " + " ".join(removed))
-        if bad and not drift:
-            print("ADJUDICATION: budget violation with zero byte drift on common "
-                  "cells — probe-mistracking class (r16 convention), not a "
-                  "code regression. Re-run on a quiet box before concluding.")
-        # drift alone never fails the check: deliberate redesigns move bytes
-        # and are adjudicated in the round notes, not by this tool
+        if not cur_b or not prev_b:
+            print(f"bytes-vs {args.bytes_vs}: shuffle_write_bytes map missing on "
+                  "one side (truncated tail?) — byte adjudication skipped")
+        else:
+            common = sorted(set(cur_b) & set(prev_b))
+            added = sorted(set(cur_b) - set(prev_b))
+            removed = sorted(set(prev_b) - set(cur_b))
+            drift = []
+            identical = 0
+            for name in common:
+                a, b = prev_b[name], cur_b[name]
+                if a == b:
+                    identical += 1
+                    continue
+                rel = abs(b - a) / max(a, b, 1)
+                if rel > args.bytes_tol:
+                    drift.append(f"BYTES   {name}: {a} -> {b} ({rel:+.1%})")
+            print(f"bytes-vs {args.bytes_vs}: {len(common)} common cells, "
+                  f"{identical} byte-IDENTICAL, {len(drift)} drifted >"
+                  f"{args.bytes_tol:.0%}, {len(added)} added, {len(removed)} removed")
+            for line in drift:
+                print(line)
+            if added:
+                print("added:   " + " ".join(added))
+            if removed:
+                print("removed: " + " ".join(removed))
+            if bad and not drift:
+                print("ADJUDICATION: budget violation with zero byte drift on common "
+                      "cells — probe-mistracking class (r16 convention), not a "
+                      "code regression. Re-run on a quiet box before concluding.")
+            # drift alone never fails the check: deliberate redesigns move
+            # bytes and are adjudicated in the round notes, not by this tool
 
+    for line in warn:
+        print("WARNING " + line)
     if bad:
         print("\n".join(bad))
         return 1
