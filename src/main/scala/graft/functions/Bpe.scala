@@ -260,9 +260,9 @@ final class BpeCodec(val merges: Array[(String, String)]) extends Serializable {
     val h = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      // ' ' never occurs inside a piece (pieces come from text that
+      // NUL (\u0000) never occurs inside a piece (pieces come from text that
       // tokenized on whitespace); safe composite key
-      h.put(merges(i)._1 + " " + merges(i)._2, i); i += 1
+      h.put(merges(i)._1 + "\u0000" + merges(i)._2, i); i += 1
     }
     h
   }
@@ -285,7 +285,7 @@ final class BpeCodec(val merges: Array[(String, String)]) extends Serializable {
       var bestRank = Int.MaxValue
       var j = 0
       while (j < s.length - 1) {
-        val r = ranks.get(s(j) + " " + s(j + 1))
+        val r = ranks.get(s(j) + "\u0000" + s(j + 1))
         if (r != null && r < bestRank) bestRank = r
         j += 1
       }
