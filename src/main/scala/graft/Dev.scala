@@ -283,11 +283,15 @@ object Dev {
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val docs = graft.sources.Tables.documents(spark, dir)
         val em = graft.sources.Tables.embeddings(spark, dir)
-        def selOf(g: String) =
-          spark.read.parquet(s"$g/selection").select(col("doc_id"))
+        // the ANN store tracks the CLEANED corpus (the generation's
+        // stats ids — p09's membership convention), so every hop's
+        // entrant wave is the batch's survivors, nonempty by
+        // construction
+        def statsOf(g: String) =
+          spark.read.parquet(s"$g/stats").select(col("doc_id"))
         RP.publish(spark, docs.filter(col("doc_id") <= n), s"$work/g0")
         val ix = s"$work/index"
-        AI.write(em.join(selOf(s"$work/g0").withColumnRenamed("doc_id", "vec_id"),
+        AI.write(em.join(statsOf(s"$work/g0").withColumnRenamed("doc_id", "vec_id"),
             Seq("vec_id"), "left_semi"),
           "vec_id", "embedding", ix, nList = 8, m = 4, codes = 16, iters = 2)
         var chain: Seq[String] = Seq(s"$work/g0")
@@ -308,20 +312,24 @@ object Dev {
                   col("doc_id") <= n + h * 10L),
                 s"$work/g$h", threshold = n + (h - 1) * 10L,
                 newThreshold = n + h * 10L)
-              // vector tier: the hop's real delta through the append
-              // watermark + tombstone
-              val selPrev = selOf(prevHead)
-              val selNew = selOf(chain.head)
-              val entrants = selNew.join(selPrev, Seq("doc_id"), "left_anti")
-              val evictees = selPrev.join(selNew, Seq("doc_id"), "left_anti")
+              // vector tier: the hop's real survivor delta through the
+              // append watermark; the eviction tombstone only when the
+              // batch's screens evicted anyone (the p09 steady-state
+              // guard — an empty anti-join rewrite is a whole store
+              // rewrite for zero deletions)
+              val statsPrev = statsOf(prevHead)
+              val statsNew = statsOf(chain.head)
+              val entrants = statsNew.join(statsPrev, Seq("doc_id"), "left_anti")
+              val evictees = statsPrev.join(statsNew, Seq("doc_id"), "left_anti")
               val counter = AI.maintainAppend(
                 em.join(broadcast(entrants.withColumnRenamed("doc_id", "vec_id")),
                   Seq("vec_id"), "left_semi"),
                 "vec_id", "embedding", ix, appendsWatermark = 3)
-              AI.tombstone(spark, ix, evictees.withColumnRenamed("doc_id", "vec_id"))
+              if (!evictees.isEmpty)
+                AI.tombstone(spark, ix, evictees.withColumnRenamed("doc_id", "vec_id"))
               // drift gate: bounded production-config probe
               val vecCorpus = em.join(
-                broadcast(selNew.withColumnRenamed("doc_id", "vec_id")),
+                broadcast(statsNew.withColumnRenamed("doc_id", "vec_id")),
                 Seq("vec_id"), "left_semi")
               val recall = AI.recallProbe(spark, ix,
                   vecCorpus.orderBy(col("vec_id")).limit(16), vecCorpus,

@@ -1226,23 +1226,35 @@ object PipelineQueries {
     e13Setup(spark, dir)
     val w = e13WorkDir(dir)
     val em = Tables.embeddings(spark, dir)
-    // a converged store (the policy compacted: counter reset to 0; the
-    // fragmented setup state always carries counter = 5) means a prior
-    // run already absorbed the sixth wave — restore the staged
-    // fragmented copy so THIS run re-times the watermark-crossing
-    // append + compaction instead of serve-only (re-run parity; the
-    // first run after setup skips the copy entirely)
+    // restore the staged fragmented copy unless the store is EXACTLY
+    // the pre-window state (counter 5 AND the sixth wave not yet
+    // absorbed): a converged store (the policy compacted, counter 0)
+    // must replay so re-runs re-time the append + compaction instead
+    // of serve-only, and a crash INSIDE the window (wave appended,
+    // counter not yet reset — mid-compact) must replay too, or every
+    // later run would find the wave absorbed under a pre-fold counter
+    // and time serve-only forever (the p09 predicate). The first run
+    // after setup skips the copy entirely.
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
-    if (graft.operators.AnnIndex.appendsSinceCompact(spark, s"$w/index") == 0) {
+    val preWindow =
+      graft.operators.AnnIndex.appendsSinceCompact(spark, s"$w/index") ==
+        e13Watermark - 1 && {
+        val stored = graft.operators.AnnIndex.codes(spark, s"$w/index")
+        !e13Wave(em, e13Watermark - 1)
+          .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .isEmpty
+      }
+    if (!preWindow) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$w/index"), true)
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
         fs, new org.apache.hadoop.fs.Path(s"$w/index"), false, true, hconf)
     }
     // the maintenance, timed: the watermark-crossing wave through the
-    // policy — append the missing entrants (re-runs converge), fire the
-    // scheduled compaction, then prove the serve unchanged
+    // policy — append the missing entrants (crash convergence), fire
+    // the scheduled compaction, then prove the serve unchanged
     val stored = graft.operators.AnnIndex.codes(spark, s"$w/index")
     val wave = e13Wave(em, e13Watermark - 1)
       .join(stored.select(col(stored.schema.fieldNames.head).as("vec_id")),
@@ -4290,7 +4302,7 @@ object PipelineQueries {
     def st(f: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f"))
     val d = st("documents.parquet"); val e = st("embeddings.parquet")
     val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
-      s"${e.getLen}:${e.getModificationTime}:p09-composedloop-v2-stats"
+      s"${e.getLen}:${e.getModificationTime}:p09-composedloop-v3-manifest"
     val w = p09WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -4341,10 +4353,12 @@ object PipelineQueries {
       val finalChain = RefreshPipeline.maintainedRefresh(spark, chain,
         docs.filter(col("doc_id") > t3), s"$w/gen4",
         threshold = t3, newThreshold = mx)
-      assert(finalChain.length == 1,
-        s"p09 setup: the depth watermark must fold hop 4's chain (got $finalChain)")
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_FINAL_LAYER"),
-        finalChain.head.getBytes)
+      // the WHOLE live chain, newest first (the generation manifest):
+      // the politique row reads its depth from here, so an un-fired
+      // fold surfaces as a 3-layer manifest → depth 3 ≠ the oracle's
+      // pinned 1 → hash mismatch (a gate, not a setup crash)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_FINAL_CHAIN"),
+        finalChain.mkString("\n").getBytes)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_PREV_HEAD"),
         chain.head.getBytes)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$w/_T3"),
@@ -4367,7 +4381,8 @@ object PipelineQueries {
     val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
     def readFile(f: String) = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$w/$f"))).trim
-    val finalLayer = readFile("_FINAL_LAYER")
+    val finalChain = readFile("_FINAL_CHAIN").split("\n").toSeq
+    val finalLayer = finalChain.head
     val prevHead = readFile("_PREV_HEAD")
     val t3 = readFile("_T3").toLong
     val em = Tables.embeddings(spark, dir)
@@ -4464,7 +4479,7 @@ object PipelineQueries {
     val rPol = Seq((
       "politique", -1L, "", "",
       if (alarm) 1.0 else 0.0, // the tripwire stayed quiet
-      1L, // chain depth after the window's fold
+      finalChain.length.toLong, // live manifest depth: the fold fired
       -1L,
       version, // no republish: the store still serves generation 1
       counterAfter.toLong, // the compact fired exactly at the watermark
