@@ -427,11 +427,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "UTF-8")
       try w.println(jsonLine) finally w.close()
     } catch { case t: Throwable => System.err.println(s"BENCH_LOCAL write failed: $t") }
-    val slowCells = results.collect { case (k, v, true, _, _, _) if v > perQueryBudget => k }
+    // one classification, shared by the summary's slow list and the
+    // violation output — a predicate change can't make them diverge
+    val slowPairs = results.collect { case (k, v, true, _, _, _) if v > perQueryBudget => (k, v) }
+    val slowCells = slowPairs.map(_._1)
     val violations =
       results.collect { case (k, _, false, _, _, _) => s"FAILED $k" } ++
-        results.collect { case (k, v, true, _, _, _) if v > perQueryBudget =>
-          f"SLOW $k: $v%.2fs > $perQueryBudget%.1fs" } ++
+        slowPairs.map { case (k, v) => f"SLOW $k: $v%.2fs > $perQueryBudget%.1fs" } ++
         (if (total > totalBudget) Seq(f"TOTAL $total%.1fs > $totalBudget%.1fs") else Nil)
     // compact self-adjudicating summary, printed LAST (r19 verdict ask
     // #6): the driver's round artifact is a stdout TAIL, and twice now

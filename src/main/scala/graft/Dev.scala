@@ -321,6 +321,7 @@ object Dev {
               val statsNew = statsOf(chain.head)
               val entrants = statsNew.join(statsPrev, Seq("doc_id"), "left_anti")
               val evictees = statsPrev.join(statsNew, Seq("doc_id"), "left_anti")
+              val waveEmpty = entrants.isEmpty
               val counter = AI.maintainAppend(
                 em.join(broadcast(entrants.withColumnRenamed("doc_id", "vec_id")),
                   Seq("vec_id"), "left_semi"),
@@ -340,9 +341,15 @@ object Dev {
                 AI.republish(vecCorpus.select(col("vec_id"), col("embedding")),
                   "vec_id", "embedding", ix, nList = 8, m = 4, codes = 16, iters = 2)
               val folded = chain.size < depthIn + 1
+              // "compacted" must mean THE POLICY FIRED THIS HOP: an
+              // empty entrant wave leaves the counter untouched, so a
+              // post-compaction hop with no entrants reads counter 0
+              // without any append or compact having run — counter==0
+              // alone would transcribe it as an extra policy firing in
+              // the SCALE.md decade rows
               println(f"[composedloop] hop=$h layers_in=$depthIn " +
                 f"layers_out=${chain.size} folded=$folded vec_counter=$counter " +
-                f"compacted=${counter == 0} recall=$recall%.3f alarm=$alarm " +
+                f"compacted=${!waveEmpty && counter == 0} recall=$recall%.3f alarm=$alarm " +
                 f"version=${AI.version(spark, ix)}")
             }
           println(f"[composedloop] hop=$h sec=${(System.nanoTime() - t0) / 1e9}%.2f " +

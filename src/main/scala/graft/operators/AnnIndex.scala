@@ -241,13 +241,41 @@ object AnnIndex {
   ): DataFrame = {
     val vecs = corpus
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("v_c"))
-    val served = Similarity
-      .pqKnnIvfCoded(coded, vecs, queries, idCol, vecCol, k, cents, books, nProbe, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
     val brute = Similarity
       .bruteForceKnn(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    brute
+    recallProbeCodedAgainst(coded, cents, books, queries, vecs, brute,
+      idCol, vecCol, k, nProbe, shortlist)
+  }
+
+  /** [[recallProbeCoded]] against a PRECOMPUTED ground truth — the
+    * monitor kernel when the brute pass is shared across measurements
+    * (e12's transition probes the store pre AND post republish over the
+    * SAME sample and corpus: the model changes, never the data, so the
+    * truth is computed once and both probes adjudicate against it).
+    * `vecs` is the corpus pre-projected to (neighbor_id, v_c) — the
+    * shape [[Similarity.pqKnnIvfCoded]] re-ranks against — and `truth`
+    * is (query_id, neighbor_id) exact rows. Keeping the serve-vs-truth
+    * join/rollup HERE (one definition) means a future change to the
+    * recall semantics (tie handling, rounding) reaches every monitor.
+    */
+  def recallProbeCodedAgainst(
+      coded: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      vecs: DataFrame,
+      truth: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val served = Similarity
+      .pqKnnIvfCoded(coded, vecs, queries, idCol, vecCol, k, cents, books, nProbe, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    truth
       .join(served.withColumn("touche", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(

@@ -917,23 +917,18 @@ object PipelineQueries {
     //    store at production config against its own generation's model.
     val (probeQ, bruteTruth) = scala.concurrent.Await
       .result(truthF, scala.concurrent.duration.Duration.Inf)
+    // the serve-vs-truth kernel is AnnIndex's — one definition of
+    // recall semantics for every monitor (per-query rappel with k=1 is
+    // exactly 0 or 1, so averaging the rounded ratio is the same mean)
     def productionRecall(
-        cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double = {
-      val served = Similarity
-        .pqKnnIvfCoded(
+        cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double =
+      graft.operators.AnnIndex.recallProbeCodedAgainst(
           graft.operators.AnnIndex.codes(spark, ix)
             .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")),
-          vecs, probeQ, "vec_id", "embedding", k = 1, cents, books,
-          nProbe = 8, shortlist = 16)
-        .select(col("query_id"), col("neighbor_id"))
-      bruteTruth
-        .join(served.withColumn("touche", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_verite"),
-          coalesce(sum(col("touche")), lit(0L)).as("n_touches"))
-        .agg(avg(col("n_touches").cast("double") / col("n_verite").cast("double")))
+          cents, books, probeQ, vecs, bruteTruth, "vec_id", "embedding",
+          k = 1, nProbe = 8, shortlist = 16)
+        .agg(avg(col("rappel")))
         .collect()(0).getDouble(0)
-    }
     val (centsPre, booksPre) = scala.concurrent.Await
       .result(modelPreF, scala.concurrent.duration.Duration.Inf)
     val alarmPre = productionRecall(centsPre, booksPre) < 0.8
@@ -4368,7 +4363,6 @@ object PipelineQueries {
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(ix),
         fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"), false, true, hconf)
-      new java.io.File(w).mkdirs()
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
   }

@@ -165,17 +165,37 @@ def main() -> int:
         max_sec = bench.get("max_sec", float("nan"))
         for name in bench.get("failed", []):
             bad.append(f"FAILED  {name}")
-        # the summary's slow list was classified by BENCH at its own
-        # per-query budget; without per-cell seconds an explicit
-        # --per-query override cannot be re-applied here — surface that
-        # instead of failing cells the requested budget might pass
-        if args.per_query is not None and bench.get("slow"):
+        # per-query adjudication from the summary: max_sec is the
+        # catalog's per-cell MAXIMUM, so it decides ANY requested budget
+        # exactly — max_sec <= budget means zero violators at that
+        # budget, max_sec > budget means at least the max cell violates
+        # (only the full violator LIST needs the per-cell map in
+        # BENCH_LOCAL.json). This closes the override hole where an
+        # explicit --per-query equal to Bench's own budget downgraded
+        # Bench-confirmed SLOW cells to a warning and returned rc 0 for
+        # a run Bench itself exited 1 on.
+        slow = bench.get("slow", [])
+        if max_sec == max_sec:  # not NaN: the line carries max_cell/max_sec
+            if max_sec > per_query:
+                bad.append(f"SLOW    {bench.get('max_cell', '?')}: "
+                           f"{max_sec:.2f}s > {per_query:.1f}s (summary max cell"
+                           + (f"; Bench-classified slow: {' '.join(slow)})"
+                              if slow else ")"))
+            elif slow:
+                warn.append(f"SLOW    Bench classified {' '.join(slow)} slow at "
+                            f"its own budget "
+                            f"{bench.get('per_query_budget', '?')}s, but max_sec "
+                            f"{max_sec:.2f}s <= requested {per_query:.1f}s — "
+                            "passing at the requested budget")
+        elif args.per_query is not None and slow:
+            # pre-max_sec summary lines: an explicit --per-query cannot
+            # be re-applied without per-cell seconds — surface that
+            # instead of failing cells the requested budget might pass
             warn.append("SLOW    summary-mode cannot re-adjudicate the slow "
                         "list at --per-query (no per-cell seconds) — use the "
-                        "full line in BENCH_LOCAL.json: "
-                        + " ".join(bench["slow"]))
+                        "full line in BENCH_LOCAL.json: " + " ".join(slow))
         else:
-            for name in bench.get("slow", []):
+            for name in slow:
                 bad.append(f"SLOW    {name} (summary; seconds in BENCH_LOCAL.json)")
         if total > total_budget:
             bad.append(f"TOTAL   {total:.1f}s > {total_budget:.1f}s")

@@ -64,7 +64,20 @@ def main():
                  for r in runs if name in r["queries"] and r["queries"][name] > 0]
         if not cands:
             continue
-        sec, b = min(cands)
+        # a candidate with bytes -1 (cell absent from that run's bytes
+        # map) must never become the baseline entry: Bench.bytesMatch
+        # never matches -1 against a real byte count, so the cell would
+        # be PERMANENTLY ineligible for TOTAL re-adjudication — exactly
+        # the silent-ineligibility class the ±0.5% band fix eliminated.
+        # Prefer byte-carrying runs; fail loudly if none carries bytes.
+        byted = [c for c in cands if c[1] >= 0]
+        if not byted:
+            raise SystemExit(
+                f"{name}: present in the runs' queries map but NO run carries "
+                "its shuffle_write_bytes — merging bytes=-1 would leave the "
+                "cell permanently re-adjudication-ineligible; fix the run "
+                "artifact (use full Bench lines, not summaries)")
+        sec, b = min(byted)
         old_sec = old.get("queries", {}).get(name)
         old_b = old.get("shuffle_write_bytes", {}).get(name)
         if (old_sec is not None and old_b is not None and old_sec > 0 and
