@@ -168,6 +168,11 @@ object Bench {
     // s16's feed staging + classifier publish: same category
     try { graft.queries.PipelineQueries.s16Setup(spark, sfDir) }
     catch { case _: Throwable => () }
+    // io09's pristine shard store, staged aside (the pre-window state);
+    // the measured query is the three-wave deletion window + the
+    // policy-fired repack + the store read-back
+    try { graft.queries.PipelineQueries.io09Setup(spark, sfDir) }
+    catch { case _: Throwable => () }
     // p06's generation-0 publish + maintaining batch-1 refresh (scrubbed
     // corpus + screen stores + packed store, then generation 1): what
     // "the corpus is ingested and one refresh window has landed" means

@@ -245,6 +245,51 @@ object Dev {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       }
       spark.stop()
+    // Shard-store repack policy, steady state (SCALE.md round 20):
+    //   Dev repackpolicy <nDocs> <waves>
+    // Packs an nDocs x 60-token corpus, then runs <waves> deletion
+    // windows of ~6% of the original tokens each through
+    // Pack.maintainTombstone (watermark 0.15). Expected shape: the
+    // policy fires every ~3rd wave (logical waves cost a narrow
+    // provenance measure — bytes near zero; repack waves pay the
+    // corpus-linear re-pack — the reshard cost class), the registry
+    // clears with each fold, and the generation counts the folds.
+    case Some("repackpolicy") =>
+      val n = args(1).toLong; val waves = args(2).toInt
+      val spark = graft.engine.Session.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = Files.createTempDirectory(s"graft_rpol_${n}_").toString
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.range(1, n + 1, 1, 32).selectExpr(
+          "id AS doc_id",
+          "transform(sequence(1, 60), j -> concat('d', id, 't', j)) AS toks")
+        val store = s"$dir/store"
+        operators.Pack.writeShardsTokens(docs, "doc_id", "toks",
+          seqTokens = 256, seqsPerShard = 16, outDir = store)
+        val band = math.max(1L, (n * 0.06).toLong)
+        (1 to waves).foreach { h =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          val lo = (h - 1) * band; val hi = h * band
+          val t0 = System.nanoTime()
+          var res: operators.Pack.RepackResult = null
+          val (_, _, w) = org.apache.spark.graft.ShuffleMeter
+            .measure(spark.sparkContext) {
+              res = operators.Pack.maintainTombstone(spark, store,
+                docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+                  .select("doc_id"),
+                deadFracWatermark = 0.15, seqTokens = 256, seqsPerShard = 16)
+            }
+          println(f"[repackpolicy] wave=$h deadFrac=${res.deadFrac}%.3f " +
+            f"repacked=${res.repacked} version=${res.version} " +
+            f"pending=${res.pending} sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+            f"shw=${w / 1e6}%.2f MB")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+      spark.stop()
     // Composed production loop, steady state (SCALE.md, r19 ask #2):
     // `Dev composedloop <nCorpus> <hops>` runs <hops> maintenance
     // windows in which ALL the per-tier policies cycle together — the

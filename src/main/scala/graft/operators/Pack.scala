@@ -728,6 +728,202 @@ object Pack {
       .drop("entrees_effacees")
   }
 
+  // -------------------------------------------------------------------
+  // Policy-driven shard-store maintenance: logical deletes + a
+  // dead-fraction watermark that triggers repack (the p08/e13 doctrine
+  // applied to the third store family).
+  // -------------------------------------------------------------------
+
+  private def tombstoneRegistryPath(shardDir: String) =
+    new org.apache.hadoop.fs.Path(s"$shardDir/_TOMBSTONES")
+
+  private def repackVersionPath(shardDir: String) =
+    new org.apache.hadoop.fs.Path(s"$shardDir/_REPACK_VERSION")
+
+  /** The store's pending LOGICAL deletions — doc ids registered by
+    * [[maintainTombstone]] but not yet physically removed by a repack.
+    * Underscore-prefixed, so [[readShards]]' parquet scan never sees the
+    * registry. Distinct at read: re-registering an id (a duplicate
+    * deletion request across waves) must stay idempotent in the
+    * dead-token measure and the repack anti-join alike.
+    */
+  def pendingTombstones(
+      spark: org.apache.spark.sql.SparkSession, shardDir: String): DataFrame = {
+    val p = tombstoneRegistryPath(shardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(p.toString).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** The store's repack generation: 1 for a freshly-written store, +1
+    * per policy-fired repack (observability + the io09 gate pin — the
+    * files are the truth, the marker is the generation label).
+    */
+  def repackVersion(
+      spark: org.apache.spark.sql.SparkSession, shardDir: String): Long = {
+    val p = repackVersionPath(shardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 1L
+    else {
+      val in = fs.open(p)
+      try in.readLong() finally in.close()
+    }
+  }
+
+  private def writeRepackVersion(
+      spark: org.apache.spark.sql.SparkSession, dir: String, v: Long): Unit = {
+    val p = repackVersionPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.writeLong(v) finally out.close()
+  }
+
+  /** Dead-token fraction of the store: tokens belonging to registry ids
+    * over all tokens, measured from the NARROW provenance columns only
+    * (explode of `docs` — column pruning keeps the token arrays out of
+    * the scan), so the policy decision costs a metadata-weight pass at
+    * any store size. Registry ids absent from the store contribute
+    * nothing (deleting an already-deleted doc is a no-op, not an error).
+    */
+  def deadTokenFraction(
+      spark: org.apache.spark.sql.SparkSession, shardDir: String): Double = {
+    val prov = spark.read.parquet(shardDir)
+      .select(explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.n_tokens").cast("long").as("n"))
+    val row = prov
+      .join(pendingTombstones(spark, shardDir).withColumn("__mort", lit(1)),
+        Seq("doc_id"), "left")
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("__mort") === 1, col("n")).otherwise(lit(0L))).as("morts"))
+      .collect()(0)
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val dead = if (row.isNullAt(1)) 0L else row.getLong(1)
+    if (total == 0L) 0.0 else dead.toDouble / total.toDouble
+  }
+
+  /** [[readShards]] with the pending logical deletions applied — the
+    * SERVE path between repacks: one pure-map [[tombstone]] mask over
+    * the registry (bounded-set plan literal, join fallback past
+    * `maxIds`), so a reader never sees a registered doc's tokens even
+    * though the files still hold them.
+    */
+  def readShardsMasked(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String,
+      pad: Column,
+      maxIds: Int = 1000000
+  ): DataFrame = {
+    val reg = pendingTombstones(spark, shardDir)
+    if (reg.isEmpty) readShards(spark, shardDir)
+    else tombstone(readShards(spark, shardDir), reg, pad, maxIds)
+      .select(col("shard_id"), col("seq_id"), col("tokens"), col("docs"))
+  }
+
+  /** Outcome of one [[maintainTombstone]] window: the dead-token
+    * fraction measured after registering the wave (the policy's
+    * decision input), whether the repack fired, the store's repack
+    * generation after the window, and the registry size left pending.
+    */
+  final case class RepackResult(
+      deadFrac: Double, repacked: Boolean, version: Long, pending: Long)
+
+  /** One POLICY-GOVERNED deletion window of the shard-store maintenance
+    * loop — the [[graft.queries.RefreshPipeline.maintainedRefresh]] /
+    * [[AnnIndex.maintainAppend]] doctrine applied to the packed-shard
+    * store. Deletion requests are LOGICAL first: the wave's ids are
+    * validated (integral, non-null — [[tombstone]]'s shared contract:
+    * a null id has no deletion semantics and FAILS the job) and appended
+    * to the `_TOMBSTONES` registry; readers mask them at serve time
+    * ([[readShardsMasked]]) without touching the immutable files. The
+    * policy then measures the store's dead-token fraction and — at
+    * `deadFracWatermark` — repacks: surviving documents are reassembled
+    * from the store's own offsets (never a corpus re-read), re-packed at
+    * the same budget in the original document order, and the new
+    * generation is staged and [[Swap]]-published atomically with a
+    * CLEARED registry and a bumped generation marker. The repacked store
+    * equals the one-shot pack of the surviving corpus (the io09 gate).
+    *
+    * Scale shape: registering is O(wave); the fraction measure is a
+    * narrow provenance scan (token arrays pruned out); the repack is
+    * corpus-LINEAR — the honest maintenance-cadence cost, identical in
+    * class to [[reshard]] — and the watermark bounds how much dead
+    * weight serves carry before paying it. An EMPTY wave is not a
+    * deletion window: it registers nothing and never fires the repack
+    * (the [[AnnIndex.maintainAppend]] empty-batch rule), so warm re-runs
+    * with nothing to delete cannot spuriously rewrite the store.
+    *
+    * Maintenance windows are SERIALIZED by contract (one maintainer owns
+    * a store). A crash mid-repack is repaired by [[Swap.recover]] at the
+    * next window's entry; a crash after the registry append simply
+    * leaves the wave pending — the next window re-measures and the
+    * policy converges. The store must retain at least one document: a
+    * full-corpus takedown is store deletion, not maintenance.
+    */
+  def maintainTombstone(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String,
+      deletions: DataFrame,
+      deadFracWatermark: Double,
+      seqTokens: Int,
+      seqsPerShard: Int
+  ): RepackResult = {
+    require(deadFracWatermark > 0 && deadFracWatermark <= 1,
+      "deadFracWatermark must be in (0, 1]")
+    val livePath = new org.apache.hadoop.fs.Path(shardDir)
+    val tmpDir = s"${shardDir}__repack_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Swap.recover(fs, tmpPath, livePath)
+    val idField = deletions.schema.fields.head
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idField.dataType),
+      s"maintainTombstone id column '${idField.name}' must be an integral type " +
+        s"(got ${idField.dataType.simpleString}) — the registry is a long id relation")
+    if (deletions.isEmpty)
+      return RepackResult(deadTokenFraction(spark, shardDir), repacked = false,
+        repackVersion(spark, shardDir),
+        pendingTombstones(spark, shardDir).count())
+    deletions
+      .select(when(col(idField.name).isNull,
+          raise_error(lit("maintainTombstone: deletion id list contains NULL — " +
+            "a null id has no deletion semantics; resolve or drop nulls " +
+            "explicitly before calling")))
+        .otherwise(col(idField.name).cast("long")).as("doc_id"))
+      .distinct()
+      // one file per wave: the registry is request-scale (ids only) and
+      // a 32-partition shuffle write of a KB relation is pure stage floor
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneRegistryPath(shardDir).toString)
+    val frac = deadTokenFraction(spark, shardDir)
+    val version = repackVersion(spark, shardDir)
+    if (frac < deadFracWatermark)
+      return RepackResult(frac, repacked = false, version,
+        pendingTombstones(spark, shardDir).count())
+    // watermark crossed: repack the survivors from the store's own
+    // offsets into a fresh staged generation, then swap it live —
+    // registry cleared and generation bumped atomically with the
+    // publish (the new generation simply does not carry them)
+    val survivors = spark.read.parquet(shardDir)
+      .select(col("seq_id"), col("tokens"), explode(col("docs")).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        (col("seq_id") * lit(seqTokens.toLong) + col("d.debut_dans_seq")).as("deb"),
+        expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
+      .join(pendingTombstones(spark, shardDir), Seq("doc_id"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("deb"), col("tranche")))),
+        p => p.getField("tranche"))).as("toks"))
+    writeShardsOf(
+      packedSequencesTokens(survivors, "doc_id", "toks", seqTokens),
+      seqsPerShard, tmpDir, numPartitions = 0)
+    writeRepackVersion(spark, tmpDir, version + 1)
+    Swap.publish(fs, tmpPath, livePath)
+    RepackResult(frac, repacked = true, version + 1, pending = 0L)
+  }
+
   /** The single-window formulation `sequences` must equal whenever the
     * order key is unique — the spec's reference implementation (an
     * Exchange SinglePartition plan, so test-scale only).

@@ -3075,6 +3075,160 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // io09 — shard-store REPACK POLICY: the p08/e13 maintenance doctrine
+  // applied to the packed-shard tier. Deletion waves are LOGICAL first
+  // (the _TOMBSTONES registry; serves mask at read —
+  // Pack.readShardsMasked), and the policy measures the store's
+  // dead-token fraction after each wave: the first wave stays under the
+  // watermark (files untouched, O(wave) registration), the second
+  // crosses it and fires the repack — survivors reassembled from the
+  // store's OWN offsets (never a corpus re-read), re-packed at the same
+  // budget in the original document order, staged and Swap-published
+  // atomically with the registry cleared and the generation bumped.
+  // The gate re-derives the FINAL store per shard from the raw table
+  // alone (the d22 boundary-exact formulation over the survivor corpus
+  // — an over-repack, an under-repack, a shifted boundary or a leaked
+  // masked token all break the hash) and pins the policy contract as a
+  // literal row: generation 2, registry 0, fired pattern w1=0,w2=1.
+  // ---------------------------------------------------------------------
+  private def io09WorkDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io09_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish the PRISTINE pre-window store once, STAGED ASIDE — the
+    * timed cell mutates its live copy, so every run (first, retry, warm
+    * re-run) restores the same pre-window state from here and re-times
+    * the same maintenance work (the e13 measurement-parity convention);
+    * fingerprinted per input.
+    */
+  def io09Setup(spark: SparkSession, dir: String): Unit = synchronized {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.getFileStatus(srcPath)
+    val fingerprint =
+      s"documents:${src.getLen}:${src.getModificationTime}:repack-ws-b256-s16-w15-v1"
+    val w = io09WorkDir(dir)
+    val marker = new java.io.File(s"$w/_SETUP_DONE")
+    val markerFresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
+    if (!markerFresh) {
+      Pack.writeShardsTokens(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", seqTokens = 256, seqsPerShard = 16,
+        outDir = s"$w/store_staged")
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
+    }
+  }
+
+  private def io09(spark: SparkSession, dir: String): DataFrame = {
+    io09Setup(spark, dir)
+    val w = io09WorkDir(dir)
+    val store = s"$w/store"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(hconf)
+    // re-run parity: restore the pristine store unless it is EXACTLY the
+    // pre-window state (generation 1, empty registry) — a crash
+    // mid-window leaves a partial registry or a bumped generation, both
+    // of which replay from pristine
+    val needRestore = !fs.exists(storePath) ||
+      Pack.repackVersion(spark, store) != 1L ||
+      !Pack.pendingTombstones(spark, store).isEmpty
+    if (needRestore) {
+      fs.delete(storePath, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$w/store_staged"),
+        fs, storePath, false, true, hconf)
+    }
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    def wave(pred: org.apache.spark.sql.Column) = Pack.maintainTombstone(spark, store,
+      ids.filter(pred),
+      deadFracWatermark = 0.15, seqTokens = 256, seqsPerShard = 16)
+    // wave 1 (~9% dead tokens): logical only — registry grows, files
+    // untouched; wave 2 (~27% cumulative): crosses the watermark — the
+    // repack fires (PackSpec pins the repeated-below-watermark and
+    // empty-wave behaviors the cell doesn't pay stage floors for)
+    val r1 = wave(pmod(col("doc_id"), lit(19L)) === 0 ||
+      pmod(col("doc_id"), lit(23L)) === 0)
+    val r2 = wave(pmod(col("doc_id"), lit(5L)) === 0)
+    val fired = (if (r1.repacked) 10L else 0L) + (if (r2.repacked) 1L else 0L)
+    val shards = Pack.readShards(spark, store)
+      .select(col("shard_id"), col("seq_id"),
+        md5(array_join(col("tokens"), " ")).as("h"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        size(col("docs")).cast("long").as("n_tranches"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_tranches")).as("n_tranches"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("seq_id"), col("h")))),
+            p => p.getField("h")), ":")).as("empreinte"))
+    // the policy contract as a data row (the p09 politique convention):
+    // final generation, registry left pending, which waves fired
+    val politique = spark.range(1).select(
+      lit(-1L).as("shard_id"),
+      lit(r2.version).as("n_seqs"),
+      lit(r2.pending).as("n_tokens"),
+      lit(fired).as("n_tranches"),
+      lit("politique").as("empreinte"))
+    shards.unionByName(politique).orderBy(col("shard_id"))
+  }
+  private val io09Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |  WHERE NOT (doc_id % 19 = 0 OR doc_id % 23 = 0 OR doc_id % 5 = 0)
+      |),
+      |c AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(len(toks) AS BIGINT))
+      |         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t
+      |),
+      |r AS (
+      |  SELECT doc_id, toks, n_tokens, cum - n_tokens AS tok_debut,
+      |    (cum - n_tokens) // 256 AS seq_debut,
+      |    GREATEST((cum - n_tokens) // 256, (GREATEST(cum, 1) - 1) // 256) AS seq_fin
+      |  FROM c WHERE n_tokens > 0
+      |),
+      |x AS (
+      |  SELECT r.doc_id, r.toks, r.tok_debut, r.n_tokens, s.seq_id
+      |  FROM r, LATERAL (SELECT unnest(generate_series(r.seq_debut, r.seq_fin)) AS seq_id) s
+      |),
+      |sl AS (
+      |  SELECT seq_id, doc_id,
+      |    GREATEST(seq_id * 256, tok_debut) AS deb,
+      |    LEAST((seq_id + 1) * 256, tok_debut + n_tokens) AS fin,
+      |    toks[CAST(GREATEST(seq_id * 256, tok_debut) - tok_debut + 1 AS BIGINT)
+      |         :CAST(LEAST((seq_id + 1) * 256, tok_debut + n_tokens) - tok_debut AS BIGINT)]
+      |      AS tranche
+      |  FROM x
+      |),
+      |q AS (
+      |  SELECT seq_id,
+      |    md5(string_agg(array_to_string(tranche, ' '), ' ' ORDER BY deb)) AS h,
+      |    CAST(SUM(fin - deb) AS BIGINT) AS n_tok,
+      |    COUNT(*) AS n_tranches
+      |  FROM sl GROUP BY seq_id
+      |),
+      |fin AS (
+      |  SELECT seq_id // 16 AS shard_id, COUNT(*) AS n_seqs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_tranches) AS BIGINT) AS n_tranches,
+      |    md5(string_agg(h, ':' ORDER BY seq_id)) AS empreinte
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT * FROM fin
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT), 'politique'
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -5492,6 +5646,7 @@ object PipelineQueries {
     Q("io06_shard_reshard", "shard-store reshard (context-length migration): re-cut the published store at a new budget from stored offsets, no corpus re-read; every doc reassembles from the re-cut (equality with the direct pack pinned in PackSpec)", io06, Some(d39Sql), heavy = true),
     Q("io07_shard_tombstone", "shard-store tombstone (deletion request): mask a bounded id set's token ranges in place with a pad — offsets, boundaries and provenance frozen; oracle recomputes each doc's post-scrub fingerprint", io07, Some(io07Sql), heavy = true),
     Q("io08_tombstone_mass", "takedown-scale tombstone: a deletion RELATION (half the corpus) masks through the distributed join fallback — ids never collect to the driver, token arrays cross one seq-keyed exchange; same per-doc fingerprint oracle as io07", io08, Some(io08Sql), heavy = true),
+    Q("io09_repack_policy", "shard-store REPACK POLICY (the p08/e13 doctrine in the packed-shard tier): deletion waves register logically, serves mask at read, and the dead-token-fraction watermark fires a survivors-repack staged+swapped with the registry cleared; gate = d22 boundary-exact oracle over the survivor corpus + the policy contract row", io09, Some(io09Sql), heavy = true),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql), heavy = true),

@@ -717,4 +717,92 @@ class PackSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
     }
   }
+
+  test("maintainTombstone: logical waves serve masked below the watermark, the policy repack " +
+      "equals the one-shot pack of the survivors, registry and generation cycle") {
+    // synthetic corpus with CONTROLLED token weight: 40 docs x 5 tokens,
+    // so every wave's dead fraction is exact by construction
+    val docsToks = (1L to 40L)
+      .map(i => (i, (1 to 5).map(j => s"d${i}t$j")))
+      .toDF("doc_id", "toks")
+    val wd = java.nio.file.Files.createTempDirectory("graft_repack_").toString
+    val store = s"$wd/shards"
+    try {
+      Pack.writeShardsTokens(docsToks, "doc_id", "toks",
+        seqTokens = 16, seqsPerShard = 4, outDir = store)
+      def filesOf(dir: String) = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+        .flatMap(_.listFiles()).map(_.getName).sorted.toSeq
+
+      // wave 1: docs 1..4 = 20/200 tokens = 10% < 15% watermark —
+      // logical only: files untouched, registry holds the wave, v1
+      val before = filesOf(store)
+      val r1 = Pack.maintainTombstone(spark, store,
+        docsToks.filter(col("doc_id") <= 4).select("doc_id"),
+        deadFracWatermark = 0.15, seqTokens = 16, seqsPerShard = 4)
+      assert(!r1.repacked && r1.version == 1L && r1.pending == 4L)
+      assert(math.abs(r1.deadFrac - 0.10) < 1e-9)
+      assert(filesOf(store) == before, "a below-watermark wave must not rewrite the store")
+
+      // the masked serve hides registered docs NOW (files still hold them)
+      val maskedToks = Pack.readShardsMasked(spark, store, lit("~P~"))
+        .select(explode(col("tokens")).as("t"))
+        .filter(col("t") === "~P~").count()
+      assert(maskedToks == 20L, "4 registered docs x 5 tokens must read as pad")
+
+      // an EMPTY wave is not a deletion window: nothing registers,
+      // nothing fires (the maintainAppend empty-batch rule)
+      val r2 = Pack.maintainTombstone(spark, store,
+        docsToks.filter(lit(false)).select("doc_id"),
+        deadFracWatermark = 0.15, seqTokens = 16, seqsPerShard = 4)
+      assert(!r2.repacked && r2.pending == 4L && math.abs(r2.deadFrac - 0.10) < 1e-9)
+
+      // re-registering the same ids is idempotent in the measure
+      val r2b = Pack.maintainTombstone(spark, store,
+        docsToks.filter(col("doc_id") <= 4).select("doc_id"),
+        deadFracWatermark = 0.15, seqTokens = 16, seqsPerShard = 4)
+      assert(!r2b.repacked && r2b.pending == 4L && math.abs(r2b.deadFrac - 0.10) < 1e-9)
+
+      // wave 3: docs 5..10 -> 50/200 = 25% >= 15% — the repack fires:
+      // registry cleared, generation bumped
+      val r3 = Pack.maintainTombstone(spark, store,
+        docsToks.filter(col("doc_id").between(5, 10)).select("doc_id"),
+        deadFracWatermark = 0.15, seqTokens = 16, seqsPerShard = 4)
+      assert(r3.repacked && r3.version == 2L && r3.pending == 0L)
+      assert(math.abs(r3.deadFrac - 0.25) < 1e-9)
+      assert(Pack.repackVersion(spark, store) == 2L)
+      assert(Pack.pendingTombstones(spark, store).isEmpty)
+
+      // the repacked store IS the one-shot pack of the survivors —
+      // sequence boundaries, token streams and provenance all equal
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("seq_id"), md5(array_join(col("tokens"), " ")).as("h"),
+          to_json(col("docs")).as("prov"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val oneShot = Pack.packedSequencesTokens(
+        docsToks.filter(col("doc_id") > 10), "doc_id", "toks", 16)
+      assert(canon(Pack.readShards(spark, store)) === canon(oneShot))
+
+      // with the registry cleared, the masked serve is the plain read
+      assert(Pack.readShardsMasked(spark, store, lit("~P~"))
+        .select(explode(col("tokens")).as("t"))
+        .filter(col("t") === "~P~").count() == 0L)
+
+      // the shared deletion-id contract holds at REGISTRATION time:
+      // nulls fail loud, non-integral ids die at the require
+      val withNull = Seq[java.lang.Long](11L, null).toDF("doc_id")
+      val eNull = intercept[Exception] {
+        Pack.maintainTombstone(spark, store, withNull, 0.15, 16, 4)
+      }
+      assert(eNull.getMessage.contains("NULL") ||
+        Option(eNull.getCause).exists(_.getMessage.contains("NULL")))
+      val eStr = intercept[IllegalArgumentException] {
+        Pack.maintainTombstone(spark, store, Seq("11").toDF("doc_id"), 0.15, 16, 4)
+      }
+      assert(eStr.getMessage.contains("integral"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
+    }
+  }
 }
