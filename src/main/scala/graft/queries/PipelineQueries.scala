@@ -3229,6 +3229,117 @@ object PipelineQueries {
       |ORDER BY shard_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // io10 — MASKED SERVE under logical deletion: the compliance property
+  // of the io09 registry path. A deletion wave registers logically (no
+  // repack — the wave stays under the watermark) and the gate proves the
+  // SERVE is immediately clean AND the artifact immutable:
+  // Pack.readShardsMasked over the still-unrewritten files is rolled up
+  // per shard (the d22 boundary-exact formulation) against the oracle's
+  // one-shot pack of the corpus WITH the registered classes' tokens
+  // replaced by pads — same sequence boundaries, same provenance counts
+  // (masking never shifts an offset), every registered token padded,
+  // every survivor token bit-identical. The politique row pins that the
+  // policy did NOT repack (generation 1) and the registry holds exactly
+  // the wave. Re-run parity: re-registering the same wave is IDEMPOTENT
+  // (the registry reads distinct), so the store restores from the
+  // pristine staged copy only when absent or past generation 1.
+  // ---------------------------------------------------------------------
+  private def io10(spark: SparkSession, dir: String): DataFrame = {
+    io09Setup(spark, dir)
+    val w = io09WorkDir(dir)
+    val store = s"$w/store_serve"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(hconf)
+    if (!fs.exists(storePath) || Pack.repackVersion(spark, store) != 1L) {
+      fs.delete(storePath, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$w/store_staged"),
+        fs, storePath, false, true, hconf)
+    }
+    val r = Pack.maintainTombstone(spark, store,
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(19L)) === 0 ||
+          pmod(col("doc_id"), lit(23L)) === 0),
+      deadFracWatermark = 0.15, seqTokens = 256, seqsPerShard = 16)
+    val shards = Pack.readShardsMasked(spark, store, lit("~PAD~"))
+      .select(col("shard_id"), col("seq_id"),
+        md5(array_join(col("tokens"), " ")).as("h"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        size(col("docs")).cast("long").as("n_tranches"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_tranches")).as("n_tranches"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("seq_id"), col("h")))),
+            p => p.getField("h")), ":")).as("empreinte"))
+    val politique = spark.range(1).select(
+      lit(-1L).as("shard_id"),
+      lit(r.version).as("n_seqs"),
+      lit(r.pending).as("n_tokens"),
+      lit(if (r.repacked) 1L else 0L).as("n_tranches"),
+      lit("politique").as("empreinte"))
+    shards.unionByName(politique).orderBy(col("shard_id"))
+  }
+  private val io10Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN
+      |           list_transform(regexp_split_to_array(trim(text), '\s+'), x -> '~PAD~')
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(len(toks) AS BIGINT))
+      |         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t
+      |),
+      |r AS (
+      |  SELECT doc_id, toks, n_tokens, cum - n_tokens AS tok_debut,
+      |    (cum - n_tokens) // 256 AS seq_debut,
+      |    GREATEST((cum - n_tokens) // 256, (GREATEST(cum, 1) - 1) // 256) AS seq_fin
+      |  FROM c WHERE n_tokens > 0
+      |),
+      |x AS (
+      |  SELECT r.doc_id, r.toks, r.tok_debut, r.n_tokens, s.seq_id
+      |  FROM r, LATERAL (SELECT unnest(generate_series(r.seq_debut, r.seq_fin)) AS seq_id) s
+      |),
+      |sl AS (
+      |  SELECT seq_id, doc_id,
+      |    GREATEST(seq_id * 256, tok_debut) AS deb,
+      |    LEAST((seq_id + 1) * 256, tok_debut + n_tokens) AS fin,
+      |    toks[CAST(GREATEST(seq_id * 256, tok_debut) - tok_debut + 1 AS BIGINT)
+      |         :CAST(LEAST((seq_id + 1) * 256, tok_debut + n_tokens) - tok_debut AS BIGINT)]
+      |      AS tranche
+      |  FROM x
+      |),
+      |q AS (
+      |  SELECT seq_id,
+      |    md5(string_agg(array_to_string(tranche, ' '), ' ' ORDER BY deb)) AS h,
+      |    CAST(SUM(fin - deb) AS BIGINT) AS n_tok,
+      |    COUNT(*) AS n_tranches
+      |  FROM sl GROUP BY seq_id
+      |),
+      |fin AS (
+      |  SELECT seq_id // 16 AS shard_id, COUNT(*) AS n_seqs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_tranches) AS BIGINT) AS n_tranches,
+      |    md5(string_agg(h, ':' ORDER BY seq_id)) AS empreinte
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT * FROM fin
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+      |  (SELECT COUNT(DISTINCT doc_id) FROM documents
+      |   WHERE doc_id % 19 = 0 OR doc_id % 23 = 0),
+      |  CAST(0 AS BIGINT), 'politique'
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d08 — BPE-ish regex tokenization vs whitespace tokens (word pieces +
   // standalone punctuation — the pre-training token-count estimator).
   // ---------------------------------------------------------------------
@@ -5647,6 +5758,7 @@ object PipelineQueries {
     Q("io07_shard_tombstone", "shard-store tombstone (deletion request): mask a bounded id set's token ranges in place with a pad — offsets, boundaries and provenance frozen; oracle recomputes each doc's post-scrub fingerprint", io07, Some(io07Sql), heavy = true),
     Q("io08_tombstone_mass", "takedown-scale tombstone: a deletion RELATION (half the corpus) masks through the distributed join fallback — ids never collect to the driver, token arrays cross one seq-keyed exchange; same per-doc fingerprint oracle as io07", io08, Some(io08Sql), heavy = true),
     Q("io09_repack_policy", "shard-store REPACK POLICY (the p08/e13 doctrine in the packed-shard tier): deletion waves register logically, serves mask at read, and the dead-token-fraction watermark fires a survivors-repack staged+swapped with the registry cleared; gate = d22 boundary-exact oracle over the survivor corpus + the policy contract row", io09, Some(io09Sql), heavy = true),
+    Q("io10_masked_serve", "MASKED SERVE under logical deletion (the io09 registry's compliance property): a below-watermark wave registers, no repack runs, and readShardsMasked over the unrewritten files rolls up boundary-exact against the one-shot pack with the registered classes padded — same offsets/provenance, every registered token padded, every survivor bit-identical, plus the no-repack politique pin", io10, Some(io10Sql), heavy = true),
     Q("io04_jdbc_extract", "JDBC remote-scan extract via embedded Derby (S4)", io04, Some(io04Sql)),
     Q("w01_partitioned_io", "partitioned write + pruned read", w01, Some(w01Sql)),
     Q("s01_stream_daily", "Structured Streaming daily rollup", s01, Some(s01Sql), heavy = true),
