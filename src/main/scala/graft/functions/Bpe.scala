@@ -163,15 +163,21 @@ object Bpe {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
   }
 
-  /** Load a published model. The two collects are model-bounded (the
-    * AnnIndex.read driver-state contract).
+  /** Load a published model — driver-direct parquet read
+    * (graft.sources.DriverParquet, the AnnIndex.readModel convention):
+    * both relations are model-bounded, and the former two
+    * spark.read...collect() actions were plan/schedule round trips the
+    * per-batch encode paths paid on every call.
     */
   def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
-    val merges = spark.read.parquet(s"$dir/merges")
-      .orderBy(col("rang")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val vocab = spark.read.parquet(s"$dir/vocab")
-      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    import graft.sources.DriverParquet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merges = DriverParquet.rows(conf, s"$dir/merges")
+      .map(g => (DriverParquet.int(g, "rang"),
+        DriverParquet.string(g, "gauche"), DriverParquet.string(g, "droite")))
+      .sortBy(_._1).map(r => (r._2, r._3))
+    val vocab = DriverParquet.rows(conf, s"$dir/vocab")
+      .map(g => (DriverParquet.string(g, "piece"), DriverParquet.int(g, "id"))).toMap
     Model(merges, vocab)
   }
 

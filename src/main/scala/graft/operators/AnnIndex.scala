@@ -169,10 +169,20 @@ object AnnIndex {
     */
   def readModel(spark: SparkSession, dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     recoverStore(spark, dir)
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
-    val rows = spark.read.parquet(s"$dir/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // driver-direct parquet read (DriverParquet): the two model
+    // components are KB-scale coalesce(1) stores, and the former
+    // spark.read...collect() paid two full plan/schedule/collect round
+    // trips per call — on the serve/append/maintain paths that read the
+    // model every window, almost pure driver-floor cost (guide §1.2/§5)
+    import graft.sources.DriverParquet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cents = DriverParquet.rows(conf, s"$dir/centroids")
+      .map(g => DriverParquet.int(g, "cell") -> DriverParquet.doubleArray(g, "v"))
+      .toArray.sortBy(_._1).map(_._2)
+    val rows = DriverParquet.rows(conf, s"$dir/codebooks")
+      .map(g => (DriverParquet.int(g, "sub"), DriverParquet.int(g, "code"),
+        DriverParquet.doubleArray(g, "v")))
+      .toArray
     val m = rows.map(_._1).max + 1
     val books = Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
     (cents, books)

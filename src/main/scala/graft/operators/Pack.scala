@@ -787,19 +787,36 @@ object Pack {
     * nothing (deleting an already-deleted doc is a no-op, not an error).
     */
   def deadTokenFraction(
-      spark: org.apache.spark.sql.SparkSession, shardDir: String): Double = {
+      spark: org.apache.spark.sql.SparkSession, shardDir: String): Double =
+    deadStats(spark, shardDir, pendingTombstones(spark, shardDir))._1
+
+  /** One-job policy measurement: the dead-token fraction AND the
+    * registry cardinality, from a single collect. [[maintainTombstone]]
+    * needs both on every below-watermark window; computing them as two
+    * actions paid a second full plan/schedule round per wave for a
+    * 1-row answer (the measured driver floor is per-ACTION, not
+    * per-byte — guide §1/§7: the planning round trips, not the task
+    * work, dominate a metadata-weight decision). The two aggregates
+    * ride one plan via a 1-row × 1-row cross join (the scalar-CTE
+    * shape, never a cartesian of data relations).
+    */
+  private def deadStats(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String,
+      reg: DataFrame): (Double, Long) = {
     val prov = spark.read.parquet(shardDir)
       .select(explode(col("docs")).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.n_tokens").cast("long").as("n"))
     val row = prov
-      .join(pendingTombstones(spark, shardDir).withColumn("__mort", lit(1)),
-        Seq("doc_id"), "left")
+      .join(reg.withColumn("__mort", lit(1)), Seq("doc_id"), "left")
       .agg(sum(col("n")).as("total"),
         sum(when(col("__mort") === 1, col("n")).otherwise(lit(0L))).as("morts"))
+      .crossJoin(reg.agg(count(lit(1)).cast("long").as("pending")))
       .collect()(0)
     val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val dead = if (row.isNullAt(1)) 0L else row.getLong(1)
-    if (total == 0L) 0.0 else dead.toDouble / total.toDouble
+    val pending = if (row.isNullAt(2)) 0L else row.getLong(2)
+    (if (total == 0L) 0.0 else dead.toDouble / total.toDouble, pending)
   }
 
   /** [[readShards]] with the pending logical deletions applied — the
@@ -882,10 +899,11 @@ object Pack {
         .contains(idField.dataType),
       s"maintainTombstone id column '${idField.name}' must be an integral type " +
         s"(got ${idField.dataType.simpleString}) — the registry is a long id relation")
-    if (deletions.isEmpty)
-      return RepackResult(deadTokenFraction(spark, shardDir), repacked = false,
-        repackVersion(spark, shardDir),
-        pendingTombstones(spark, shardDir).count())
+    if (deletions.isEmpty) {
+      val (frac0, pending0) = deadStats(spark, shardDir, pendingTombstones(spark, shardDir))
+      return RepackResult(frac0, repacked = false,
+        repackVersion(spark, shardDir), pending0)
+    }
     deletions
       .select(when(col(idField.name).isNull,
           raise_error(lit("maintainTombstone: deletion id list contains NULL — " +
@@ -897,11 +915,14 @@ object Pack {
       // a 32-partition shuffle write of a KB relation is pure stage floor
       .coalesce(1)
       .write.mode("append").parquet(tombstoneRegistryPath(shardDir).toString)
-    val frac = deadTokenFraction(spark, shardDir)
+    // one registry frame serves the measurement AND (on the fired path)
+    // the repack anti-join — the registry parquet is listed/planned
+    // once per decision instead of once per consumer
+    val reg = pendingTombstones(spark, shardDir)
+    val (frac, pending) = deadStats(spark, shardDir, reg)
     val version = repackVersion(spark, shardDir)
     if (frac < deadFracWatermark)
-      return RepackResult(frac, repacked = false, version,
-        pendingTombstones(spark, shardDir).count())
+      return RepackResult(frac, repacked = false, version, pending)
     // watermark crossed: repack the survivors from the store's own
     // offsets into a fresh staged generation, then swap it live —
     // registry cleared and generation bumped atomically with the
@@ -911,7 +932,7 @@ object Pack {
       .select(col("d.doc_id").as("doc_id"),
         (col("seq_id") * lit(seqTokens.toLong) + col("d.debut_dans_seq")).as("deb"),
         expr("slice(tokens, d.debut_dans_seq + 1, d.n_tokens)").as("tranche"))
-      .join(pendingTombstones(spark, shardDir), Seq("doc_id"), "left_anti")
+      .join(reg, Seq("doc_id"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("deb"), col("tranche")))),

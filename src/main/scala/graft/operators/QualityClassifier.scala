@@ -91,11 +91,17 @@ object QualityClassifier {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/prior")
   }
 
-  /** Load a published model (driver-bounded collects, 512 KB class). */
+  /** Load a published model (driver-bounded, 512 KB class) — read
+    * driver-direct (graft.sources.DriverParquet): the former two
+    * spark.read...collect() actions were plan/schedule round trips for
+    * a model-bounded store (the AnnIndex.readModel convention).
+    */
   def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    import graft.sources.DriverParquet
+    val conf = spark.sparkContext.hadoopConfiguration
     val w = new Array[Double](HashedWeights.Buckets)
-    spark.read.parquet(s"$dir/poids").collect()
-      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-    Model(w, spark.read.parquet(s"$dir/prior").collect()(0).getDouble(0))
+    DriverParquet.rows(conf, s"$dir/poids")
+      .foreach(g => w(DriverParquet.int(g, "b")) = DriverParquet.double(g, "w"))
+    Model(w, DriverParquet.double(DriverParquet.rows(conf, s"$dir/prior").head, "prior"))
   }
 }
