@@ -189,13 +189,19 @@ object Curate {
       sourceCol: String,
       topK: Int = 500
   ): DataFrame = {
-    val st = sourceTokenCounts(docs, textCol, sourceCol)
+    // the (source, token) rollup feeds BOTH the top-K vocabulary and the
+    // drift cells: uncached, the corpus explode+aggregate subtree planned
+    // (and ran) twice — cache() makes it one shared InMemoryRelation, so
+    // the corpus pays its token pass once (the output is
+    // vocabulary × source bounded, never corpus-scale). Same for the
+    // per-source doc counts (two consumers, each a full column scan).
+    val st = sourceTokenCounts(docs, textCol, sourceCol).cache()
     val top = st
       .groupBy(col("token"))
       .agg(sum(col("c")).as("ct"))
       .orderBy(col("ct").desc, col("token").asc)
       .limit(topK)
-    klDrift(st, docsPerSource(docs, sourceCol), top)
+    klDrift(st, docsPerSource(docs, sourceCol).cache(), top)
   }
 
   /** Global quality-percentile calibration: every row's exact

@@ -923,6 +923,16 @@ object Pack {
     val version = repackVersion(spark, shardDir)
     if (frac < deadFracWatermark)
       return RepackResult(frac, repacked = false, version, pending)
+    // the documented floor, now enforced (r20 ADVICE #3): frac == 1.0
+    // means every stored token belongs to a registered id (zero-token
+    // docs hold no slices), so the survivor set is EMPTY — repacking it
+    // would Swap-publish a store with no parquet rows that every later
+    // read fails on with an opaque schema-inference error. The check is
+    // free: it reuses the fraction the policy already measured.
+    require(frac < 1.0,
+      "maintainTombstone: the deletion wave covers every stored document — " +
+        "the store must retain at least one document; a full-corpus " +
+        "takedown is store deletion, not maintenance")
     // watermark crossed: repack the survivors from the store's own
     // offsets into a fresh staged generation, then swap it live —
     // registry cleared and generation bumped atomically with the

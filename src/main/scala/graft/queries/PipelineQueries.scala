@@ -824,9 +824,9 @@ object PipelineQueries {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(s"$w/index"), true)
-    org.apache.hadoop.fs.FileUtil.copy(
+    graft.operators.Stores.duplicate(
       fs, new org.apache.hadoop.fs.Path(s"$w/pristine"),
-      fs, new org.apache.hadoop.fs.Path(s"$w/index"), false, true, hconf)
+      new org.apache.hadoop.fs.Path(s"$w/index"), hconf)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$w/index/_REPLAY_PRISTINE"), true)
     out.close()
   }
@@ -1208,10 +1208,10 @@ object PipelineQueries {
       // ADVICE #2). The staged copy lets every run REPLAY the gated
       // work from the same pre-watermark state (e12's pristine-store
       // restart-replay convention).
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(s"$w/index"),
-        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
-        false, true, spark.sparkContext.hadoopConfiguration)
+        new org.apache.hadoop.fs.Path(s"$w/index_staged"),
+        spark.sparkContext.hadoopConfiguration)
       new java.io.File(w).mkdirs()
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
@@ -1243,9 +1243,9 @@ object PipelineQueries {
       }
     if (!preWindow) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$w/index"), true)
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
-        fs, new org.apache.hadoop.fs.Path(s"$w/index"), false, true, hconf)
+        new org.apache.hadoop.fs.Path(s"$w/index"), hconf)
     }
     // the maintenance, timed: the watermark-crossing wave through the
     // policy — append the missing entrants (crash convergence), fire
@@ -3111,6 +3111,15 @@ object PipelineQueries {
     val markerFresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint
     if (!markerFresh) {
+      // a stale marker means the input corpus changed: the DERIVED live
+      // copies (io09's store, io10's store_serve) were built from the
+      // OLD staged store, and their own restore predicates check only
+      // generation/registry state — they cannot see a fingerprint
+      // change, so they must be invalidated here with the staging
+      // rewrite (r20 ADVICE #1: a prior run's gen-1 store_serve was
+      // reused over a new corpus and served stale data)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$w/store"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$w/store_serve"), true)
       Pack.writeShardsTokens(
         Tables.documents(spark, dir)
           .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
@@ -3136,9 +3145,9 @@ object PipelineQueries {
       !Pack.pendingTombstones(spark, store).isEmpty
     if (needRestore) {
       fs.delete(storePath, true)
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(s"$w/store_staged"),
-        fs, storePath, false, true, hconf)
+        storePath, hconf)
     }
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     def wave(pred: org.apache.spark.sql.Column) = Pack.maintainTombstone(spark, store,
@@ -3251,11 +3260,23 @@ object PipelineQueries {
     val hconf = spark.sparkContext.hadoopConfiguration
     val storePath = new org.apache.hadoop.fs.Path(store)
     val fs = storePath.getFileSystem(hconf)
-    if (!fs.exists(storePath) || Pack.repackVersion(spark, store) != 1L) {
+    // restore when absent, past generation 1, OR when the registry has
+    // accumulated more than one part file: each warm re-run appends its
+    // (idempotent) re-registration as another file, so without this
+    // bound the registry directory grows one file per run without limit
+    // (r20 ADVICE #2) — one pristine copy gets one idempotent
+    // re-register, which still exercises the warm no-restore path
+    val registryParts = {
+      val reg = new org.apache.hadoop.fs.Path(s"$store/_TOMBSTONES")
+      if (!fs.exists(reg)) 0
+      else fs.listStatus(reg).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    if (!fs.exists(storePath) || Pack.repackVersion(spark, store) != 1L ||
+        registryParts > 1) {
       fs.delete(storePath, true)
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(s"$w/store_staged"),
-        fs, storePath, false, true, hconf)
+        storePath, hconf)
     }
     val r = Pack.maintainTombstone(spark, store,
       Tables.documents(spark, dir).select(col("doc_id"))
@@ -4625,9 +4646,9 @@ object PipelineQueries {
         t3.toString.getBytes)
       // stage the fragmented pre-window vector store (counter 3) for
       // re-run parity — the e13 convention
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(ix),
-        fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"), false, true, hconf)
+        new org.apache.hadoop.fs.Path(s"$w/index_staged"), hconf)
       java.nio.file.Files.write(marker.toPath, fingerprint.getBytes)
     }
   }
@@ -4668,9 +4689,9 @@ object PipelineQueries {
       }
     if (needRestore) {
       fs.delete(new org.apache.hadoop.fs.Path(ix), true)
-      org.apache.hadoop.fs.FileUtil.copy(
+      graft.operators.Stores.duplicate(
         fs, new org.apache.hadoop.fs.Path(s"$w/index_staged"),
-        fs, new org.apache.hadoop.fs.Path(ix), false, true, hconf)
+        new org.apache.hadoop.fs.Path(ix), hconf)
     }
     // ---- the vector window, policy-driven: the fourth append crosses
     // the watermark and fires the compaction; evictees leave when the

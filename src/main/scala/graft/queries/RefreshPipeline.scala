@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Curate, Decontaminate, Dedup, Pack}
+import graft.operators.{Curate, Decontaminate, Dedup, Pack, Stores}
 
 /** p06 — the INCREMENTAL CORPUS REFRESH LOOP: the production cycle a
   * 100 TB training-data pipeline actually runs, composed from the
@@ -316,10 +316,13 @@ private[graft] object RefreshPipeline {
     // their PUBLISHED positions bit-for-bit and the shard watermark
     // marker (a non-parquet file) must survive
     val conf = spark.sparkContext.hadoopConfiguration
-    org.apache.hadoop.fs.FileUtil.copy(
+    // hard-link the immutable data files instead of byte-copying the
+    // store (Stores.duplicate): the fold's carry cost drops from
+    // O(store bytes) to O(files) — at 100 TB the difference between a
+    // metadata fold and a full packed-store rewrite per fold
+    Stores.duplicate(
       fs, new org.apache.hadoop.fs.Path(s"${layers.head}/store"),
-      fs, new org.apache.hadoop.fs.Path(s"$outDir/store"),
-      false, true, conf)
+      new org.apache.hadoop.fs.Path(s"$outDir/store"), conf)
     writeThreshold(outDir, publishedThreshold(layers.head))
   }
 

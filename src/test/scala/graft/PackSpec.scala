@@ -801,6 +801,21 @@ class PackSpec extends SparkSpec {
         Pack.maintainTombstone(spark, store, Seq("11").toDF("doc_id"), 0.15, 16, 4)
       }
       assert(eStr.getMessage.contains("integral"))
+
+      // full-corpus takedown: every surviving doc registered at once
+      // must FAIL the window with the documented message instead of
+      // Swap-publishing an empty store later reads die on (r20 ADVICE
+      // #3 — the "store must retain at least one document" floor,
+      // previously documented but unenforced). The store is untouched:
+      // same generation, nothing repacked.
+      val vBefore = Pack.repackVersion(spark, store)
+      val eAll = intercept[IllegalArgumentException] {
+        Pack.maintainTombstone(spark, store,
+          docsToks.filter(col("doc_id") > 10).select(col("doc_id")), 0.15, 16, 4)
+      }
+      assert(eAll.getMessage.contains("store deletion, not maintenance"))
+      assert(Pack.repackVersion(spark, store) == vBefore)
+      assert(Pack.readShards(spark, store).count() > 0L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wd))
     }

@@ -79,10 +79,19 @@ def extract_lines(path):
     classify(doc)
     if isinstance(doc, dict):
         classify(doc.get("parsed"))
-        raw = doc.get("raw")
+        # the driver wrapper has stored the stdout under BOTH keys across
+        # rounds ("raw", then "tail" from r20 on), and sbt prefixes every
+        # stdout line with "[info] " — r20's actual artifact was
+        # unparseable because only "raw" was probed and the prefix
+        # defeated startswith("{") (the r20 verdict's ask #1a). Probe
+        # both keys and strip everything before the first "{" per line.
+        raw = doc.get("raw") or doc.get("tail")
         if isinstance(raw, str):
             for line in raw.splitlines():
-                line = line.strip()
+                brace = line.find("{")
+                if brace < 0:
+                    continue
+                line = line[brace:].strip()
                 if line.startswith("{") and line.endswith("}"):
                     try:
                         classify(json.loads(line))
