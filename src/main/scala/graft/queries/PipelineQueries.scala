@@ -2890,7 +2890,13 @@ object PipelineQueries {
     // boundary empty-log recovery) is PackSpec's, at spec scale — the
     // gate's cost is per-stage plan floor, so it stays at the minimum
     // composition that proves the contract.
-    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // the batch split point is "the current high id" — a footer-stats
+    // question (ScanStats.maxLongNoJob: parquet min/max metadata, no
+    // Spark job), not a full column scan; the aggregate stays as the
+    // fallback for a stats-less fixture. Same value either way.
+    val maxId = graft.sources.ScanStats
+      .maxLongNoJob(Tables.documents(spark, dir), "doc_id")
+      .getOrElse(docs.agg(max(col("doc_id"))).collect()(0).getLong(0))
     val batches = Seq(
       docs.filter(col("doc_id") <= maxId / 2),
       docs.filter(col("doc_id") > maxId / 2))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 /** Driver-side exact row counts with NO Spark job.
@@ -74,6 +75,66 @@ object ScanStats {
       }
     case other => Left(s"plan node ${other.nodeName} is not metadata-countable " +
       "(filters/joins/aggregates change cardinality)")
+  }
+
+  /** MAX of a top-level BIGINT column from parquet footer statistics
+    * alone — no Spark job. Same derivability contract as
+    * [[exactRowCountNoJob]]: the plan must be a bare parquet scan
+    * (Project/SubqueryAlias allowed — a projection never changes a
+    * column's max), EVERY row group must carry non-empty statistics for
+    * the column, and the column must be INT64. Returns None otherwise —
+    * callers fall back to the aggregate job. At warehouse scale this
+    * turns "what is the current high id" (batch splitting, surrogate
+    * continuation) from a full column scan into a footer read — the
+    * min/max-pruning machinery queried directly (guide §6).
+    */
+  def maxLongNoJob(df: DataFrame, colName: String): Option[Long] = {
+    def relation(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
+      case p: Project       => relation(p.child)
+      case s: SubqueryAlias => relation(s.child)
+      case r: LogicalRelation =>
+        r.relation match {
+          case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] => Some(fs)
+          case _ => None
+        }
+      case _ => None
+    }
+    relation(df.queryExecution.optimizedPlan).flatMap { fs =>
+      val files = fs.location.inputFiles
+      if (files.isEmpty || files.length > MaxFooterReads) return None
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      try {
+        var mx = Long.MinValue
+        var any = false
+        files.foreach { f =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+          try {
+            val footer = reader.getFooter
+            val schema = footer.getFileMetaData.getSchema
+            val idx = schema.getFields.asScala.indexWhere(_.getName == colName)
+            if (idx < 0) return None
+            val field = schema.getFields.get(idx)
+            if (field.isPrimitive &&
+                field.asPrimitiveType().getPrimitiveTypeName !=
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+              return None
+            footer.getBlocks.asScala.foreach { b =>
+              if (b.getRowCount > 0) {
+                val col = b.getColumns.asScala
+                  .find(_.getPath.toDotString == colName).getOrElse(return None)
+                val st = col.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+                st.genericGetMax match {
+                  case l: java.lang.Long => if (l > mx) { mx = l; any = true }
+                  case _ => return None
+                }
+              }
+            }
+          } finally reader.close()
+        }
+        if (any) Some(mx) else None
+      } catch { case NonFatal(_) => None }
+    }
   }
 
   private def parquetRowCount(fs: HadoopFsRelation, df: DataFrame): Either[String, Long] = {

@@ -556,6 +556,20 @@ class DedupSpec extends SparkSpec {
     assert(df.count() > 0) // plan still executes green
   }
 
+  test("maxLongNoJob: footer-stats max equals the aggregate, None when not derivable") {
+    val docs = Tables.documents(spark, sfDir)
+    val agg = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .collect()(0).getLong(0)
+    assert(graft.sources.ScanStats.maxLongNoJob(docs, "doc_id").contains(agg))
+    // a filter changes which rows exist — stats over the unfiltered files
+    // must NOT be trusted for it
+    assert(graft.sources.ScanStats
+      .maxLongNoJob(docs.filter(col("doc_id") % 2 === 0), "doc_id").isEmpty)
+    // absent column, non-INT64 column: both decline
+    assert(graft.sources.ScanStats.maxLongNoJob(docs, "no_such_col").isEmpty)
+    assert(graft.sources.ScanStats.maxLongNoJob(docs, "text").isEmpty)
+  }
+
   test("non-metadata-derivable input requires explicit nBits") {
     val em = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
     val err = intercept[IllegalArgumentException] {
