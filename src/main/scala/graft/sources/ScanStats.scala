@@ -89,17 +89,41 @@ object ScanStats {
     * min/max-pruning machinery queried directly (guide §6).
     */
   def maxLongNoJob(df: DataFrame, colName: String): Option[Long] = {
-    def relation(plan: LogicalPlan): Option[HadoopFsRelation] = plan match {
-      case p: Project       => relation(p.child)
-      case s: SubqueryAlias => relation(s.child)
-      case r: LogicalRelation =>
-        r.relation match {
-          case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] => Some(fs)
-          case _ => None
-        }
-      case _ => None
-    }
-    relation(df.queryExecution.optimizedPlan).flatMap { fs =>
+    // Resolve the REQUESTED column down to its PHYSICAL source column:
+    // a Project may rename (select(col("x").as("doc_id"))), and looking
+    // the output name up in the footer directly would read the wrong
+    // column's stats whenever the file also holds a physical column of
+    // that name (the r21 verdict's latent-hazard finding). Follow alias
+    // chains through each Project — a bare attribute or a simple
+    // attribute alias maps to the child's name; anything computed, and
+    // any ambiguity (duplicate output names), declines to the aggregate
+    // fallback (the exactRowCountNoJob conservatism).
+    def resolve(plan: LogicalPlan, name: String): Option[(HadoopFsRelation, String)] =
+      plan match {
+        case p: Project =>
+          p.projectList.filter(_.name == name) match {
+            case Seq(a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+              resolve(p.child, a.name)
+            case Seq(al: org.apache.spark.sql.catalyst.expressions.Alias) =>
+              al.child match {
+                case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                  resolve(p.child, ar.name)
+                case _ => None // computed column — footer stats cannot answer it
+              }
+            case _ => None // absent or ambiguous in this projection
+          }
+        case s: SubqueryAlias => resolve(s.child, name)
+        case r: LogicalRelation =>
+          r.relation match {
+            case fs: HadoopFsRelation
+                if fs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+                  r.output.count(_.name == name) == 1 => Some((fs, name))
+            case _ => None
+          }
+        case _ => None
+      }
+    resolve(df.queryExecution.optimizedPlan, colName).flatMap { case (fs, physName) =>
+      val colName = physName // shadow: everything below reads the PHYSICAL column
       val files = fs.location.inputFiles
       if (files.isEmpty || files.length > MaxFooterReads) return None
       val conf = df.sparkSession.sessionState.newHadoopConf()
