@@ -84,14 +84,27 @@ object AnnIndex {
     * over the union corpus).
     */
   def append(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    appendCounted(batch, idCol, vecCol, dir)
+    ()
+  }
+
+  /** [[append]] whose write carries its own row count (Observation):
+    * the one action answers "how many rows landed" as well, so policy
+    * callers ([[maintainAppend]]) need no separate emptiness probe.
+    */
+  private def appendCounted(
+      batch: DataFrame, idCol: String, vecCol: String, dir: String): Long = {
     import org.apache.spark.sql.graft.VectorExpr
     val (cents, books) = readModel(batch.sparkSession, dir)
+    val obs = org.apache.spark.sql.Observation(s"ann_append_${System.nanoTime()}")
     batch
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v_c"))
       .select(col(idCol),
         VectorExpr.argMaxIndex(VectorExpr.centroidScores(col("v_c"), cents)).as("cell"),
         VectorExpr.pqEncode(col("v_c"), books).as("codes"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Appends landed since the last compaction — the compaction
@@ -150,10 +163,13 @@ object AnnIndex {
     // it must not advance the watermark — a warm re-run whose
     // append-missing delta is empty (the e13 retry path) would
     // otherwise drift the counter up and fire a spurious full-store
-    // rewrite on the Nth re-run (r19 review finding). The isEmpty
-    // probe is one limit-1 job on a batch-scale relation.
-    if (batch.isEmpty) return appendsSinceCompact(spark, dir)
-    append(batch, idCol, vecCol, dir)
+    // rewrite on the Nth re-run (r19 review finding). The emptiness
+    // bit rides the append write's own Observation (appendCounted) —
+    // an empty batch's write lands zero part files (dynamic partition
+    // tasks with no rows create none), so the store is untouched and
+    // the former separate limit-1 isEmpty job per window is gone.
+    if (appendCounted(batch, idCol, vecCol, dir) == 0L)
+      return appendsSinceCompact(spark, dir)
     val n = appendsSinceCompact(spark, dir) + 1
     if (n >= appendsWatermark) {
       compact(spark, dir) // resets the counter

@@ -263,7 +263,13 @@ object Pack {
         explode(sequence(col("seq_debut"), col("seq_fin"))).as("seq_id"))
       .withColumn("deb", greatest(col("seq_id") * b, col("tok_debut")))
       .withColumn("fin", least((col("seq_id") + 1L) * b, col("tok_debut") + col("n_tokens")))
+      // `fin` (= deb + n, the slice's global END) stays in the output:
+      // persisted with the slice log, it makes the log's token
+      // high-water mark max(fin) a parquet FOOTER-STATISTICS question —
+      // [[recoveredOffset]] and [[finalizeSliceLog]] read it driver-side
+      // with no Spark job (the io05 maxLongNoJob doctrine, guide §6)
       .select(col("seq_id"), col("doc_id"), col("deb"), (col("fin") - col("deb")).as("n"),
+        col("fin"),
         expr("slice(toks, CAST(deb - tok_debut + 1 AS INT), CAST(fin - deb AS INT))").as("tranche"))
   }
 
@@ -424,12 +430,28 @@ object Pack {
     // treating a swapped-aside log as absent would silently fall back
     // to the store watermark and drop the open tail
     Swap.recover(fs, finalizeTmpPath(logDir), lp)
-    val logHw =
-      if (hasParquetData(fs, lp))
-        spark.read.parquet(logDir)
-          .agg(coalesce(max(col("deb") + col("n")), lit(0L))).collect()(0).getLong(0)
-      else 0L
+    val logHw = if (hasParquetData(fs, lp)) logHighWater(spark, logDir) else 0L
     math.max(logHw, shardWatermarkSeqs(spark, shardDir, seqsPerShard) * seqTokens.toLong)
+  }
+
+  /** The log's token high-water mark, max(deb + n) over its slices:
+    * answered from parquet FOOTER STATISTICS of the persisted `fin`
+    * column (= deb + n — [[packedSlicesTokens]] writes it for exactly
+    * this) with NO Spark job when derivable, else the aggregate — the
+    * fallback for a log written before `fin` existed or a stats-less
+    * file. Same value either way (fin is exact per row, the footer max
+    * is exact under [[graft.sources.ScanStats.maxLongNoJob]]'s
+    * contract); the recovery still reads only the on-disk artifact.
+    */
+  private def logHighWater(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): Long = {
+    val df = spark.read.parquet(logDir)
+    val footer =
+      if (df.columns.contains("fin"))
+        graft.sources.ScanStats.maxLongNoJob(df, "fin")
+      else None
+    footer.getOrElse(
+      df.agg(coalesce(max(col("deb") + col("n")), lit(0L))).collect()(0).getLong(0))
   }
 
   private def finalizeTmpPath(logDir: String) =
@@ -487,7 +509,7 @@ object Pack {
       return FinalizeResult(0L, before, 0L)
 
     val slices = spark.read.parquet(logDir)
-    val hw = slices.agg(coalesce(max(col("deb") + col("n")), lit(0L))).collect()(0).getLong(0)
+    val hw = logHighWater(spark, logDir) // footer-stats `fin` max, agg fallback
     val closedSeqs = hw / seqTokens
     val after = (closedSeqs / seqsPerShard) * seqsPerShard
     if (after <= before) {
@@ -652,25 +674,33 @@ object Pack {
       // result, PackSpec pins the equality; the Decontaminate
       // budget-fallback convention)
       return tombstoneJoin(shards, tombstoneIds, pad)
-    val ids = collected.map(_.getLong(0))
-    // docs entries are ordered by in-sequence position (assembleSequences
-    // builds them from the sorted slices), so rebuilding tokens as the
-    // concat of per-entry ranges reproduces untouched sequences
-    // bit-for-bit; the provenance schema is deliberately UNCHANGED —
-    // whether an entry was scrubbed is re-derivable from the tombstone
-    // list, and keeping the store schema stable means every reader
-    // (readShards, reshard, manifest audits) works on a scrubbed store
-    // verbatim. Membership is the compiled O(1) hash probe — an
-    // array_contains plan literal scans the WHOLE id set per entry,
-    // which the x1000 probe measured going quadratic across decades
-    // (both the deletion set and the entry count grow with the corpus).
+    maskWithIds(shards, collected.map(_.getLong(0)), pad)
+  }
+
+  /** The in-place pad mask over a PRE-COLLECTED deletion id set — the
+    * shared kernel of [[tombstone]] and [[readShardsMasked]] (the
+    * latter already pays a registry collect for its emptiness answer;
+    * re-collecting inside tombstone was a second job for the same ids).
+    *
+    * docs entries are ordered by in-sequence position (assembleSequences
+    * builds them from the sorted slices), so rebuilding tokens as the
+    * concat of per-entry ranges reproduces untouched sequences
+    * bit-for-bit; the provenance schema is deliberately UNCHANGED —
+    * whether an entry was scrubbed is re-derivable from the tombstone
+    * list, and keeping the store schema stable means every reader
+    * (readShards, reshard, manifest audits) works on a scrubbed store
+    * verbatim. Membership is the compiled O(1) hash probe — an
+    * array_contains plan literal scans the WHOLE id set per entry,
+    * which the x1000 probe measured going quadratic across decades
+    * (both the deletion set and the entry count grow with the corpus).
+    */
+  private def maskWithIds(shards: DataFrame, ids: Array[Long], pad: Column): DataFrame =
     shards.withColumn("tokens",
       flatten(transform(col("docs"), d =>
         when(org.apache.spark.sql.graft.TextExpr.inLongSet(d.getField("doc_id"), ids),
           array_repeat(pad, d.getField("n_tokens")))
           .otherwise(slice(col("tokens"),
             d.getField("debut_dans_seq") + lit(1), d.getField("n_tokens"))))))
-  }
 
   /** [[tombstone]]'s OVERSIZE path — the deletion set as a distributed
     * RELATION instead of a driver plan literal, for the day a deletion
@@ -749,11 +779,27 @@ object Pack {
     */
   def pendingTombstones(
       spark: org.apache.spark.sql.SparkSession, shardDir: String): DataFrame = {
+    if (tombstoneRegistryHasFiles(spark, shardDir))
+      spark.read.parquet(tombstoneRegistryPath(shardDir).toString)
+        .select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** FS-only registry probe: does the store's tombstone registry hold
+    * any parquet part file at all? For RESTORE PREDICATES ("is this
+    * store exactly the pristine pre-window state") this is the right
+    * question — a registry DIRECTORY is already not pristine — and it
+    * costs a listing, never a Spark job (the former
+    * `pendingTombstones(...).isEmpty` paid a full plan/schedule round
+    * to answer the same bit; a zero-row part file, unreachable through
+    * [[maintainTombstone]], reads as non-pristine here, which errs
+    * toward restoring — the conservative direction).
+    */
+  def tombstoneRegistryHasFiles(
+      spark: org.apache.spark.sql.SparkSession, shardDir: String): Boolean = {
     val p = tombstoneRegistryPath(shardDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(p.toString).select(col("doc_id")).distinct()
-    else spark.range(0).select(col("id").as("doc_id"))
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** The store's repack generation: 1 for a freshly-written store, +1
@@ -803,20 +849,44 @@ object Pack {
   private def deadStats(
       spark: org.apache.spark.sql.SparkSession,
       shardDir: String,
-      reg: DataFrame): (Double, Long) = {
+      reg: DataFrame,
+      maxIds: Int = 1000000): (Double, Long) = {
     val prov = spark.read.parquet(shardDir)
       .select(explode(col("docs")).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.n_tokens").cast("long").as("n"))
-    val row = prov
-      .join(reg.withColumn("__mort", lit(1)), Seq("doc_id"), "left")
-      .agg(sum(col("n")).as("total"),
-        sum(when(col("__mort") === 1, col("n")).otherwise(lit(0L))).as("morts"))
-      .crossJoin(reg.agg(count(lit(1)).cast("long").as("pending")))
-      .collect()(0)
-    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val dead = if (row.isNullAt(1)) 0L else row.getLong(1)
-    val pending = if (row.isNullAt(2)) 0L else row.getLong(2)
-    (if (total == 0L) 0.0 else dead.toDouble / total.toDouble, pending)
+    // the registry is request-scale by the same bounded-set contract as
+    // [[tombstone]]'s plan-literal probe: collect it once (a KB scan)
+    // and measure dead tokens with a compiled in-set probe — NO join,
+    // no crossJoin, so the provenance agg is one partial+final pass and
+    // AQE schedules ~2 stage-jobs where the former join+crossJoin plan
+    // ran ~7 per wave (JobTrace, r22). The collected ids double as the
+    // pending cardinality, which the old plan paid a crossJoin for.
+    // Past `maxIds` the measure degrades to the join formulation —
+    // identical numbers (reg is distinct; a left join of distinct ids
+    // marks exactly the in-set rows).
+    val ids = reg.limit(maxIds + 1).collect()
+    if (ids.length <= maxIds) {
+      val idArr = ids.map(_.getLong(0))
+      val row = prov
+        .agg(sum(col("n")).as("total"),
+          sum(when(org.apache.spark.sql.graft.TextExpr.inLongSet(col("doc_id"), idArr),
+            col("n")).otherwise(lit(0L))).as("morts"))
+        .collect()(0)
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val dead = if (row.isNullAt(1)) 0L else row.getLong(1)
+      (if (total == 0L) 0.0 else dead.toDouble / total.toDouble, idArr.length.toLong)
+    } else {
+      val row = prov
+        .join(reg.withColumn("__mort", lit(1)), Seq("doc_id"), "left")
+        .agg(sum(col("n")).as("total"),
+          sum(when(col("__mort") === 1, col("n")).otherwise(lit(0L))).as("morts"))
+        .crossJoin(reg.agg(count(lit(1)).cast("long").as("pending")))
+        .collect()(0)
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val dead = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val pending = if (row.isNullAt(2)) 0L else row.getLong(2)
+      (if (total == 0L) 0.0 else dead.toDouble / total.toDouble, pending)
+    }
   }
 
   /** [[readShards]] with the pending logical deletions applied — the
@@ -831,10 +901,23 @@ object Pack {
       pad: Column,
       maxIds: Int = 1000000
   ): DataFrame = {
-    val reg = pendingTombstones(spark, shardDir)
-    if (reg.isEmpty) readShards(spark, shardDir)
-    else tombstone(readShards(spark, shardDir), reg, pad, maxIds)
-      .select(col("shard_id"), col("seq_id"), col("tokens"), col("docs"))
+    // ONE registry read decides emptiness AND feeds the mask: an absent
+    // registry costs a listing (no job); a present one costs one KB
+    // collect whose ids go straight into the compiled probe — the
+    // former isEmpty-then-tombstone pair planned and collected the same
+    // registry twice per serve (guide §1.2: per-action floor)
+    if (!tombstoneRegistryHasFiles(spark, shardDir)) readShards(spark, shardDir)
+    else {
+      val reg = pendingTombstones(spark, shardDir)
+      val collected = reg.limit(maxIds + 1).collect()
+      if (collected.isEmpty) readShards(spark, shardDir)
+      else if (collected.length > maxIds)
+        tombstoneJoin(readShards(spark, shardDir), reg, pad)
+          .select(col("shard_id"), col("seq_id"), col("tokens"), col("docs"))
+      else
+        maskWithIds(readShards(spark, shardDir), collected.map(_.getLong(0)), pad)
+          .select(col("shard_id"), col("seq_id"), col("tokens"), col("docs"))
+    }
   }
 
   /** Outcome of one [[maintainTombstone]] window: the dead-token
@@ -899,11 +982,20 @@ object Pack {
         .contains(idField.dataType),
       s"maintainTombstone id column '${idField.name}' must be an integral type " +
         s"(got ${idField.dataType.simpleString}) — the registry is a long id relation")
-    if (deletions.isEmpty) {
-      val (frac0, pending0) = deadStats(spark, shardDir, pendingTombstones(spark, shardDir))
-      return RepackResult(frac0, repacked = false,
-        repackVersion(spark, shardDir), pending0)
-    }
+    // ONE action registers the wave AND answers "was the wave empty":
+    // the registry append's own Observation carries the row count, so
+    // the former separate deletions.isEmpty probe (a full plan/schedule
+    // round per window for one bit) folds into the write. An empty wave
+    // appends zero rows — a zero-row task writes no part file, and any
+    // stray zero-row file is swept below — so registry state matches
+    // the old skip-the-write path exactly, and the empty-wave rule
+    // (registers nothing, never fires the repack) is preserved.
+    val regPath = tombstoneRegistryPath(shardDir)
+    val partsBefore: Set[String] =
+      if (!fs.exists(regPath)) Set.empty
+      else fs.listStatus(regPath).map(_.getPath.getName).toSet
+    val waveObs = org.apache.spark.sql.Observation(
+      s"tombstone_wave_${System.nanoTime()}")
     deletions
       .select(when(col(idField.name).isNull,
           raise_error(lit("maintainTombstone: deletion id list contains NULL — " +
@@ -914,7 +1006,20 @@ object Pack {
       // one file per wave: the registry is request-scale (ids only) and
       // a 32-partition shuffle write of a KB relation is pure stage floor
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneRegistryPath(shardDir).toString)
+      .observe(waveObs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(regPath.toString)
+    if (waveObs.get("n").asInstanceOf[Long] == 0L) {
+      // sweep anything the empty append left behind (normally nothing:
+      // an empty task writes no file) so the registry is byte-identical
+      // to the former skip-the-write path
+      if (fs.exists(regPath))
+        fs.listStatus(regPath).map(_.getPath)
+          .filter(p => !partsBefore.contains(p.getName) && p.getName.startsWith("part-"))
+          .foreach(p => fs.delete(p, false))
+      val (frac0, pending0) = deadStats(spark, shardDir, pendingTombstones(spark, shardDir))
+      return RepackResult(frac0, repacked = false,
+        repackVersion(spark, shardDir), pending0)
+    }
     // one registry frame serves the measurement AND (on the fired path)
     // the repack anti-join — the registry parquet is listed/planned
     // once per decision instead of once per consumer

@@ -3146,9 +3146,13 @@ object PipelineQueries {
     // pre-window state (generation 1, empty registry) — a crash
     // mid-window leaves a partial registry or a bumped generation, both
     // of which replay from pristine
+    // all three probes are filesystem-only (marker read + registry
+    // listing): the former registry-emptiness check ran a Spark job —
+    // a full plan/schedule round on the timed path for one bit a
+    // listing answers (a registry dir present at all is not pristine)
     val needRestore = !fs.exists(storePath) ||
       Pack.repackVersion(spark, store) != 1L ||
-      !Pack.pendingTombstones(spark, store).isEmpty
+      Pack.tombstoneRegistryHasFiles(spark, store)
     if (needRestore) {
       fs.delete(storePath, true)
       graft.operators.Stores.duplicate(
@@ -4589,7 +4593,7 @@ object PipelineQueries {
     def st(f: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f"))
     val d = st("documents.parquet"); val e = st("embeddings.parquet")
     val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
-      s"${e.getLen}:${e.getModificationTime}:p09-composedloop-v3-manifest"
+      s"${e.getLen}:${e.getModificationTime}:p09-composedloop-v4-manifest" // v4: fin in store logs
     val w = p09WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&
@@ -4876,7 +4880,7 @@ object PipelineQueries {
     // bump the trailing tag when the p06 store layout (RefreshPipeline
     // `format`) or any published-store convention here changes
     val fingerprint = s"${d.getLen}:${d.getModificationTime}:" +
-      s"${e.getLen}:${e.getModificationTime}:p07-threetier-cellpart-v2"
+      s"${e.getLen}:${e.getModificationTime}:p07-threetier-cellpart-v3" // v3: fin in media log
     val w = p07WorkDir(dir)
     val marker = new java.io.File(s"$w/_SETUP_DONE")
     val markerFresh = marker.exists() &&

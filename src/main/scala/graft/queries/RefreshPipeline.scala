@@ -121,7 +121,7 @@ private[graft] object RefreshPipeline {
   private val Pad = "<scrub>" // tombstone mask token (io07)
 
   /** Bump when any published-store layout or convention changes. */
-  private val format = "p06-refresh-v4-chained"
+  private val format = "p06-refresh-v5-chained" // v5: slice logs persist `fin`
 
   def workDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_p06_${Integer.toHexString(dir.hashCode)}"

@@ -134,10 +134,13 @@ object IngestAnnDrift {
     val storedId = stored.schema.fieldNames.head
     val missing = rows
       .join(stored.select(col(storedId).as("vec_id")), Seq("vec_id"), "left_anti")
-      .localCheckpoint(false) // one materializing count job, cleaner-managed (per-trigger caller)
-    if (missing.count() > 0)
-      AnnIndex.append(missing.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", s"$workDir/index")
+    // append unconditionally: the anti join already guarantees only
+    // absent rows land, and an all-present delta (the warm re-run case)
+    // writes zero part files — content-identical to skipping, WITHOUT
+    // the former separate checkpoint-materializing count job per
+    // trigger (the store write is now the delta's only action)
+    AnnIndex.append(missing.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", s"$workDir/index")
   }
 
   /** One lot's drift row: append-encoded codes for the lot + the stored
@@ -207,10 +210,14 @@ object IngestAnnDrift {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // ONE job answers "is the batch empty" AND "which lots are
+        // present": lots is empty ⟺ the batch is, so the former
+        // separate batch.isEmpty probe was a second plan/schedule round
+        // per trigger for a bit the lot collect already carries
+        val lots = batch.select(col("lot")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (lots.nonEmpty) {
           appendMissing(spark, workDir, batch)
-          val lots = batch.select(col("lot")).distinct()
-            .collect().map(_.getInt(0)).sorted
           // per-lot rows, ONE append write per trigger (each row still
           // measures base ∪ its own lot only — the write grain is
           // commit plumbing, not measurement state)

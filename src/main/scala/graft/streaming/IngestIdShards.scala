@@ -60,7 +60,7 @@ object IngestIdShards {
   ))
 
   /** Bump when the model parameters or the log layout change. */
-  private val format = "bpeids-m256-w20000-b512-v1"
+  private val format = "bpeids-m256-w20000-b512-v2" // v2: slice log persists `fin`
   private val NumMerges = 256
   private val TopWords = 20000
   private[graft] val SeqTokens = 512

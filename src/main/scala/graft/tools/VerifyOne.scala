@@ -34,9 +34,20 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // MERGE into an existing oracle_sql.json, so several VerifyOne
+    // dumps into one outDir gate together under one check_oracle run
+    // (a re-dump of the same name appends a duplicate key; last wins
+    // in every JSON parser, and the bodies are identical by construction)
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    val prior =
+      if (!Files.exists(path)) "" else {
+        val inner = Files.readString(path).trim.stripPrefix("{").stripSuffix("}").trim
+        if (inner.isEmpty) "" else inner + ", "
+      }
     val json = graft.SparkEntry.oracleSql.get(name)
-      .map(sql => s"{${q(name)}: ${q(sql)}}").getOrElse("{}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      .map(sql => s"{$prior${q(name)}: ${q(sql)}}")
+      .getOrElse(if (prior.isEmpty) "{}" else s"{${prior.stripSuffix(", ")}}")
+    Files.writeString(path, json)
     spark.stop()
   }
 }
