@@ -83,6 +83,17 @@ object TextExpr {
     */
   def gramHashes(tokens: Column, n: Int): Column = col(GramHashes(expr(tokens), n))
 
+  /** Per-position md5 HEX fingerprints of every n-token window — the
+    * compiled twin of transform(sequence(1, len-n+1),
+    * i → md5(concat_ws(' ', slice(a, i, n)))): identical lowercase-hex
+    * strings in position order. The interpreted HOF rebuilt a fresh
+    * string AND evaluated a lambda per corpus gram — the dominant
+    * in-task cost of the exact-fingerprint span operators (d30/d31);
+    * the kernel digests each window as a slice of one shared joined
+    * buffer ([[TextKernels.joinDoc]]).
+    */
+  def md5GramHexes(tokens: Column, n: Int): Column = col(Md5GramHexes(expr(tokens), n))
+
   /** n-grams with multiplicity — compiled twin of the
     * transform(sequence, concat_ws ∘ slice) HOF, same strings in order.
     */
@@ -205,6 +216,57 @@ object TextKernels {
     hashTok(UTF8String.concat(parts: _*))
   }
 
+  /** The document's tokens space-joined ONCE into a shared buffer with
+    * per-token start/end byte offsets. Every n-token window's joined
+    * gram is then a contiguous SLICE [starts(i), ends(i+n-1)) of it —
+    * the per-window hash/digest reads the shared bytes directly, where
+    * the former per-window build (a parts array + UTF8String.concat)
+    * allocated and copied O(gram · doc) bytes per document; this copies
+    * O(doc) once (guide step 2: per-task work — same hash function,
+    * same bytes, bit-identical values). Null tokens return null —
+    * callers fall back to the per-window path (the HOF null-skip
+    * semantics can't be expressed as a slice).
+    */
+  private final class JoinedDoc(
+      val buf: Array[Byte], val starts: Array[Int], val ends: Array[Int])
+
+  private def joinDoc(a: ArrayData): JoinedDoc = {
+    val nTok = a.numElements()
+    val lens = new Array[Int](nTok)
+    var total = if (nTok > 1) nTok - 1 else 0
+    var i = 0
+    while (i < nTok) {
+      val t = a.getUTF8String(i)
+      if (t == null) return null
+      lens(i) = t.numBytes()
+      total += lens(i)
+      i += 1
+    }
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var pos = 0
+    i = 0
+    while (i < nTok) {
+      if (i > 0) { buf(pos) = ' '.toByte; pos += 1 }
+      starts(i) = pos
+      a.getUTF8String(i).writeToMemory(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += lens(i)
+      ends(i) = pos
+      i += 1
+    }
+    new JoinedDoc(buf, starts, ends)
+  }
+
+  /** xxhash64 (seed 42) of the window's slice of the joined buffer —
+    * the same bytes [[shingleHash]] concatenates, hashed in place.
+    */
+  @inline private def sliceHash(d: JoinedDoc, i: Int, n: Int): Long =
+    XXH64.hashUnsafeBytes(d.buf,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + d.starts(i),
+      d.ends(i + n - 1) - d.starts(i), 42L)
+
   /** xxhash64 (Spark seed 42) of every n-token window's space-joined
     * gram, in position order: out(i) = hash of the gram starting at
     * 0-based i — the compiled twin of transform(sequence(1, len-n+1),
@@ -216,9 +278,44 @@ object TextKernels {
     val nTok = a.numElements()
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](nTok - n + 1)
+    val d = joinDoc(a)
+    var i = 0
+    if (d == null) while (i <= nTok - n) { out(i) = shingleHash(a, i, n); i += 1 }
+    else while (i <= nTok - n) { out(i) = sliceHash(d, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Lowercase md5 hex of every n-token window's space-joined gram, in
+    * position order — bit-identical to Spark's
+    * md5(concat_ws(' ', slice(a, i, n))) per position (same joined
+    * bytes, same digest, same lowercase hex). Windows digest slices of
+    * the shared joined buffer; the null-token fallback replicates
+    * concat_ws's null-skip via [[joinWindow]].
+    */
+  def md5GramHexes(a: ArrayData, n: Int): ArrayData = {
+    val nTok = a.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val d = joinDoc(a)
+    val md = md5Local.get()
+    val out = new Array[AnyRef](nTok - n + 1)
     var i = 0
     while (i <= nTok - n) {
-      out(i) = shingleHash(a, i, n)
+      md.reset()
+      val digest =
+        if (d != null) {
+          md.update(d.buf, d.starts(i), d.ends(i + n - 1) - d.starts(i))
+          md.digest()
+        } else md.digest(joinWindow(a, i, n).getBytes)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
       i += 1
     }
     new GenericArrayData(out)
@@ -228,11 +325,10 @@ object TextKernels {
     val nTok = a.numElements()
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
     val hs = new java.util.TreeSet[java.lang.Long]()
+    val d = joinDoc(a)
     var i = 0
-    while (i <= nTok - n) {
-      hs.add(shingleHash(a, i, n))
-      i += 1
-    }
+    if (d == null) while (i <= nTok - n) { hs.add(shingleHash(a, i, n)); i += 1 }
+    else while (i <= nTok - n) { hs.add(sliceHash(d, i, n)); i += 1 }
     val out = new Array[Long](math.min(w, hs.size))
     val it = hs.iterator()
     var k = 0
@@ -249,9 +345,10 @@ object TextKernels {
     val nTok = a.numElements()
     if (nTok < n) return null
     val sig = Array.fill(k)(Long.MaxValue)
+    val d = joinDoc(a)
     var i = 0
     while (i <= nTok - n) {
-      val h0 = shingleHash(a, i, n)
+      val h0 = if (d == null) shingleHash(a, i, n) else sliceHash(d, i, n)
       var c = 0
       while (c < k) {
         val h = XXH64.hashLong(h0, seeds(c))
@@ -443,18 +540,27 @@ object TextKernels {
       return org.apache.spark.sql.catalyst.InternalRow(empty, empty)
     val grams = nTok - n + 1
     val md = md5Local.get()
+    val d = joinDoc(a)
     val hs = new Array[String](grams)
     var i = 0
     while (i < grams) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = a.getUTF8String(i + j)
-        j += 1
-      }
       md.reset()
-      val digest = md.digest(UTF8String.concat(parts: _*).getBytes)
+      // digest the window's slice of the shared joined buffer (same
+      // bytes the former per-window concat built — see joinDoc)
+      val digest =
+        if (d != null) {
+          md.update(d.buf, d.starts(i), d.ends(i + n - 1) - d.starts(i))
+          md.digest()
+        } else {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            if (j > 0) parts(2 * j - 1) = space
+            parts(2 * j) = a.getUTF8String(i + j)
+            j += 1
+          }
+          md.digest(UTF8String.concat(parts: _*).getBytes)
+        }
       // first 8 digest bytes = the 16-hex-char prefix of md5 hex
       val hex = new Array[Char](16)
       var b = 0
@@ -859,6 +965,27 @@ case class GramHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.gramHashes($x, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+/** Per-position md5 hex gram fingerprints (compiled loop — see
+  * [[TextExpr.md5GramHexes]]).
+  */
+case class Md5GramHexes(child: Expression, n: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n > 0, "n must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_md5_gram_hexes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5GramHexes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"org.apache.spark.sql.graft.TextKernels.md5GramHexes($x, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5GramHexes =
     copy(child = newChild)
 }
 

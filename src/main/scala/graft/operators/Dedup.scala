@@ -293,18 +293,17 @@ object Dedup {
             .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     } else
+      // compiled per-position md5 loop (Md5GramHexes) — the interpreted
+      // transform(sequence(...)) HOF it replaces rebuilt a string and
+      // evaluated a lambda per corpus gram, the dominant in-task cost
+      // of the exact-fingerprint span cells (identical lowercase hex:
+      // md5 over the same space-joined window bytes)
       base
         .where(size(col("a")) >= k)
-        .select(
-          col("doc_id"),
-          explode(
-            transform(
-              sequence(lit(1), size(col("a")) - k + 1),
-              i => struct(i.as("pos"), md5(concat_ws(" ", slice(col("a"), i, lit(k)))).as("h"))
-            )
-          ).as("g")
-        )
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graft.TextExpr.md5GramHexes(col("a"), k))
+            .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
   }
 
   /** Gaps-and-islands merge of duplicated-gram HIT positions into
